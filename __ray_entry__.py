@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in paddle_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship extraction over a pages table derived from
+                   sf0.001 documents (smoke: runs, >=0 rows, stable schema).
+- ``queries()``  — one entry per implemented operator/pipeline
+                   (SURVEY.md §2 + training-data extensions).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
+                   rows-only entries (extraction internals, sketch-based
+                   near-dup, heuristic lang-id, ANN) are intentionally
+                   omitted there.
 """
 
 from __future__ import annotations
@@ -18,27 +18,112 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from paddle_ray.pipelines import analysis, dedup, events, relational, similarity
+from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
+
+JACCARD_THRESHOLD = 0.9
+EMB_NEARDUP_THRESHOLD = 0.8
+KNN_K = 5
+KNN_NQ = 5
+TUMBLE_S = 3600
+SESSION_GAP_S = 1800
+TOPK_USERS = 20
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    ds = extract_from_documents("/root/testdata/sf0.001")
+    return ds
+
+
+def _extract_roundtrip(sf_dir: str):
+    ds = extract_from_documents(sf_dir)
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(ds.to_pandas()[["url", "extracted_text"]], preserve_index=False)
+    return t
+
+
+def _extract_block_stats(sf_dir: str):
+    """Per-lang extraction outcome stats over the derived pages table
+    (n_blocks is heuristic-defined: rows-only check)."""
+    df = extract_from_documents(sf_dir).to_pandas()
+    g = (
+        df.groupby("lang", as_index=False)
+        .agg(n_docs=("url", "size"), total_blocks=("n_blocks", "sum"), n_errors=("error", "count"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return g.astype({"n_docs": "int64", "total_blocks": "int64", "n_errors": "int64"})
+
+
+def _extract_synth_grammar(sf_dir: str):
+    """Full-grammar synthetic extraction incl. pdf payloads + captions
+    (rows-only; correctness locked by golden pytest fixtures)."""
+    ds, _ = extract_synth(300, pdf_every=20, outlier_every=0)
+    return ds.to_pandas()[["url", "content_hash", "n_blocks"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship extraction (oracle: byte-identical roundtrip) -------
+        "extract_roundtrip": _extract_roundtrip,
+        "extract_block_stats": _extract_block_stats,
+        "extract_synth_grammar": _extract_synth_grammar,
+        # --- relational operators ----------------------------------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "orders_by_status": relational.orders_by_status,
+        "top_parts_by_retail": relational.top_parts_by_retail,
+        "filter_project_documents": relational.filter_project_documents,
+        # --- dedup family -------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
+        # --- similarity search -------------------------------------------
+        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
+        "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
+        "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
+        "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
+        # --- text analysis ------------------------------------------------
+        "token_counts": analysis.token_counts,
+        "quality_scores": analysis.quality_scores,
+        "lang_id": analysis.lang_id,
+        "content_hashes": analysis.content_hashes,
+        "fingerprints": analysis.fingerprints,
+        "lang_doc_stats": analysis.lang_doc_stats,
+        # --- events / windows --------------------------------------------
+        "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
+        "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
+        "events_json_props": events.events_json_props,
+        "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_roundtrip": (
+            "SELECT 'https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+            "text AS extracted_text FROM documents ORDER BY url"
+        ),
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "orders_by_status": relational.ORDERS_BY_STATUS_SQL,
+        "top_parts_by_retail": relational.TOP_PARTS_SQL,
+        "filter_project_documents": relational.FILTER_PROJECT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "jaccard_pairs_by_source": dedup.JACCARD_PAIRS_SQL_T.format(threshold=JACCARD_THRESHOLD),
+        "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
+        "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
+        "token_counts": analysis.TOKEN_COUNTS_SQL,
+        "quality_scores": analysis.QUALITY_SQL,
+        "content_hashes": analysis.CONTENT_HASHES_SQL,
+        "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
+        "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
+        "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
+        "events_json_props": events.EVENTS_JSON_SQL,
+        "events_sessionize": events.EVENTS_SESSION_SQL_T.format(gap_s=SESSION_GAP_S),
+    }

@@ -1,0 +1,63 @@
+"""ExtractConfig — the engine's knob surface.
+
+Replaces the reference's three config layers (pipeline YAML, ~30 per-request
+JSON knobs `model.py:400-431`, env-var overrides `model.py:36-42,125-134`)
+with one dataclass threaded through stage constructors. Precedence:
+defaults < from_env() < explicit kwargs — mirroring the reference's
+defaults < file < env < request order (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    # reference `_read_bool_env` semantics (model.py:63-73)
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # --- page limits (≙ max_num_input_imgs default 10, hard cap 200; model.py:29,35)
+    max_pages_per_doc: int = 200
+    # --- caption enrichment (≙ IMAGE_CAPTIONING_ENABLED, caption_config.yaml)
+    captioning_enabled: bool = True
+    caption_max_length: int = 512        # layout_captioning.py:169 truncation
+    min_caption_w: int = 100             # caption_config.yaml:8-11 size gate
+    min_caption_h: int = 100
+    min_caption_area: int = 10_000
+    # --- actor-pool sizing (≙ instance_group count 6 layout / 4 blip,
+    #     dynamic batch 8/16; config_gpu_paddlex.pbtxt:20, config_gpu_blip.pbtxt:21-31)
+    # min pool size 1: a min of 2+ can deadlock small CPU budgets (both
+    # pools reserve every CPU and the read/sort stages starve)
+    layout_pool_size: tuple = (1, 6)
+    layout_batch_size: int = 16
+    caption_pool_size: tuple = (1, 4)
+    caption_batch_size: int = 16
+    # --- stateless stage batching
+    html_batch_size: int = 256
+    # --- skew handling
+    n_partitions: int = 64
+    outlier_bytes: int = 1 << 20         # rows larger than this get singleton partitions
+    n_outlier_partitions: int = 16
+    # --- output
+    deterministic_sort: bool = True
+    visualize: bool = False              # ≙ request `visualize` knob (model.py:515-533)
+
+    @staticmethod
+    def from_env(**overrides) -> "ExtractConfig":
+        cfg = ExtractConfig(
+            captioning_enabled=_env_bool("IMAGE_CAPTIONING_ENABLED", True),
+            max_pages_per_doc=min(_env_int("MAX_NUM_INPUT_IMGS", 200), 200),
+        )
+        return replace(cfg, **overrides) if overrides else cfg

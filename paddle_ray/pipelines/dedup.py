@@ -1,0 +1,249 @@
+"""Deduplication pipelines over the `documents` table.
+
+Five dedup families, each Ray-Data-first (SURVEY.md §2.7 notes the
+reference has none — these are the training-data-pipeline extensions):
+
+- exact: sha256 content hash -> hash-partitioned groupby -> keep min doc_id
+- minhash-LSH: shingle -> minhash sig -> explode band keys -> groupby band
+  buckets -> candidate pairs -> verify with signature similarity
+- simhash: 64-bit simhash -> bucket by 4 x 16-bit sub-keys (any exact
+  sub-key match is a candidate; Hamming<=3 verify)
+- n-gram jaccard: partitioned self-join within `source` groups using
+  DuckDB-compatible char-set jaccard (oracle-checkable)
+- embedding cosine near-dup: see pipelines/similarity.py
+
+All stages are vectorized map_batches + small groupbys over sketch rows —
+the full text never crosses a shuffle except inside the per-source
+self-join (bounded group size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashes import (
+    char_set_jaccard,
+    hamming64,
+    lsh_band_keys,
+    minhash_jaccard_est,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Keep the smallest doc_id per distinct text. Returns survivors sorted.
+
+    Shuffle moves only (hash, doc_id) — the text column is dropped before
+    the groupby (at 100 TB the shuffle carries ~48 bytes/row, not documents).
+    """
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())})
+
+    from ray.data.aggregate import Min
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text) ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def dedup_minhash_lsh(
+    sf_dir: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.8,
+    k_shingle: int = 5,
+) -> pd.DataFrame:
+    """Near-duplicate PAIRS via MinHash-LSH. Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b, est >= threshold, sorted. Deterministic.
+
+    Dataflow: per-batch signatures -> explode to (band_id, band_hash,
+    doc_id, sig) rows -> groupby band bucket -> pairwise verify inside
+    bucket (buckets are tiny by construction) -> global dedupe of pairs.
+    """
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids, sigs = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = minhash_signature(shingle_hashes(text, k=k_shingle), num_perm=num_perm)
+            for bid, bh in lsh_band_keys(sig, bands=bands):
+                band_ids.append(bid)
+                band_hashes.append(bh - (1 << 63))  # to signed int64
+                doc_ids.append(doc_id)
+                sigs.append(sig.view(np.int64).tobytes())
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g.doc_id.to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.int64).view(np.uint64) for s in g.sig]
+        a_out, b_out, est_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = minhash_jaccard_est(sigs[i], sigs[j])
+                if est >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    est_out.append(round(est, 6))
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est_out})
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "est_jaccard": pd.Series([], dtype="float64")})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    pairs["id_a"] = pairs.id_a.astype("int64")
+    pairs["id_b"] = pairs.id_b.astype("int64")
+    return pairs.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of four 16-bit sub-keys
+    (pigeonhole: hamming<=3 over 64 bits => at least one exact 16-bit
+    quarter match), verify Hamming distance in-bucket."""
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        quarter_ids, keys, doc_ids, hashes = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = simhash(text)
+            for q in range(4):
+                quarter_ids.append(q)
+                keys.append((h >> (16 * q)) & 0xFFFF)
+                doc_ids.append(doc_id)
+                hashes.append(h - (1 << 63))
+        return pa.table(
+            {
+                "q": pa.array(quarter_ids, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "h": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g.doc_id.to_numpy()
+        hs = (g.h.to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    d_out.append(d)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+
+    pairs = (
+        _docs(sf_dir)
+        .map_batches(sh_rows, batch_format="pyarrow")
+        .groupby(["q", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pairs.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"}).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# n-gram (char-set) jaccard self-join within source partitions — oracled
+# --------------------------------------------------------------------------
+
+def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Similar-document pairs within each `source` group using char-set
+    jaccard (EXACT DuckDB jaccard() semantics -> SQL oracle). The self-join
+    is partitioned by source: groupby(source).map_groups does the pairwise
+    scan per group; group sizes are bounded, no global cross join."""
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g.doc_id.to_numpy()
+        texts = g.text.tolist()
+        sets = [frozenset(t) for t in texts]
+        a_out, b_out, sims = [], [], []
+        for i in range(len(ids)):
+            si = sets[i]
+            for j in range(i + 1, len(ids)):
+                u = si | sets[j]
+                sim = len(si & sets[j]) / len(u) if u else 1.0
+                if sim >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    sims.append(round(sim, 6))
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "sim": sims})
+
+    pairs = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .groupby("source")
+        .map_groups(group_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})
+    return (
+        pairs.sort_values(["id_a", "id_b"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+JACCARD_PAIRS_SQL_T = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(jaccard(a.text, b.text), 6) AS sim
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,176 @@
+"""Event-stream-shaped pipelines over the `events` table.
+
+Ray Data is a batch engine; stream semantics are expressed as ordered,
+partitioned computation (ray_guide.md pattern): tumbling windows =
+floor(ts) bucketing + groupby; sessionization = per-user map_groups over
+ts-sorted rows. All windows are oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_tumbling(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Tumbling-window counts + value sums per event_type. Window key =
+    epoch seconds floored to window_s; partial agg per batch, then a small
+    groupby over (window_start, event_type) partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # force µs then floor — integer math identical to the oracle's
+        # epoch_us-based expression (duckdb's ::BIGINT cast ROUNDS doubles)
+        epoch_us = df.ts.astype("datetime64[us]").astype("int64")
+        df["window_start"] = (epoch_us // (window_s * 1_000_000)) * window_s
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out.sum_value.round(4)
+    return out.astype({"window_start": "int64", "n_events": "int64"})
+
+
+EVENTS_TUMBLING_SQL_T = """
+SELECT (epoch_us(ts) // (CAST({window_s} AS BIGINT) * 1000000)) * {window_s} AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k users by total value: partial per-batch user sums -> groupby
+    -> sort + limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"), n_events=("event_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("total_value", alias_name="total_value"), Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["total_value"] = out.total_value.round(4)
+    out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
+    return out[["user_id", "total_value", "n_events"]].astype({"user_id": "int64", "n_events": "int64"}).reset_index(drop=True)
+
+
+EVENTS_TOPK_SQL_T = """
+SELECT user_id, ROUND(SUM(value), 4) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT {k}
+"""
+
+
+def events_json_props(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction: parse props (a JSON object string), extract
+    int field k, aggregate per event_type (map/json function coverage,
+    SURVEY.md §2.8)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["k"] = df.props.map(lambda s: int(json.loads(s).get("k", 0)))
+        g = df.groupby("event_type", as_index=False).agg(sum_k=("k", "sum"), max_k=("k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Max("max_k", alias_name="max_k"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype({"sum_k": "int64", "max_k": "int64"})
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session windows per user (gap-based): sort each user's events by ts
+    inside groupby(user_id).map_groups, split on gaps > gap_s. Returns
+    per-user session count + longest session length (oracle via SQL window
+    functions)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        epoch = g.ts.astype("datetime64[us]").astype("int64") // 1_000_000
+        new_sess = (epoch.diff() > gap_s).fillna(True)
+        sess_id = new_sess.cumsum()
+        sizes = sess_id.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g.user_id.iloc[0])],
+                "n_sessions": [int(sess_id.nunique())],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"user_id": "int64", "n_sessions": "int64", "max_session_events": "int64"})
+
+
+EVENTS_SESSION_SQL_T = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+         LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+),
+marked AS (
+  SELECT user_id, es, event_id,
+         CASE WHEN prev_es IS NULL OR es - prev_es > {gap_s} THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+sizes AS (
+  SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
+FROM sizes GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,102 @@
+"""Flagship extraction pipeline (SURVEY.md §7.1-7.2).
+
+    read pages parquet (columns pruned)
+      -> sniff content_type + n_bytes_in + skew-aware partition_id   [stateless tasks]
+      -> [resume] drop rows of completed partitions                  [broadcast anti-join]
+      -> DocumentExtractor actor pool (html DOM extract | pdf mock   [actor pool]
+         layout model), drops the heavy `html` column
+      -> Captioner actor pool (in-row bbox join + merge)             [actor pool]
+      -> deterministic output: either
+           a) checkpointed_write: groupby(partition_id) one-file-per-
+              partition parquet + manifests (url-sorted in-partition), or
+           b) sort("url") for an in-memory deterministic Dataset.
+
+The only shuffle is the per-partition write groupby (or the final sort),
+both over the slim extracted projection — the MB-scale html payload never
+crosses a shuffle boundary.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..core.config import ExtractConfig
+from ..sources.pages import pages_from_documents, synth_pages
+from ..stages.caption import Captioner
+from ..stages.extract import DocumentExtractor
+from ..stages.sniff import make_sniff_batch
+from ..state import checkpoint as ckpt
+from ..state.metrics import wrap_with_metrics
+
+
+def read_pages(source, columns=None) -> rd.Dataset:
+    """source: parquet path(s) | pyarrow Table | Dataset."""
+    if isinstance(source, rd.Dataset):
+        return source
+    if isinstance(source, (str, list)):
+        return rd.read_parquet(source, columns=columns)
+    return rd.from_arrow(source)
+
+
+def extract_pipeline(
+    source,
+    cfg: ExtractConfig | None = None,
+    out_dir: str | None = None,
+    resume: bool = True,
+    with_metrics: bool = False,
+):
+    """Build the lazy extraction Dataset. If out_dir is given, performs the
+    checkpointed per-partition write and returns the manifest Dataset;
+    otherwise returns the deterministic (url-sorted) extracted Dataset."""
+    cfg = cfg or ExtractConfig()
+    ds = read_pages(source, columns=["url", "warc_ts", "html", "lang"])
+
+    sniff = make_sniff_batch(cfg)
+    if with_metrics:
+        sniff = wrap_with_metrics("sniff", sniff)
+    ds = ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
+
+    if out_dir and resume:
+        done = ckpt.completed_partitions(out_dir)
+        if done:
+            ds = ds.map_batches(ckpt.make_resume_filter(done), batch_format="pyarrow")
+
+    ds = ds.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.layout_batch_size,
+        concurrency=cfg.layout_pool_size,
+        num_cpus=1,
+    )
+    if cfg.captioning_enabled:
+        ds = ds.map_batches(
+            Captioner,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.caption_batch_size,
+            concurrency=cfg.caption_pool_size,
+            num_cpus=1,
+        )
+
+    if out_dir:
+        return ckpt.checkpointed_write(ds, out_dir, resume=resume)
+    if cfg.deterministic_sort:
+        ds = ds.sort("url")
+    return ds
+
+
+def extract_from_documents(sf_dir: str, cfg: ExtractConfig | None = None):
+    """Flagship over a pages table derived from {sf_dir}/documents.parquet.
+    Oracle: SELECT 'https://fixtures.local/doc/' || doc_id AS url, text AS
+    extracted_text FROM documents — extraction must recover the ground
+    truth byte-identically through the full boilerplate shell."""
+    pages = pages_from_documents(sf_dir)
+    return extract_pipeline(pages, cfg=cfg)
+
+
+def extract_synth(n: int, seed: int = 42, cfg: ExtractConfig | None = None, **kw):
+    """Flagship over the full-grammar synthetic pages table; returns
+    (result_ds, expected url->text map)."""
+    pages, expected = synth_pages(n, seed, **kw)
+    return extract_pipeline(pages, cfg=cfg), expected

@@ -1,0 +1,266 @@
+"""Relational operator pipelines over the testdata star schema.
+
+Demonstrates the engine's general query capability Ray-Data-first:
+- column pruning at the read (`read_parquet(columns=...)`),
+- vectorized pyarrow.compute batch kernels,
+- **partial pre-aggregation inside map_batches before every groupby** (the
+  shuffle then moves one row per key per block, not the raw table),
+- **broadcast hash joins** for small dimension sides (`ray.put` once, read
+  per task) instead of all-to-all shuffle joins,
+- sort + limit for top-k.
+
+Each function takes sf_dir and returns a Dataset/DataFrame; all are
+registered in __ray_entry__.queries() with DuckDB oracles. Column names
+match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — partial agg then tiny groupby
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "sum_base_price": pa.array([], pa.float64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = batch.append_column("disc_price", disc_price)
+        df = t.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    out["avg_qty"] = (out.sum_qty / out.count_order).round(6)
+    out["avg_price"] = (out.sum_base_price / out.count_order).round(6)
+    out["sum_qty"] = out.sum_qty.round(4)
+    out["sum_base_price"] = out.sum_base_price.round(4)
+    out["sum_disc_price"] = out.sum_disc_price.round(4)
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       COUNT(*)                                           AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 6)               AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 6)          AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q3: revenue top-10 orders — broadcast dim join + partial agg + top-k
+# --------------------------------------------------------------------------
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    # small sides: customer (segment filter), orders -> broadcast to lineitem
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keep_cust = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[orders.o_custkey.isin(keep_cust)]
+    odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
+    keep_orders_ref = ray.put(odate)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_orders_ref)
+        df = batch.to_pandas()
+        df = df[df.l_orderkey.isin(keep)]
+        if df.empty:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()), "revenue": pa.array([], pa.float64())})
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["o_orderdate"] = agg.l_orderkey.map(odate)
+    agg["revenue"] = agg.revenue.round(4)
+    out = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q5-shape: revenue by nation via chained broadcast joins
+# --------------------------------------------------------------------------
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(supplier.s_suppkey, supplier.s_nationkey))
+    n2name = dict(zip(nation.n_nationkey, nation.n_name))
+    lookup_ref = ray.put((s2n, n2name))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s2n_, n2name_ = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df.l_suppkey.map(s2n_).map(n2name_)
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["revenue"] = out.revenue.round(4)
+    return out
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# simple shapes: groupby-count, sort+limit, filter+project
+# --------------------------------------------------------------------------
+
+def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    out["total"] = out.total.round(4)
+    return out
+
+
+ORDERS_BY_STATUS_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def top_parts_by_retail(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    return (
+        ds.sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(15)
+        .to_pandas()
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def filter_project_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["lang"], pa.scalar("en")), pc.greater(batch["n_chars"], pa.scalar(300)))
+        return batch.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+FILTER_PROJECT_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 300 ORDER BY doc_id
+"""

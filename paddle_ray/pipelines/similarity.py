@@ -1,0 +1,296 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+- brute-force cosine top-k: the baseline — queries broadcast once via
+  ``ray.put`` as a normalized numpy matrix; each map_batches task does one
+  matmul per batch (vectorized), emits per-batch local top-k, and a tiny
+  driver-side merge takes the global top-k. Scale path: the shuffle-free
+  partial-top-k pattern means only k rows per batch leave the workers.
+- LSH-bucketed ANN: random-hyperplane signatures (public SimHash-for-
+  vectors technique) bucket the corpus; queries probe only matching
+  buckets. Recall measured against brute force in tests.
+- embedding cosine near-dup: all pairs with cosine >= threshold within
+  `label` groups (partitioned self-join, oracle-checkable via DuckDB
+  list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    flat = batch["embedding"].combine_chunks()
+    arr = np.asarray(flat.values, dtype=np.float32).reshape(len(ids), -1)
+    return ids, arr
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(sf_dir: str, n_queries: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """First n vec_ids (by id order) are the query set — deterministic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, m = _to_matrix(t)
+    order = np.argsort(ids)[:n_queries]
+    return ids[order], _normalize(m[order].astype(np.float64))
+
+
+def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
+    """Top-k cosine neighbors (excluding self) for the query set.
+    Returns (query_id, neighbor_id, sim) sorted by (query_id, rank)."""
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = qm @ _normalize(m.astype(np.float64)).T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids)):
+            row = sims[qi]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            for t in top:
+                if ids[t] != qids[qi]:
+                    out_q.append(int(qids[qi]))
+                    out_n.append(int(ids[t]))
+                    out_s.append(float(row[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
+        for _, r in g.iterrows():
+            out_rows.append((qid, int(r.neighbor_id), round(r.sim_raw, 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+KNN_SQL_T = """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim_raw
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 6) AS sim
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, sim DESC, neighbor_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# --------------------------------------------------------------------------
+
+def knn_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    seed: int = 3,
+) -> pd.DataFrame:
+    """ANN via MULTI-TABLE random-hyperplane LSH: n_tables independent
+    sign-pattern hashes; a corpus row is a candidate if it collides with
+    the query in ANY table. Sub-linear: each task computes bucket codes
+    vectorized and scores only colliding rows. Output schema matches
+    knn_bruteforce; recall measured against it in tests (inherently
+    limited on near-random vectors)."""
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    dim = q_mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    shifts = np.arange(n_planes, dtype=np.uint32)
+
+    def codes_for(m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) bucket codes."""
+        bits = (np.einsum("tpd,nd->ntp", planes, m) > 0).astype(np.uint32)
+        return (bits << shifts[None, None, :]).sum(axis=2)
+
+    q_codes = codes_for(q_mat)  # (nq, n_tables)
+    ref = ray.put((q_ids, q_mat, planes, q_codes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qm, pl, qc = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m.astype(np.float64))
+        bits = (np.einsum("tpd,nd->ntp", pl, mn) > 0).astype(np.uint32)
+        codes = (bits << shifts[None, None, :]).sum(axis=2)  # (n, n_tables)
+        out = {"query_id": [], "neighbor_id": [], "sim_raw": []}
+        for qi in range(len(qids)):
+            cand = (codes == qc[qi][None, :]).any(axis=1)
+            cand &= ids != qids[qi]
+            if not cand.any():
+                continue
+            sims = qm[qi] @ mn[cand].T
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            for t in top:
+                out["query_id"].append(int(qids[qi]))
+                out["neighbor_id"].append(int(cids[t]))
+                out["sim_raw"].append(float(sims[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim_raw": pa.array(out["sim_raw"], pa.float64()),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
+        for _, r in g.iterrows():
+            out_rows.append((int(qid), int(r.neighbor_id), round(r.sim_raw, 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """IVF ANN: seeded k-means centroids (trained on a driver-side sample —
+    at scale this is a bounded random_sample(), not the corpus), corpus
+    rows assigned to nearest centroid inside map_batches; queries scan only
+    their n_probe nearest centroid lists. Same output schema as
+    knn_bruteforce."""
+    import pyarrow.parquet as pq
+
+    # train centroids on a sample (full table at this sf; sampled at scale)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _, sample = _to_matrix(t)
+    sample = _normalize(sample.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    ref = ray.put((q_ids, q_mat, cent, q_probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qm, ce, qp = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m.astype(np.float64))
+        assign = (mn @ ce.T).argmax(axis=1)
+        out = {"query_id": [], "neighbor_id": [], "sim_raw": []}
+        for qi in range(len(qids)):
+            cand = np.isin(assign, qp[qi]) & (ids != qids[qi])
+            if not cand.any():
+                continue
+            sims = qm[qi] @ mn[cand].T
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            for t2 in top:
+                out["query_id"].append(int(qids[qi]))
+                out["neighbor_id"].append(int(cids[t2]))
+                out["sim_raw"].append(float(sims[t2]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim_raw": pa.array(out["sim_raw"], pa.float64()),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
+        for _, r in g.iterrows():
+            out_rows.append((int(qid), int(r.neighbor_id), round(r.sim_raw, 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup within label groups — oracled
+# --------------------------------------------------------------------------
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Pairs with cosine >= threshold within each label group (partitioned
+    self-join via groupby(label).map_groups; vectorized gram matrix)."""
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g.vec_id.to_numpy()
+        m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]].astype("int64"),
+                "id_b": ids[ju[keep]].astype("int64"),
+                "sim": np.round(sims[iu, ju][keep], 6),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    pairs = ds.groupby("label").map_groups(group_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+EMB_NEARDUP_SQL_T = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,160 @@
+"""DocumentExtractor — the flagship actor-pool map_batches stage.
+
+Ray-Data analogue of the reference's per-instance request loop
+(`model.py:374-618`): one actor ≙ one Triton instance process (weights
+loaded once in ``__init__`` ≙ `model.py:240-244` pipeline init; the
+reference runs ``instance_group count: 6`` such processes,
+`config_gpu_paddlex.pbtxt:18-23`), one batch ≙ a set of documents, and
+per document the content_type dispatch:
+
+- ``html``  -> stdlib DOM + two-pass boilerplate extraction
+  (functions/boilerplate.py) — stateless math, colocated here so a single
+  pass over the input handles both payload kinds without branching the
+  Dataset (branching would re-read the 100 TB input once per branch).
+- ``pdf``/``image`` -> the mock layout model: iterate pages
+  (≙ `_iterate_pdf_pages` `model.py:300-337`), cap at
+  ``cfg.max_pages_per_doc`` (≙ `_HARD_MAX_NUM_INPUT_IMGS` `model.py:35`),
+  run block detection per page (≙ `self.pipeline([img])` `model.py:469`),
+  assemble pages with ``=== PAGE N ===`` separators (the reference's
+  client-side contract `client/testScript.py:138-158`, moved engine-side).
+
+Failures never drop rows: a per-document try/except emits an ``error``
+column (≙ the 422 envelope path `model.py:569-589`).
+
+Output columns (EXTRACTED_SCHEMA + error): url, warc_ts, lang,
+extracted_text, blocks, markdown, n_blocks, n_bytes_in, content_hash,
+partition_id, error. The MB-scale ``html`` payload column is DROPPED here,
+before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.config import ExtractConfig
+from ..core.schema import BLOCK_TYPE
+from ..functions.boilerplate import extract_document
+
+
+class MockLayoutModel:
+    """Deterministic in-sandbox stand-in for the PP-StructureV3 pipeline.
+
+    Real model shape without GPUs: genuine one-time init cost (builds a
+    64k-entry "weight" table) and per-page batched "inference" that parses
+    the pseudo-PDF block payload (sources/pages.py format) — so the actor
+    pool exercises the same execution pattern (init amortization, batch
+    calls) as a real OCR model.
+    """
+
+    def __init__(self, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.weights = rng.standard_normal(65536).astype(np.float32)  # init cost
+
+    def iterate_pages(self, payload: bytes, max_pages: int):
+        """payload -> [(page_index, page_blocks_spec)] (≙ model.py:300-337)."""
+        try:
+            body = payload.split(b"\n", 1)[1]
+            doc = json.loads(body)
+            pages = doc.get("pages", [])
+        except Exception:
+            pages = []
+        return list(enumerate(pages[:max_pages]))
+
+    def detect_blocks(self, page_spec) -> list[dict]:
+        """Per-page "inference": emit (label, bbox, content, path) blocks in
+        reading order (top-to-bottom by bbox y1 — deterministic)."""
+        blocks = []
+        for spec in sorted(page_spec, key=lambda b: (b.get("bbox", [0, 0, 0, 0])[1], b.get("bbox", [0, 0, 0, 0])[0])):
+            bbox = [int(v) for v in spec.get("bbox", [0, 0, 0, 0])[:4]]
+            # touch the weights so inference has real compute shape
+            _ = float(self.weights[(bbox[0] * 31 + bbox[1]) % len(self.weights)])
+            blocks.append(
+                {
+                    "label": str(spec.get("label", "text")),
+                    "bbox": bbox,
+                    "content": str(spec.get("content", "")),
+                    "path": f"page/block[{len(blocks) + 1}]",
+                }
+            )
+        return blocks
+
+
+PAGE_SEP = "=== PAGE {n} ==="
+
+
+def assemble_pdf_pages(page_blocks: list[tuple[int, list[dict]]]) -> tuple[str, list[dict], str]:
+    """pages -> (extracted_text, flat blocks, markdown) with page separators
+    (≙ client/testScript.py:138-206). Pages are sorted by page_index."""
+    parts: list[str] = []
+    all_blocks: list[dict] = []
+    md: list[str] = []
+    for page_index, blocks in sorted(page_blocks, key=lambda t: t[0]):
+        parts.append(PAGE_SEP.format(n=page_index + 1))
+        md.append(f"# Page {page_index + 1}")
+        for b in blocks:
+            if b["content"]:
+                parts.append(b["content"])
+                md.append(f"# {b['content']}" if b["label"] == "title" else b["content"])
+            all_blocks.append(b)
+    return "\n\n".join(parts), all_blocks, "\n\n".join(md)
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+class DocumentExtractor:
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or ExtractConfig()
+        self.model = MockLayoutModel()  # once per actor
+
+    def _one(self, url: str, ctype: str, payload: bytes) -> dict:
+        if ctype == "html":
+            return extract_document(payload)
+        page_iter = self.model.iterate_pages(payload, self.cfg.max_pages_per_doc)
+        page_blocks = [(pi, self.model.detect_blocks(spec)) for pi, spec in page_iter]
+        if not page_blocks:
+            raise ValueError("no pages decoded")  # ≙ zero-pages 422, model.py:583-589
+        text, blocks, md = assemble_pdf_pages(page_blocks)
+        return {"extracted_text": text, "blocks": blocks, "markdown": md, "n_blocks": len(blocks)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        ctypes = batch["content_type"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        texts, blocks_col, mds, n_blocks, hashes, errors = [], [], [], [], [], []
+        for url, ctype, payload in zip(urls, ctypes, payloads):
+            try:
+                r = self._one(url, ctype, payload or b"")
+                texts.append(r["extracted_text"])
+                blocks_col.append(r["blocks"])
+                mds.append(r["markdown"])
+                n_blocks.append(r["n_blocks"])
+                hashes.append(sha256_hex(r["extracted_text"]))
+                errors.append(None)
+            except Exception as e:  # never drop a row (≙ 422 path)
+                texts.append("")
+                blocks_col.append([])
+                mds.append("")
+                n_blocks.append(0)
+                hashes.append(sha256_hex(""))
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "extracted_text": pa.array(texts, pa.string()),
+                "blocks": pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
+                "markdown": pa.array(mds, pa.string()),
+                "n_blocks": pa.array(n_blocks, pa.int32()),
+                "n_bytes_in": batch["n_bytes_in"],
+                "content_hash": pa.array(hashes, pa.string()),
+                "partition_id": batch["partition_id"],
+                "error": pa.array(errors, pa.string()),
+            }
+        )

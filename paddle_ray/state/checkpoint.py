@@ -1,0 +1,139 @@
+"""Per-partition checkpoint manifests + exact resume (north_rule).
+
+Output layout (resumable, FIXTURES.md §5):
+
+    out_dir/
+      part-00012/data.parquet        # one directory per partition
+      _manifests/partition-00012.json
+
+A manifest commits ONLY after its partition's parquet is fully written:
+both the data file and the manifest are written to a temp path then
+``os.replace``d (the reference's atomic heartbeat-write pattern,
+`layout_status.py:78-81`). A half-written partition therefore has no
+manifest and is recomputed on resume.
+
+Resume = load the completed-partition id set (small — thousands of ids
+even at 10^12 rows), broadcast it, and filter input rows by
+``partition_id`` inside ``map_batches`` (a broadcast anti-join; no
+shuffle — SURVEY.md §2.7).
+
+The per-partition write itself runs as ``groupby(partition_id).map_groups``
+so each partition is written exactly once by exactly one task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifests"
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def manifest_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"partition-{partition_id:05d}.json")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("partition-") and name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+                if m.get("status") == "complete":
+                    done.add(int(m["partition_id"]))
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn manifest == not complete
+    return done
+
+
+def make_resume_filter(done: set[int]):
+    """Batch fn dropping rows whose partition already completed (broadcast
+    anti-join on the small completed set)."""
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def resume_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.is_in(batch["partition_id"], value_set=done_arr))
+        return batch.filter(mask)
+
+    return resume_filter
+
+
+def write_partition(group: pd.DataFrame, out_dir: str, sort_cols=("url",)) -> pd.DataFrame:
+    """map_groups body: write one partition atomically, commit its manifest,
+    return the manifest row. Rows are sorted by url inside the partition so
+    output bytes are scheduling-independent."""
+    pid = int(group["partition_id"].iloc[0])
+    g = group.sort_values(list(sort_cols), kind="mergesort")
+    part_dir = os.path.join(out_dir, f"part-{pid:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+
+    table = pa.Table.from_pandas(g, preserve_index=False)
+    data_path = os.path.join(part_dir, "data.parquet")
+    tmp = f"{data_path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, data_path)
+
+    hashes = g["content_hash"].tolist() if "content_hash" in g else []
+    manifest = {
+        "partition_id": pid,
+        "url_min": str(g["url"].iloc[0]),
+        "url_max": str(g["url"].iloc[-1]),
+        "row_count": int(len(g)),
+        "content_hashes": hashes,
+        "status": "complete",
+    }
+    _atomic_write_bytes(
+        manifest_path(out_dir, pid), json.dumps(manifest, sort_keys=True).encode()
+    )
+    return pd.DataFrame(
+        {
+            "partition_id": [pid],
+            "url_min": [manifest["url_min"]],
+            "url_max": [manifest["url_max"]],
+            "row_count": [manifest["row_count"]],
+            "status": ["complete"],
+        }
+    )
+
+
+def checkpointed_write(ds, out_dir: str, resume: bool = True):
+    """Write ds (must carry partition_id + url [+ content_hash]) to out_dir
+    with per-partition manifests. Returns the manifest summary Dataset
+    (small). On resume, completed partitions are filtered BEFORE extraction
+    upstream (see pipelines/extract.py) — the filter here is a second
+    guard for correctness."""
+    done = completed_partitions(out_dir) if resume else set()
+    if done:
+        ds = ds.map_batches(make_resume_filter(done), batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    return ds.groupby("partition_id").map_groups(
+        lambda g: write_partition(g, out_dir), batch_format="pandas"
+    )
+
+
+def read_output(out_dir: str):
+    """Read back a checkpointed output directory as one Dataset."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "data.parquet")))
+    return rd.read_parquet(files)

@@ -1,0 +1,107 @@
+"""Unit tests: hashing/sketches + text stats (pure functions, no Ray)."""
+
+import numpy as np
+
+from paddle_ray.functions.hashes import (
+    char_ngram_set,
+    char_set_jaccard,
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_jaccard_est,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+    splitmix64,
+)
+from paddle_ray.functions.textstats import (
+    bpe_token_count,
+    detect_lang,
+    quality_features,
+    rolling_hashes,
+    token_count,
+    winnow_fingerprint,
+)
+
+
+def test_splitmix64_deterministic():
+    a = splitmix64(np.array([1, 2, 3], dtype=np.uint64))
+    b = splitmix64(np.array([1, 2, 3], dtype=np.uint64))
+    assert (a == b).all()
+    assert len(set(a.tolist())) == 3
+
+
+def test_shingles_and_minhash_similarity():
+    base = " ".join(f"word{i}" for i in range(200))
+    near = base.replace("word100", "other", 1)
+    far = " ".join(f"tok{i}" for i in range(200))
+    s1, s2, s3 = (minhash_signature(shingle_hashes(t)) for t in (base, near, far))
+    assert minhash_jaccard_est(s1, s2) > 0.7
+    assert minhash_jaccard_est(s1, s3) < 0.2
+    # determinism
+    assert (s1 == minhash_signature(shingle_hashes(base))).all()
+
+
+def test_lsh_band_keys_match_for_identical():
+    sig = minhash_signature(shingle_hashes("a b c d e f g h i j " * 10))
+    assert lsh_band_keys(sig) == lsh_band_keys(sig.copy())
+    assert len(lsh_band_keys(sig, bands=16)) == 16
+
+
+def test_simhash_hamming():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("dog", "cat")
+    c = "totally other text about unrelated ideas and completely new words " * 10
+    assert hamming64(simhash(a), simhash(a)) == 0
+    assert hamming64(simhash(a), simhash(b)) < hamming64(simhash(a), simhash(c))
+
+
+def test_char_jaccard_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    # (duckdb's jaccard rejects empty strings; ours returns 0/1 — only
+    # non-empty inputs are oracle-compared)
+    for s1, s2 in [("abc", "abd"), ("hello world", "help word"), ("aa", "aab")]:
+        expected = con.sql(f"select jaccard('{s1}','{s2}')").fetchone()[0]
+        assert abs(char_set_jaccard(s1, s2) - expected) < 1e-12
+
+
+def test_ngram_set_and_jaccard():
+    assert char_ngram_set("abcd", 3) == {"abc", "bcd"}
+    assert jaccard({1, 2}, {2, 3}) == 1 / 3
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_token_counts():
+    assert token_count("a b  c") == 3
+    assert token_count("") == 0
+    assert bpe_token_count("hello, world42") == 4  # hello | , | world | 42
+
+
+def test_quality_features():
+    q = quality_features("The cat and the dog.")
+    assert q["n_tokens"] == 5
+    assert 0 < q["stop_ratio"] < 1
+    assert q["punct_ratio"] > 0
+    assert quality_features("")["n_tokens"] == 0
+
+
+def test_detect_lang_scripts():
+    assert detect_lang("the cat and the dog is on the mat to the end") == "en"
+    assert detect_lang("der hund und die katze ist das") == "de"
+    assert detect_lang("这是一个中文文档的测试文本内容非常清楚") == "zh"
+    assert detect_lang("") == "und"
+
+
+def test_rolling_and_winnow_deterministic():
+    t = "abcdefghijklmnopqrstuvwxyz" * 4
+    h1, h2 = rolling_hashes(t), rolling_hashes(t)
+    assert (h1 == h2).all()
+    assert len(h1) == len(t) - 8 + 1
+    fp = winnow_fingerprint(t)
+    assert fp == winnow_fingerprint(t)
+    assert len(fp) >= 1
+    # position-shift robustness: shared k-grams -> shared fingerprint values
+    fp2 = winnow_fingerprint("XXXX" + t)
+    assert set(fp) & set(fp2)

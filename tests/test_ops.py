@@ -1,0 +1,166 @@
+"""Tests for dedup / similarity / analysis / events pipelines at sf0.001,
+including planted-duplicate recall checks that the oracle gate can't
+express."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from paddle_ray.pipelines import analysis, dedup, events, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- dedup ----------------------------------------------------------------
+
+def test_dedup_exact_no_dups_in_testdata():
+    out = dedup.dedup_exact(SF)
+    assert len(out) == 500  # all distinct texts survive
+    assert out.doc_id.is_monotonic_increasing
+
+
+def test_dedup_exact_with_planted_dups(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    dup = docs.head(10).copy()
+    dup["doc_id"] = dup.doc_id + 10_000
+    both = pd.concat([docs, dup], ignore_index=True)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), d / "documents.parquet")
+    out = dedup.dedup_exact(str(d))
+    assert len(out) == 500  # duplicates collapsed
+    assert (out.doc_id < 10_000).all()  # min doc_id kept
+
+
+def test_minhash_lsh_finds_planted_near_dups(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    longdocs = docs[docs.text.str.split().str.len() >= 40].head(5).copy()
+    near = longdocs.copy()
+    near["doc_id"] = near.doc_id + 10_000
+    # perturb one word -> high-jaccard near-duplicates
+    near["text"] = near.text.map(lambda t: t.replace(t.split()[3], "zzzz", 1))
+    both = pd.concat([docs, near], ignore_index=True)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), d / "documents.parquet")
+    pairs = dedup.dedup_minhash_lsh(str(d), threshold=0.5)
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(int(r.doc_id), int(r.doc_id) + 10_000) for r in longdocs.itertuples()}
+    assert planted <= found, f"missing {planted - found}"
+
+
+def test_simhash_finds_planted_near_dups(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    longdocs = docs[docs.text.str.split().str.len() >= 60].head(3).copy()
+    near = longdocs.copy()
+    near["doc_id"] = near.doc_id + 10_000
+    near["text"] = near.text + " tail"
+    both = pd.concat([docs, near], ignore_index=True)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), d / "documents.parquet")
+    pairs = dedup.dedup_simhash(str(d), max_hamming=8)
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(int(r.doc_id), int(r.doc_id) + 10_000) for r in longdocs.itertuples()}
+    assert planted <= found
+
+
+def test_jaccard_pairs_deterministic():
+    a = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
+    b = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.id_a < a.id_b).all()
+
+
+# --- similarity -----------------------------------------------------------
+
+def test_knn_bruteforce_shape_and_selfexclusion():
+    out = similarity.knn_bruteforce(SF, k=5, n_queries=3)
+    assert len(out) == 15
+    assert (out.query_id != out.neighbor_id).all()
+    assert set(out.columns) == {"query_id", "neighbor_id", "sim"}
+    for _, g in out.groupby("query_id"):
+        sims = g.sim.to_numpy()
+        assert (np.diff(sims) <= 1e-12).all()  # descending
+
+
+def test_ann_recall_vs_bruteforce():
+    """LSH/IVF are probabilistic; on near-random vectors (this corpus) the
+    achievable recall is bounded — assert a floor well above chance."""
+    bf = similarity.knn_bruteforce(SF, k=5, n_queries=5)
+    bf_set = {(q, n) for q, n in zip(bf.query_id, bf.neighbor_id)}
+    for ann in (similarity.knn_lsh(SF, k=5, n_queries=5), similarity.knn_ivf(SF, k=5, n_queries=5)):
+        ann_set = {(q, n) for q, n in zip(ann.query_id, ann.neighbor_id)}
+        recall = len(bf_set & ann_set) / len(bf_set)
+        assert recall >= 0.2, f"ANN recall too low: {recall}"
+        assert (ann.sim <= 1.000001).all()
+
+
+def test_embedding_neardup_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    twin = emb.head(3).copy()
+    twin["vec_id"] = twin.vec_id + 10_000
+    # tiny noise, same direction -> cosine ~1
+    twin["embedding"] = twin.embedding.map(lambda v: (np.asarray(v) * 1.001).astype("float32").tolist())
+    both = pd.concat([emb, twin], ignore_index=True)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), d / "embeddings.parquet")
+    pairs = similarity.embedding_neardup(str(d), threshold=0.999)
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for vid in emb.head(3).vec_id:
+        assert (int(vid), int(vid) + 10_000) in found
+
+
+# --- analysis -------------------------------------------------------------
+
+def test_token_counts_against_python():
+    out = analysis.token_counts(SF)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    m = dict(zip(out.doc_id, out.n_tokens))
+    for r in docs.head(50).itertuples():
+        assert m[r.doc_id] == len(r.text.split())
+
+
+def test_lang_id_runs_all_docs():
+    out = analysis.lang_id(SF)
+    assert len(out) == 500
+    assert set(out.pred_lang) <= {"en", "de", "fr", "es", "zh", "hi", "und"}
+
+
+def test_fingerprints_deterministic():
+    a = analysis.fingerprints(SF)
+    b = analysis.fingerprints(SF)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# --- events ---------------------------------------------------------------
+
+def test_tumbling_totals_match_rowcount():
+    out = events.events_tumbling(SF)
+    assert out.n_events.sum() == 1000
+    assert (out.window_start % 3600 == 0).all()
+
+
+def test_sessionize_invariants():
+    out = events.events_sessionize(SF)
+    assert (out.n_sessions >= 1).all()
+    assert (out.max_session_events >= 1).all()
+    import pyarrow.parquet as pq
+
+    n_users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas().user_id.nunique()
+    assert len(out) == n_users
