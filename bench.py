@@ -45,6 +45,8 @@ def _init_ray(num_cpus: int):
 def _bench_extract(sf_dir: str) -> tuple[float, int]:
     """Headline: full extraction over the documents-derived pages table
     PLUS a synthetic full-grammar corpus (pdfs, captions, outliers)."""
+    import pyarrow as pa
+
     from paddle_ray.core.config import ExtractConfig
     from paddle_ray.pipelines.extract import extract_pipeline
     from paddle_ray.sources.pages import pages_from_documents, synth_pages
@@ -53,12 +55,10 @@ def _bench_extract(sf_dir: str) -> tuple[float, int]:
     pages1 = pages_from_documents(sf_dir)
     pages2, _ = synth_pages(SYNTH_DOCS, pdf_every=20, outlier_every=500)
     n_docs = pages1.num_rows + pages2.num_rows
+    pages = pa.concat_tables([pages1, pages2])
 
     t0 = time.perf_counter()
-    import ray.data as rd
-
-    ds = rd.from_arrow(pages1).union(rd.from_arrow(pages2))
-    out = extract_pipeline(ds, cfg=cfg)
+    out = extract_pipeline(pages, cfg=cfg)
     n = out.count()
     dt = time.perf_counter() - t0
     assert n == n_docs, (n, n_docs)

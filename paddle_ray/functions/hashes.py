@@ -71,16 +71,16 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 128, seed: int = 1) 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
     """Split the signature into `bands` rows-per-band chunks; key = (band_id,
-    mixed band hash). Docs sharing any band key are candidates."""
+    mixed band hash). Docs sharing any band key are candidates.
+
+    The per-band sequential mix runs vectorized ACROSS bands (rows ~8
+    vector ops instead of bands*rows scalar ops)."""
     rows = len(sig) // bands
-    keys = []
-    for b in range(bands):
-        chunk = sig[b * rows : (b + 1) * rows]
-        h = np.uint64(1469598103934665603)
-        for v in chunk:
-            h = splitmix64(np.array([h ^ v], dtype=np.uint64))[0]
-        keys.append((b, int(h)))
-    return keys
+    chunks = sig[: bands * rows].reshape(bands, rows)
+    h = np.full(bands, np.uint64(1469598103934665603), dtype=np.uint64)
+    for r in range(rows):
+        h = splitmix64(h ^ chunks[:, r])
+    return [(b, int(v)) for b, v in enumerate(h)]
 
 
 def minhash_jaccard_est(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -34,6 +34,7 @@ from ..functions.hashes import (
     minhash_signature,
     shingle_hashes,
     simhash,
+    splitmix64,
 )
 
 
@@ -92,50 +93,110 @@ def dedup_minhash_lsh(
     bucket (buckets are tiny by construction) -> global dedupe of pairs.
     """
 
+    _EMPTY = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "est_jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    band_salts = splitmix64(np.arange(1000, 1000 + bands, dtype=np.uint64))
+
     def sig_rows(batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids, sigs = [], [], [], []
+        """Per-DOC row: (doc_id, sig bytes, 16 salted band keys). The 1 KB
+        signature is stored ONCE per doc and never crosses a shuffle —
+        shuffling (band, sig) exploded rows replicated each sig 16x and made
+        the bucket sort 10x slower than the minhash math itself."""
+        doc_ids, sig_bytes, key_lists = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sig = minhash_signature(shingle_hashes(text, k=k_shingle), num_perm=num_perm)
-            for bid, bh in lsh_band_keys(sig, bands=bands):
-                band_ids.append(bid)
-                band_hashes.append(bh - (1 << 63))  # to signed int64
-                doc_ids.append(doc_id)
-                sigs.append(sig.view(np.int64).tobytes())
+            hs = np.array([h for _, h in lsh_band_keys(sig, bands=bands)], dtype=np.uint64)
+            keys = (splitmix64(hs ^ band_salts)).view(np.int64)  # salt in the band id
+            doc_ids.append(doc_id)
+            sig_bytes.append(sig.view(np.int64).tobytes())
+            key_lists.append(keys.tolist())
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "sig": pa.array(sig_bytes, pa.binary()),
+                "keys": pa.array(key_lists, pa.list_(pa.int64())),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g.doc_id.to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.int64).view(np.uint64) for s in g.sig]
-        a_out, b_out, est_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = minhash_jaccard_est(sigs[i], sigs[j])
-                if est >= threshold:
+    def explode_slim(batch: pa.Table) -> pa.Table:
+        """Slim (bucket_part, key, doc_id) rows — 20 bytes each — for the
+        candidate shuffle."""
+        keys_list = batch["keys"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        key_flat = np.array([k for ks in keys_list for k in ks], dtype=np.int64)
+        id_flat = np.repeat(np.asarray(ids, dtype=np.int64), [len(ks) for ks in keys_list])
+        coarse = np.bitwise_and(key_flat, 0x3F).astype(np.int32)
+        return pa.table(
+            {
+                "bucket_part": pa.array(coarse, pa.int32()),
+                "key": pa.array(key_flat, pa.int64()),
+                "doc_id": pa.array(id_flat, pa.int64()),
+            }
+        )
+
+    def coarse_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per coarse partition. duplicated() prefilter keeps only
+        buckets of size >= 2 (a map_groups call per 1-2-row LSH bucket costs
+        more than the pairing math)."""
+        hot = g[g.duplicated("key", keep=False)]
+        if hot.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
+        a_out, b_out = [], []
+        for _, grp in hot.groupby("key", sort=False):
+            ids = np.unique(grp.doc_id.to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
-                    est_out.append(round(est, 6))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est_out})
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
 
-    pairs = (
-        _docs(sf_dir)
-        .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    sigs_ds = _docs(sf_dir).map_batches(sig_rows, batch_format="pyarrow").materialize()
+    cand = (
+        sigs_ds.select_columns(["doc_id", "keys"])
+        .map_batches(explode_slim, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket_part")
+        .map_groups(coarse_candidates, batch_format="pandas")
         .to_pandas()
     )
+    if cand.empty:
+        return _EMPTY
+    cand = cand.drop_duplicates(["id_a", "id_b"])
+
+    # verify: fetch signatures of candidate docs only (broadcast id-set
+    # filter over the unshuffled sig dataset; candidates ≈ dup rate << n).
+    # At cluster scale this final join runs as one more map_batches pass per
+    # pair partition; the sig table itself still never shuffles.
+    import pyarrow.compute as pc
+    import ray
+
+    cand_ids = np.unique(np.concatenate([cand.id_a.to_numpy(), cand.id_b.to_numpy()]))
+    cand_ref = ray.put(pa.array(cand_ids, pa.int64()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(cand_ref)))
+
+    sub = sigs_ds.select_columns(["doc_id", "sig"]).map_batches(filt, batch_format="pyarrow", batch_size=None).to_pandas()
+    sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in sub.sig])
+    row_of = {int(d): i for i, d in enumerate(sub.doc_id.to_numpy())}
+    ia = np.array([row_of[i] for i in cand.id_a], dtype=np.int64)
+    ib = np.array([row_of[i] for i in cand.id_b], dtype=np.int64)
+    est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+    keep = est >= threshold
+    pairs = pd.DataFrame(
+        {
+            "id_a": cand.id_a.to_numpy()[keep],
+            "id_b": cand.id_b.to_numpy()[keep],
+            "est_jaccard": np.round(est[keep], 6),
+        }
+    )
     if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "est_jaccard": pd.Series([], dtype="float64")})
-    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+        return _EMPTY
+    pairs = pairs.sort_values(["id_a", "id_b"])
     pairs["id_a"] = pairs.id_a.astype("int64")
     pairs["id_b"] = pairs.id_b.astype("int64")
     return pairs.reset_index(drop=True)
@@ -168,27 +229,38 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g.doc_id.to_numpy()
-        hs = (g.h.to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # same coarse-partition trick as minhash: vectorized prefilter to
+        # buckets of size >= 2, pair only inside those
+        hot = g[g.duplicated(["q", "key"], keep=False)]
+        if hot.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+            )
         a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    d_out.append(d)
+        for _, grp in hot.groupby(["q", "key"], sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = grp.doc_id.to_numpy()
+            hs = (grp.h.to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(int(hs[i]), int(hs[j]))
+                    if d <= max_hamming:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        d_out.append(d)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+
+    def add_coarse_key(batch: pa.Table) -> pa.Table:
+        coarse = np.bitwise_and(batch["key"].to_numpy(zero_copy_only=False), 0x3F)
+        return batch.append_column("bucket_part", pa.array(coarse.astype(np.int32), pa.int32()))
 
     pairs = (
         _docs(sf_dir)
         .map_batches(sh_rows, batch_format="pyarrow")
-        .groupby(["q", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_coarse_key, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket_part")
+        .map_groups(coarse_pairs, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:

@@ -30,12 +30,19 @@ from ..state.metrics import wrap_with_metrics
 
 
 def read_pages(source, columns=None) -> rd.Dataset:
-    """source: parquet path(s) | pyarrow Table | Dataset."""
+    """source: parquet path(s) | pyarrow Table | Dataset.
+
+    In-memory tables are split into byte-balanced slices before
+    ``from_arrow`` — a single table would become ONE block and starve
+    every downstream stage of parallelism (sources/pages.py).
+    """
     if isinstance(source, rd.Dataset):
         return source
     if isinstance(source, (str, list)):
         return rd.read_parquet(source, columns=columns)
-    return rd.from_arrow(source)
+    from ..sources.pages import slice_table_by_bytes
+
+    return rd.from_arrow(slice_table_by_bytes(source))
 
 
 def extract_pipeline(

@@ -46,37 +46,40 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     )
 
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    _RENAME = {
+        "l_quantity_sum": "sum_qty",
+        "l_extendedprice_sum": "sum_base_price",
+        "disc_price_sum": "sum_disc_price",
+        "l_quantity_count": "count_order",
+    }
 
     def partial(batch: pa.Table) -> pa.Table:
+        # pure pyarrow C++ kernels end-to-end: filter -> project -> hash agg
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "l_returnflag": pa.array([], pa.string()),
-                    "l_linestatus": pa.array([], pa.string()),
-                    "sum_qty": pa.array([], pa.float64()),
-                    "sum_base_price": pa.array([], pa.float64()),
-                    "sum_disc_price": pa.array([], pa.float64()),
-                    "count_order": pa.array([], pa.int64()),
-                }
-            )
-        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = batch.append_column("disc_price", disc_price)
-        df = t.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
-        ).to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
-            )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns([_RENAME.get(c, c) for c in g.column_names])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # batch_size=None => one partial per block, not 1024-row micro-batches
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Sum
 
     out = (
@@ -124,23 +127,25 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
     orders = orders[orders.o_custkey.isin(keep_cust)]
     odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
-    keep_orders_ref = ray.put(odate)
+    # broadcast just the key set as an Arrow array (ray.put once, zero-copy
+    # reads per task) — not a Python dict, which would unpickle per worker
+    keep_keys_ref = ray.put(pa.array(sorted(odate), pa.int64()))
 
     def partial(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_orders_ref)
-        df = batch.to_pandas()
-        df = df[df.l_orderkey.isin(keep)]
-        if df.empty:
-            return pa.table({"l_orderkey": pa.array([], pa.int64()), "revenue": pa.array([], pa.float64())})
-        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
-        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keys = ray.get(keep_keys_ref)
+        batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=keys))
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": revenue})
+        g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()
@@ -170,25 +175,33 @@ LIMIT 10
 # --------------------------------------------------------------------------
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    s2n = dict(zip(supplier.s_suppkey, supplier.s_nationkey))
     n2name = dict(zip(nation.n_nationkey, nation.n_name))
-    lookup_ref = ray.put((s2n, n2name))
+    # broadcast a vectorized lookup: sorted supplier keys + their nation name
+    sup_keys = np.sort(supplier.s_suppkey.to_numpy())
+    order = np.argsort(supplier.s_suppkey.to_numpy())
+    sup_names = supplier.s_nationkey.map(n2name).to_numpy()[order]
+    lookup_ref = ray.put((sup_keys, sup_names))
 
     def partial(batch: pa.Table) -> pa.Table:
-        s2n_, n2name_ = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        df["n_name"] = df.l_suppkey.map(s2n_).map(n2name_)
-        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
-        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        sup_keys_, sup_names_ = ray.get(lookup_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        names = sup_names_[np.searchsorted(sup_keys_, sk)]
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"n_name": pa.array(names, pa.string()), "revenue": revenue})
+        g = t.group_by("n_name").aggregate([("revenue", "sum")])
+        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
 
     li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
     from ray.data.aggregate import Sum
 
     out = (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()

@@ -218,6 +218,35 @@ def synth_pages(n: int, seed: int = 42, outlier_every: int = 200, pdf_every: int
     return table, expected
 
 
+def slice_table_by_bytes(
+    table: pa.Table,
+    payload_col: str = "html",
+    target_bytes: int = 1 << 20,
+    max_rows: int = 256,
+) -> list[pa.Table]:
+    """Split an in-memory pages table into zero-copy slices bounded by BOTH
+    payload bytes and row count, so `ray.data.from_arrow` gets byte-balanced
+    blocks: without this, one MB-scale outlier row serializes hundreds of
+    small rows behind it in the same block (the skew the north_rule calls
+    out), and a single-table `from_arrow` yields ONE block = no parallelism.
+    """
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return [table]
+    sizes = pc.binary_length(table[payload_col]).to_numpy(zero_copy_only=False)
+    slices: list[pa.Table] = []
+    start, acc = 0, 0
+    for i, s in enumerate(sizes):
+        acc += int(s)
+        if (acc >= target_bytes or (i - start + 1) >= max_rows) and i + 1 > start:
+            slices.append(table.slice(start, i + 1 - start))
+            start, acc = i + 1, 0
+    if start < table.num_rows:
+        slices.append(table.slice(start))
+    return slices
+
+
 def write_pages_parquet(path: str, n: int, seed: int = 42, **kw) -> dict[str, str]:
     """Materialize a synth pages table to one parquet file; returns expected map."""
     import pyarrow.parquet as pq

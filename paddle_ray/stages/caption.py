@@ -62,8 +62,20 @@ class Captioner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.cfg.captioning_enabled:
             return batch
-        blocks_col = batch["blocks"].to_pylist()
-        mds = batch["markdown"].to_pylist()
+        import pyarrow.compute as pc
+
+        # fast path: only rows whose markdown mentions an image key can
+        # receive captions — leave every other row zero-copy untouched
+        # (round-tripping the nested `blocks` column through Python is the
+        # expensive part of this stage)
+        mask = pc.fill_null(pc.match_substring(batch["markdown"], "img_in_"), False)
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        if not mask_np.any():
+            return batch
+        idx = np.flatnonzero(mask_np)
+        affected = batch.filter(mask)
+        blocks_col = affected["blocks"].to_pylist()
+        mds = affected["markdown"].to_pylist()
 
         # collect caption requests across the whole batch (dynamic batching
         # ≙ config_gpu_blip.pbtxt:27-31), remembering (row, block) targets
@@ -85,13 +97,22 @@ class Captioner:
                     targets.append((ri, bi))
                     keys.append(key)
 
-        captions = self.model.generate(keys, self.cfg.caption_max_length) if keys else []
+        if not keys:
+            return batch
+        captions = self.model.generate(keys, self.cfg.caption_max_length)
         for (ri, bi), cap in zip(targets, captions):  # merge (M15)
             blk = blocks_col[ri][bi]
             blk["content"] = f"{blk['content']} {cap}".strip()
 
-        return batch.set_column(
-            batch.schema.get_field_index("blocks"),
+        # scatter the patched rows back in original order: concat the
+        # untouched and patched row sets, then restore positions by take()
+        affected = affected.set_column(
+            affected.schema.get_field_index("blocks"),
             "blocks",
             pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
         )
+        untouched = batch.filter(pc.invert(mask))
+        merged = pa.concat_tables([untouched, affected], promote_options="default")
+        order = np.concatenate([np.flatnonzero(~mask_np), idx])
+        inv = np.argsort(order, kind="stable")
+        return merged.take(pa.array(inv))
