@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from paddle_ray.pipelines import analysis, dedup, events, relational, similarity
+from paddle_ray.pipelines import analysis, dedup, events, joins, multimodal, relational, similarity
 from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
 
 JACCARD_THRESHOLD = 0.9
@@ -77,6 +77,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": relational.orders_by_status,
         "top_parts_by_retail": relational.top_parts_by_retail,
         "filter_project_documents": relational.filter_project_documents,
+        "q6_forecast_revenue": joins.q6_forecast_revenue,
+        "q10_returned_revenue": joins.q10_returned_revenue,
+        "orders_priority_matrix": joins.orders_priority_matrix,
+        # --- join family (broadcast / native hash / as-of / range) ---------
+        "asof_events_orders": joins.asof_events_orders,
+        "range_join_price_bands": joins.range_join_price_bands,
+        "window_top3_orders": joins.window_top3_orders,
+        "distinct_doc_keys": joins.distinct_doc_keys,
+        "union_short_long_docs": joins.union_short_long_docs,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -94,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
         "lang_doc_stats": analysis.lang_doc_stats,
+        # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
+        "media_features": multimodal.media_features,
         # --- events / windows --------------------------------------------
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
@@ -114,6 +125,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_status": relational.ORDERS_BY_STATUS_SQL,
         "top_parts_by_retail": relational.TOP_PARTS_SQL,
         "filter_project_documents": relational.FILTER_PROJECT_SQL,
+        "q6_forecast_revenue": joins.Q6_SQL,
+        "q10_returned_revenue": joins.Q10_SQL,
+        "orders_priority_matrix": joins.ORDERS_PRIORITY_SQL,
+        "asof_events_orders": joins.ASOF_EVENTS_SQL,
+        "range_join_price_bands": joins.RANGE_BANDS_SQL,
+        "window_top3_orders": joins.WINDOW_TOP3_SQL,
+        "distinct_doc_keys": joins.DISTINCT_DOC_KEYS_SQL,
+        "union_short_long_docs": joins.UNION_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs_by_source": dedup.JACCARD_PAIRS_SQL_T.format(threshold=JACCARD_THRESHOLD),
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),

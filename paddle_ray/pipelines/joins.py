@@ -1,0 +1,424 @@
+"""Join / window / set-operator pipelines (operator-coverage widening).
+
+The reference's only join is the in-row bbox equi-join (J1,
+`/root/reference/imageCaptioningExperiments/layout_captioning.py:236-265`),
+implemented in stages/caption.py. This module adds the general join family
+a data-processing engine needs, each Ray-Data-first with an explicit
+scale contract:
+
+- **broadcast join** (small dim side `ray.put` once, probe in map_batches)
+  — q10's customer-name attach, range-band join
+- **native shuffle hash join** (`Dataset.join`) — q10's lineitem x orders
+- **as-of join** (distributed: tag + union + cogroup by key, one vectorized
+  `pd.merge_asof` per coarse partition) — events x orders
+- **range join** (broadcast band edges + np.searchsorted) — part price bands
+- **window function** (row_number per partition via coarse-partition
+  map_groups + vectorized in-group rank) — top-3 orders per customer
+- **distinct / union** set ops
+
+Every function returns columns named exactly as its oracle SQL in
+__ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# q6: single-value filter aggregate (no shuffle at all — partials + driver sum)
+# --------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo), pc.less(batch["l_shipdate"], hi)
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        b = batch.filter(m)
+        s = pc.sum(pc.multiply(b["l_extendedprice"], b["l_discount"]))
+        return pa.table({"revenue": pa.array([s.as_py() or 0.0], pa.float64())})
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+    total = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas().revenue.sum()
+    return pd.DataFrame({"revenue": [round(float(total), 4)]})
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 shape: native shuffle hash join (Dataset.join) + broadcast dim attach
+# --------------------------------------------------------------------------
+
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Revenue from returned lineitems per customer, top-k.
+
+    lineitem(R) is pre-aggregated per orderkey (the shuffle then moves one
+    row per order, not per lineitem), hash-joined with orders via the
+    native `Dataset.join`, re-aggregated per customer; the tiny customer
+    name column attaches driver-side (broadcast dim)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        revenue = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue": revenue})
+        g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
+
+    li_agg = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.select_columns(["o_custkey", "revenue"])
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    agg = agg.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    agg["revenue"] = agg.revenue.round(4)
+    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# conditional aggregate: priority matrix per order status
+# --------------------------------------------------------------------------
+
+def orders_priority_matrix(sf_dir: str) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        is_high = pc.is_in(
+            batch["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "high_count": pc.cast(is_high, pa.int64()),
+                "low_count": pc.cast(pc.invert(is_high), pa.int64()),
+            }
+        )
+        g = t.group_by("o_orderstatus").aggregate([("high_count", "sum"), ("low_count", "sum")])
+        return g.rename_columns(
+            [c.removesuffix("_sum") for c in g.column_names]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("high_count", alias_name="high_count"), Sum("low_count", alias_name="low_count"))
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    return out.astype({"high_count": "int64", "low_count": "int64"})
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# as-of join: events x orders (latest order at or before the event time)
+# --------------------------------------------------------------------------
+
+N_ASOF_PARTS = 64
+
+
+def asof_events_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed as-of join: for each event, the user's most recent order
+    (o_orderdate <= ts, key user_id = o_custkey), aggregated per event_type.
+
+    Dataflow (scales — neither side is broadcast): tag both tables with a
+    common schema + coarse key-hash partition, union, cogroup by partition,
+    then ONE vectorized `pd.merge_asof(by=key)` per partition. The
+    partition count bounds group size; skewed keys split across... no —
+    same key must co-locate, so a hot user bounds a partition (documented
+    limit; salting would need a two-level asof)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((key % N_ASOF_PARTS).astype(np.int32), pa.int32()),
+                "key": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "kind": pa.array(np.ones(len(key), dtype=np.int8), pa.int8()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((key % N_ASOF_PARTS).astype(np.int32), pa.int32()),
+                "key": batch["o_custkey"],
+                "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "kind": pa.array(np.zeros(len(key), dtype=np.int8), pa.int8()),
+                "event_type": pa.array([None] * len(key), pa.string()),
+            }
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow", batch_size=None).union(
+        od.map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
+    )
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.kind == 1].sort_values("ts_us", kind="mergesort")
+        right = (
+            g[g.kind == 0][["key", "ts_us"]]
+            .rename(columns={"ts_us": "o_ts_us"})
+            .sort_values("o_ts_us", kind="mergesort")
+        )
+        m = pd.merge_asof(
+            left, right, left_on="ts_us", right_on="o_ts_us", by="key", direction="backward"
+        )
+        m["matched"] = m.o_ts_us.notna()
+        m["age_s"] = ((m.ts_us - m.o_ts_us) // 1_000_000).fillna(0).astype("int64")
+        out = m.groupby("event_type", as_index=False).agg(
+            n_events=("ts_us", "size"),
+            n_matched=("matched", "sum"),
+            sum_age_s=("age_s", "sum"),
+        )
+        return out
+
+    agg = (
+        both.groupby("part")
+        .map_groups(asof_part, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), n_matched=("n_matched", "sum"), sum_age_s=("sum_age_s", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return agg.astype({"n_events": "int64", "n_matched": "int64", "sum_age_s": "int64"})
+
+
+ASOF_EVENTS_SQL = """
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(o.o_orderdate) AS n_matched,
+       CAST(COALESCE(SUM((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 1000000), 0) AS BIGINT) AS sum_age_s
+FROM events e
+ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# range join: part price -> static band table (broadcast + searchsorted)
+# --------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("b0_900_925", 900.0, 925.0),
+    ("b1_925_950", 925.0, 950.0),
+    ("b2_950_975", 950.0, 975.0),
+    ("b3_975_1000", 975.0, 1000.0),
+]
+
+
+def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Band membership via broadcast range join: band edges are tiny, so the
+    'join' is an np.searchsorted per batch — no shuffle of the fact side."""
+    names = [b[0] for b in PRICE_BANDS]
+    los = np.array([b[1] for b in PRICE_BANDS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, price, side="right") - 1
+        ok = (idx >= 0) & (price < PRICE_BANDS[-1][2])
+        t = pa.table(
+            {
+                "band": pa.array([names[i] for i in idx[ok]], pa.string()),
+                "n_parts": pa.array(np.ones(int(ok.sum()), dtype=np.int64), pa.int64()),
+                "sum_price": pa.array(price[ok], pa.float64()),
+            }
+        )
+        g = t.group_by("band").aggregate([("n_parts", "sum"), ("sum_price", "sum")])
+        return g.rename_columns([c.removesuffix("_sum") for c in g.column_names])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "part", columns=["p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("band")
+        .aggregate(Sum("n_parts", alias_name="n_parts"), Sum("sum_price", alias_name="sum_price"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    out["sum_price"] = out.sum_price.round(4)
+    return out.astype({"n_parts": "int64"})
+
+
+RANGE_BANDS_SQL = """
+SELECT b.band, COUNT(*) AS n_parts, ROUND(SUM(p.p_retailprice), 4) AS sum_price
+FROM part p
+JOIN (VALUES ('b0_900_925', 900.0, 925.0), ('b1_925_950', 925.0, 950.0),
+             ('b2_950_975', 950.0, 975.0), ('b3_975_1000', 975.0, 1000.0))
+     AS b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
+# --------------------------------------------------------------------------
+# window function: top-3 orders per customer by totalprice (row_number)
+# --------------------------------------------------------------------------
+
+N_WINDOW_PARTS = 64
+
+
+def window_top3_orders(sf_dir: str) -> pd.DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+    o_orderkey) <= 3, as coarse-partition map_groups (one call per hash
+    partition, vectorized in-group rank — NOT one call per customer)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((key % N_WINDOW_PARTS).astype(np.int32), pa.int32())
+        )
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True], kind="mergesort"
+        )
+        g["rn"] = g.groupby("o_custkey").cumcount() + 1
+        g = g[g.rn <= 3]
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_custkey", "rn"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"o_custkey": "int64", "o_orderkey": "int64", "rn": "int64"})
+
+
+WINDOW_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops: distinct, union
+# --------------------------------------------------------------------------
+
+def distinct_doc_keys(sf_dir: str) -> pd.DataFrame:
+    """SELECT DISTINCT lang, source — local distinct per block, then a tiny
+    global groupby (the shuffle carries one row per distinct pair per block)."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "documents", columns=["lang", "source"])
+        .map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()[["lang", "source"]]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+DISTINCT_DOC_KEYS_SQL = """
+SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+"""
+
+
+def union_short_long_docs(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL of two disjoint filters (short docs + long docs)."""
+    docs = lambda: _read(sf_dir, "documents", columns=["doc_id", "n_chars"])  # noqa: E731
+
+    def short(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["n_chars"], pa.scalar(100)))
+
+    def long(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_chars"], pa.scalar(400)))
+
+    u = docs().map_batches(short, batch_format="pyarrow").union(
+        docs().map_batches(long, batch_format="pyarrow")
+    )
+    return u.sort("doc_id").to_pandas().astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+UNION_DOCS_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE n_chars < 100
+UNION ALL
+SELECT doc_id, n_chars FROM documents WHERE n_chars > 400
+ORDER BY doc_id
+"""

@@ -1,0 +1,80 @@
+"""Output exporters beyond the canonical checkpointed Parquet.
+
+- ``export_doc_tree`` ≙ the reference's client-side writer (S6,
+  `client/client.py:32-45` + `client/testScript.py:120-206`): one directory
+  per document with ``doc.md``; an index.md listing docs in url order.
+- ``write_csv`` / ``write_jsonl`` ≙ the experiment CSV sink (S7,
+  `imageCaptioningExperiments/blip/parse_caption.py:49-53`), as thin
+  Ray-native sinks.
+
+All exporters consume the slim extracted projection (never the html
+payload column) and write deterministically (url-sorted)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+_SAFE = re.compile(r"[^A-Za-z0-9._-]+")
+
+
+def _slug(url: str) -> str:
+    return _SAFE.sub("_", url)[:150]
+
+
+def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
+    """Write one dir per document: <slug>/doc.md (markdown) + meta.txt.
+    Returns the number of documents written. Driver-side writer over an
+    iter_batches stream (no full materialization); use only for human
+    inspection/small exports — the scale path is checkpointed parquet."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    index: list[str] = []
+    for batch in ds.select_columns(["url", "markdown", "extracted_text", "content_hash"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for url, md, text, h in zip(
+            batch["url"].to_pylist(),
+            batch["markdown"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+            batch["content_hash"].to_pylist(),
+        ):
+            d = os.path.join(out_dir, _slug(url))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "doc.md"), "w", encoding="utf-8") as f:
+                f.write(md or "")
+            with open(os.path.join(d, "doc.txt"), "w", encoding="utf-8") as f:
+                f.write(text or "")
+            with open(os.path.join(d, "meta.txt"), "w", encoding="utf-8") as f:
+                f.write(f"url: {url}\ncontent_hash: {h}\n")
+            index.append(f"- [{url}]({_slug(url)}/doc.md)")
+            n += 1
+            if limit is not None and n >= limit:
+                break
+        if limit is not None and n >= limit:
+            break
+    with open(os.path.join(out_dir, "index.md"), "w", encoding="utf-8") as f:
+        f.write("\n".join(sorted(index)) + "\n")
+    return n
+
+
+def write_csv(ds, out_dir: str) -> None:
+    """Distributed CSV sink (one file per block)."""
+    ds.write_csv(out_dir)
+
+
+def write_jsonl(ds, out_dir: str) -> None:
+    """Distributed JSONL sink (one file per block)."""
+    ds.write_json(out_dir)
+
+
+def read_jsonl(path: str):
+    import ray.data as rd
+
+    return rd.read_json(path)
+
+
+def read_csv(path: str):
+    import ray.data as rd
+
+    return rd.read_csv(path)

@@ -1,0 +1,118 @@
+"""Multimodal stage tests: container roundtrip, decode determinism,
+reference resize math, frame-sample explosion, actor-pool plumbing,
+real-codec stub gating."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from paddle_ray.pipelines.multimodal import media_features
+from paddle_ray.sources.media import pack_media, synth_media, unpack_media
+from paddle_ray.stages.multimodal import FrameSampler, ImageResizer, MediaDecoder, render_scale
+
+
+def test_container_roundtrip():
+    body = b"\x01\x02\x03" * 100
+    p = pack_media("image", {"width": 10, "height": 20, "channels": 3}, body)
+    kind, header, out = unpack_media(p)
+    assert kind == "image" and header == {"channels": 3, "height": 20, "width": 10}
+    assert out == body
+
+
+def test_synth_media_deterministic():
+    a, b = synth_media(50), synth_media(50)
+    assert a.equals(b)
+    kinds = set(a["kind"].to_pylist())
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decoder_features_and_error_rows():
+    t = synth_media(30)
+    # append one garbage row: must become decoded_ok=False, not a crash
+    bad = pa.table(
+        {
+            "media_id": pa.array([999], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"\x00garbage"], pa.binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "n_frames": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([0], pa.int32()),
+        }
+    )
+    batch = pa.concat_tables([t, bad])
+    out = MediaDecoder()(batch)
+    assert out.num_rows == 31
+    oks = out["decoded_ok"].to_pylist()
+    assert oks[:-1] == [True] * 30 and oks[-1] is False
+    assert "ValueError" in out["error"].to_pylist()[-1]
+    # decode twice -> identical
+    out2 = MediaDecoder()(batch)
+    assert out.equals(out2)
+
+
+def test_real_codec_payload_raises_not_implemented():
+    d = MediaDecoder()
+    if d.codecs:  # pragma: no cover - PIL present
+        pytest.skip("real codec installed")
+    with pytest.raises(NotImplementedError):
+        d._decode_one(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_render_scale_reference_semantics():
+    # model.py:320-325: scale = min(1.5, 2200/max_dim)
+    assert render_scale(100, 200) == 1.5
+    assert render_scale(4400, 100) == pytest.approx(0.5)
+    assert render_scale(2200, 2200) == pytest.approx(1.0)
+
+
+def test_resizer_caps_and_passthrough():
+    dec = MediaDecoder()(synth_media(30))
+    out = ImageResizer()(dec)
+    for kind, w, tw, th in zip(
+        out["kind"].to_pylist(),
+        out["width"].to_pylist(),
+        out["target_width"].to_pylist(),
+        out["target_height"].to_pylist(),
+    ):
+        if kind == "image":
+            assert max(tw, th) <= 6000
+            assert tw > 0
+        else:
+            assert tw == w  # non-image untouched
+    # resized payload headers carry the new dims
+    for kind, payload, tw in zip(
+        out["kind"].to_pylist(), out["payload"].to_pylist(), out["target_width"].to_pylist()
+    ):
+        if kind == "image":
+            _, header, _ = unpack_media(payload)
+            assert header["width"] == tw
+
+
+def test_frame_sampler_explodes_video_rows():
+    dec = MediaDecoder()(synth_media(30))
+    out = FrameSampler(stride=5)(dec)
+    df = out.to_pandas()
+    vids = dec.to_pandas().query("kind == 'video'")
+    expect = int(sum(int(np.ceil(nf / 5)) for nf in vids.n_frames))
+    got = len(df[df.kind == "video"])
+    assert got == expect
+    assert (df[df.kind != "video"].frame_index == 0).all()
+
+
+def test_media_features_pipeline(ray_session):
+    out = media_features("unused")
+    assert list(out.kind) == ["audio", "image", "video"]
+    assert (out.n_decoded == out.n_items).all()
+    assert int(out.loc[out.kind == "video", "n_frame_rows"].iloc[0]) > int(
+        out.loc[out.kind == "video", "n_items"].iloc[0]
+    )
+    # deterministic across runs
+    out2 = media_features("unused")
+    pd_testing_assert(out, out2)
+
+
+def pd_testing_assert(a, b):
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b)
