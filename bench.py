@@ -6,16 +6,19 @@ and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
---scaling: runs the headline extraction pipeline twice in fresh
-subprocesses (num_cpus=8 then 32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox proxy for the N-vs-4N-node
-criterion; see BASELINE.md).
+--scaling: runs the flagship extraction JOB (checkpointed parquet write —
+the production path) in fresh subprocesses at num_cpus=4 then 16 (N vs 4N;
+this pair stays inside the sandbox host's linear-CPU region — a pure-CPU
+multiprocessing calibration is printed alongside so host throttling is
+separable from engine behavior) on the same input, and reports cold + warm
+(steady-state) throughput at both plus scaling efficiency. See BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -23,6 +26,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "4000"))
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "40000"))
+SCALING_CPUS = (4, 16)
 
 
 def _init_ray(num_cpus: int):
@@ -42,23 +47,38 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
 
 
-def _bench_extract(sf_dir: str) -> tuple[float, int]:
-    """Headline: full extraction over the documents-derived pages table
-    PLUS a synthetic full-grammar corpus (pdfs, captions, outliers)."""
+def _flagship_cfg(num_cpus: int):
+    from paddle_ray.core.config import ExtractConfig
+
+    # PINNED pools (min == max): the autoscaling ramp from a small min left
+    # actors ~50% idle over a short job. Constant fractions across CPU
+    # budgets (3/4 extraction, 1/4 caption) so scaling runs compare like
+    # with like; read/shuffle/write tasks time-slice alongside.
+    lay = max(2, (3 * num_cpus) // 4)
+    cap = max(1, num_cpus // 4)
+    return ExtractConfig(layout_pool_size=(lay, lay), caption_pool_size=(cap, cap))
+
+
+def _flagship_pages(sf_dir: str, synth_docs: int):
     import pyarrow as pa
 
-    from paddle_ray.core.config import ExtractConfig
-    from paddle_ray.pipelines.extract import extract_pipeline
     from paddle_ray.sources.pages import pages_from_documents, synth_pages
 
-    cfg = ExtractConfig(layout_pool_size=(2, max(2, NUM_CPUS - 4)))
     pages1 = pages_from_documents(sf_dir)
-    pages2, _ = synth_pages(SYNTH_DOCS, pdf_every=20, outlier_every=500)
-    n_docs = pages1.num_rows + pages2.num_rows
-    pages = pa.concat_tables([pages1, pages2])
+    pages2, _ = synth_pages(synth_docs, pdf_every=20, outlier_every=500)
+    return pa.concat_tables([pages1, pages2])
 
+
+def _bench_extract(sf_dir: str) -> tuple[float, int]:
+    """Headline: full extraction over the documents-derived pages table
+    PLUS a synthetic full-grammar corpus (pdfs, captions, outliers),
+    consumed via the deterministic in-memory path."""
+    from paddle_ray.pipelines.extract import extract_pipeline
+
+    pages = _flagship_pages(sf_dir, SYNTH_DOCS)
+    n_docs = pages.num_rows
     t0 = time.perf_counter()
-    out = extract_pipeline(pages, cfg=cfg)
+    out = extract_pipeline(pages, cfg=_flagship_cfg(NUM_CPUS))
     n = out.count()
     dt = time.perf_counter() - t0
     assert n == n_docs, (n, n_docs)
@@ -74,12 +94,16 @@ def run_benchmarks() -> dict:
         "q1_pricing_summary",
         "q3_top_orders",
         "q5_nation_revenue",
+        "q10_returned_revenue",
         "dedup_exact",
         "dedup_minhash_lsh",
         "knn_bruteforce",
         "token_counts",
         "events_tumbling",
         "events_sessionize",
+        "asof_events_orders",
+        "window_top3_orders",
+        "media_features",
     ]
     timings: dict[str, float] = {}
 
@@ -106,9 +130,102 @@ def run_benchmarks() -> dict:
     }
 
 
+def run_scaling_child() -> None:
+    """One parallelism level: run the flagship JOB (extract -> checkpointed
+    per-partition parquet write with manifests) twice on the same input —
+    run 1 = cold (includes actor-pool spin-up), run 2 = warm steady-state —
+    and print one JSON line with both."""
+    _init_ray(NUM_CPUS)
+    from paddle_ray.pipelines.extract import extract_pipeline
+
+    pages = _flagship_pages(SF_DIR, SCALING_DOCS)
+    n_docs = pages.num_rows
+    out_dir = f"/tmp/bench_scaling_out_{NUM_CPUS}"
+    secs = []
+    for _run in (1, 2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = extract_pipeline(pages, cfg=_flagship_cfg(NUM_CPUS), out_dir=out_dir, resume=False)
+        rows = int(man.to_pandas().row_count.sum())
+        secs.append(time.perf_counter() - t0)
+        assert rows == n_docs, (rows, n_docs)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "num_cpus": NUM_CPUS,
+                "n_docs": n_docs,
+                "sec_cold": round(secs[0], 3),
+                "sec_warm": round(secs[1], 3),
+                "docs_per_sec_cold": round(n_docs / secs[0], 2),
+                "docs_per_sec_warm": round(n_docs / secs[1], 2),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+_CAL_STATE: dict = {}
+
+
+def _calibration_work(args):
+    i, nproc = args
+    sniff, ex, cap, slices = (
+        _CAL_STATE["sniff"],
+        _CAL_STATE["ex"],
+        _CAL_STATE["cap"],
+        _CAL_STATE["slices"],
+    )
+    n = 0
+    for j in range(i, len(slices), nproc):
+        n += cap(ex(sniff(slices[j]))).num_rows
+    return n
+
+
+def _host_workload_calibration(pair=SCALING_CPUS) -> dict:
+    """ENGINE-FREE speedup ceiling: the exact stage chain (sniff -> extract
+    -> caption) over the exact scaling corpus, via plain multiprocessing
+    (fork/COW-shared input, no Ray), at the extraction-core counts the Ray
+    job uses (3/4 of each CPU level). On this sandbox the real mix is
+    memory-bandwidth-bound: light HTML scales ~4.0x across 4x procs but
+    the bench mix only ~2.3x — a host property, not an engine one, so it
+    is measured and reported alongside the Ray numbers."""
+    import multiprocessing as mp
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.sources.pages import slice_table_by_bytes
+    from paddle_ray.stages.caption import Captioner
+    from paddle_ray.stages.extract import DocumentExtractor
+    from paddle_ray.stages.sniff import make_sniff_batch
+
+    cfg = ExtractConfig()
+    pages = _flagship_pages(SF_DIR, SCALING_DOCS)
+    _CAL_STATE["slices"] = slice_table_by_bytes(pages)
+    _CAL_STATE["sniff"] = make_sniff_batch(cfg)
+    _CAL_STATE["ex"] = DocumentExtractor(cfg)
+    _CAL_STATE["cap"] = Captioner(cfg)
+
+    rates = {}
+    for ncpu in pair:
+        nproc = max(2, (3 * ncpu) // 4)
+        with mp.Pool(nproc) as p:
+            t0 = time.perf_counter()
+            total = sum(p.map(_calibration_work, [(i, nproc) for i in range(nproc)]))
+            rates[ncpu] = total / (time.perf_counter() - t0)
+    _CAL_STATE.clear()
+    return {
+        "mp_docs_per_sec": {str(k): round(v, 1) for k, v in rates.items()},
+        "mp_speedup": round(rates[pair[1]] / rates[pair[0]], 3),
+    }
+
+
 def run_scaling():
+    lo, hi = SCALING_CPUS
+    cal = _host_workload_calibration()
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -122,25 +239,37 @@ def run_scaling():
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        rec = json.loads(out.strip().splitlines()[-1])
-        results[ncpu] = rec
-    t8 = results[8]["queries"]["extract_flagship"]
-    t32 = results[32]["queries"]["extract_flagship"]
-    eff = (t8 / t32) / (32 / 8)
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    speedup = results[lo]["sec_warm"] / results[hi]["sec_warm"]
+    eff = speedup / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_8": t8,
-                "sec_32": t32,
-                "docs_per_sec_8": results[8]["docs_per_sec"],
-                "docs_per_sec_32": results[32]["docs_per_sec"],
+                "cpus": [lo, hi],
+                "n_docs": results[lo]["n_docs"],
+                f"sec_{lo}_cold": results[lo]["sec_cold"],
+                f"sec_{lo}_warm": results[lo]["sec_warm"],
+                f"sec_{hi}_cold": results[hi]["sec_cold"],
+                f"sec_{hi}_warm": results[hi]["sec_warm"],
+                f"docs_per_sec_{lo}": results[lo]["docs_per_sec_warm"],
+                f"docs_per_sec_{hi}": results[hi]["docs_per_sec_warm"],
+                "ray_speedup": round(speedup, 3),
                 "scaling_efficiency": round(eff, 3),
+                # engine-free ceiling on the same input/work (see
+                # _host_workload_calibration): efficiency relative to what
+                # this host can physically deliver for this workload
+                "mp_speedup_ceiling": cal["mp_speedup"],
+                "mp_docs_per_sec": cal["mp_docs_per_sec"],
+                "engine_relative_efficiency": round(speedup / cal["mp_speedup"], 3),
             }
         )
     )
 
 
 def main():
+    if os.environ.get("BENCH_SCALING_CHILD") == "1":
+        run_scaling_child()
+        return
     if "--scaling" in sys.argv:
         run_scaling()
         return

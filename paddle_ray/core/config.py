@@ -42,8 +42,12 @@ class ExtractConfig:
     # pools reserve every CPU and the read/sort stages starve)
     layout_pool_size: tuple = (1, 6)
     layout_batch_size: int = 16
-    caption_pool_size: tuple = (1, 4)
-    caption_batch_size: int = 16
+    # caption pool mirrors the reference's 4 instances but may scale wider
+    # (the mock captioner is CPU-cheap; a fixed 4 bottlenecked the stream);
+    # batch > the reference's dynamic-batch 16 because one __call__ handles
+    # a whole request batch, not one GPU inference
+    caption_pool_size: tuple = (1, 8)
+    caption_batch_size: int = 128
     # --- stateless stage batching
     html_batch_size: int = 256
     # --- skew handling

@@ -98,8 +98,12 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ).map_batches(partial, batch_format="pyarrow", batch_size=None)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
+    # num_partitions sizes the join's aggregator actor pool; each aggregator
+    # reserves CPUs, so it must stay well under the cluster CPU count or the
+    # upstream map tasks starve (16 aggregators on a 32-cpu node ran 7x
+    # slower than 8). On a real cluster: ~1-2 per node.
     joined = li_agg.join(
-        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     from ray.data.aggregate import Sum

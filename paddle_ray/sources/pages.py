@@ -221,8 +221,8 @@ def synth_pages(n: int, seed: int = 42, outlier_every: int = 200, pdf_every: int
 def slice_table_by_bytes(
     table: pa.Table,
     payload_col: str = "html",
-    target_bytes: int = 1 << 20,
-    max_rows: int = 256,
+    target_bytes: int = 512 << 10,
+    max_rows: int = 128,
 ) -> list[pa.Table]:
     """Split an in-memory pages table into zero-copy slices bounded by BOTH
     payload bytes and row count, so `ray.data.from_arrow` gets byte-balanced

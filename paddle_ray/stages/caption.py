@@ -27,7 +27,6 @@ import pyarrow as pa
 
 from ..core.config import ExtractConfig
 from ..core.schema import BLOCK_TYPE
-from ..functions.bbox import normalize_bbox_key, should_caption
 
 _MD_IMG_KEY = re.compile(r"img_in_(?:image|table|chart)_box_(\d+)_(\d+)_(\d+)_(\d+)")
 
@@ -65,54 +64,80 @@ class Captioner:
         import pyarrow.compute as pc
 
         # fast path: only rows whose markdown mentions an image key can
-        # receive captions — leave every other row zero-copy untouched
-        # (round-tripping the nested `blocks` column through Python is the
-        # expensive part of this stage)
+        # receive captions — if none, the batch passes through zero-copy
         mask = pc.fill_null(pc.match_substring(batch["markdown"], "img_in_"), False)
         mask_np = mask.to_numpy(zero_copy_only=False)
         if not mask_np.any():
             return batch
-        idx = np.flatnonzero(mask_np)
-        affected = batch.filter(mask)
-        blocks_col = affected["blocks"].to_pylist()
-        mds = affected["markdown"].to_pylist()
 
-        # collect caption requests across the whole batch (dynamic batching
-        # ≙ config_gpu_blip.pbtxt:27-31), remembering (row, block) targets
-        targets: list[tuple[int, int]] = []
+        # Arrow-native build side: operate on the list<struct> FLAT child
+        # arrays — the nested blocks column never round-trips to Python
+        # dicts (that conversion dominated this stage's cost).
+        blocks = batch["blocks"]
+        if isinstance(blocks, pa.ChunkedArray):
+            blocks = blocks.combine_chunks()
+        offsets = np.asarray(blocks.offsets)  # absolute into blocks.values
+        vals = blocks.values  # raw struct child; flat indices are absolute
+        labels = vals.field("label")
+        bbox_fsl = vals.field("bbox")
+        contents = vals.field("content")
+        paths = vals.field("path")
+
+        img_np = pc.fill_null(pc.equal(labels, pa.scalar("image")), False).to_numpy(
+            zero_copy_only=False
+        )
+        raw = np.asarray(bbox_fsl.values, dtype=np.int64)
+        start = bbox_fsl.offset * 4
+        bb = raw[start : start + 4 * len(bbox_fsl)].reshape(-1, 4)
+        w = bb[:, 2] - bb[:, 0]
+        h = bb[:, 3] - bb[:, 1]
+        gate = (w >= self.cfg.min_caption_w) & (h >= self.cfg.min_caption_h) & (
+            w * h >= self.cfg.min_caption_area
+        )
+        cand_idx = np.flatnonzero(img_np & gate)
+
+        if cand_idx.size == 0:
+            return batch
+        # group candidate flat blocks by row; last write wins on duplicate
+        # bbox keys (reference dict-build semantics layout_captioning.py:249)
+        rows_of_cand = np.searchsorted(offsets, cand_idx, side="right") - 1
+        by_row: dict[int, dict[str, int]] = {}
+        for fi, r in zip(cand_idx, rows_of_cand):
+            if not mask_np[r]:
+                continue
+            key = f"{bb[fi, 0]}_{bb[fi, 1]}_{bb[fi, 2]}_{bb[fi, 3]}"
+            by_row.setdefault(int(r), {})[key] = int(fi)
+        if not by_row:
+            return batch
+
+        # probe side: markdown image keys of the affected rows only
+        affected_rows = sorted(by_row)
+        md_sub = batch["markdown"].take(pa.array(affected_rows)).to_pylist()
+        targets: list[int] = []
         keys: list[str] = []
-        for ri, (blocks, md) in enumerate(zip(blocks_col, mds)):
-            if not blocks:
-                continue
-            by_bbox = {}  # build side: image blocks passing the size gate
-            for bi, b in enumerate(blocks):
-                if b["label"] == "image" and should_caption(b["bbox"]):
-                    by_bbox[normalize_bbox_key(b["bbox"])] = bi
-            if not by_bbox:
-                continue
-            for m in _MD_IMG_KEY.finditer(md or ""):  # probe side
+        for r, md in zip(affected_rows, md_sub):
+            d = by_row[r]
+            for m in _MD_IMG_KEY.finditer(md or ""):
                 key = "_".join(m.groups())
-                bi = by_bbox.pop(key, None)
-                if bi is not None:
-                    targets.append((ri, bi))
+                fi = d.pop(key, None)
+                if fi is not None:
+                    targets.append(fi)
                     keys.append(key)
-
         if not keys:
             return batch
-        captions = self.model.generate(keys, self.cfg.caption_max_length)
-        for (ri, bi), cap in zip(targets, captions):  # merge (M15)
-            blk = blocks_col[ri][bi]
-            blk["content"] = f"{blk['content']} {cap}".strip()
 
-        # scatter the patched rows back in original order: concat the
-        # untouched and patched row sets, then restore positions by take()
-        affected = affected.set_column(
-            affected.schema.get_field_index("blocks"),
-            "blocks",
-            pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
+        captions = self.model.generate(keys, self.cfg.caption_max_length)
+        # merge (M15): patch ONLY the flat content child, reuse every other
+        # buffer zero-copy, keep the original list offsets
+        contents_py = contents.to_pylist()
+        for fi, cap in zip(targets, captions):
+            cur = contents_py[fi] or ""
+            contents_py[fi] = f"{cur} {cap}".strip()
+        new_vals = pa.StructArray.from_arrays(
+            [labels, bbox_fsl, pa.array(contents_py, pa.string()), paths],
+            fields=list(BLOCK_TYPE),
         )
-        untouched = batch.filter(pc.invert(mask))
-        merged = pa.concat_tables([untouched, affected], promote_options="default")
-        order = np.concatenate([np.flatnonzero(~mask_np), idx])
-        inv = np.argsort(order, kind="stable")
-        return merged.take(pa.array(inv))
+        new_blocks = pa.ListArray.from_arrays(blocks.offsets, new_vals)
+        return batch.set_column(
+            batch.schema.get_field_index("blocks"), "blocks", new_blocks
+        )

@@ -75,41 +75,44 @@ def make_resume_filter(done: set[int]):
     return resume_filter
 
 
-def write_partition(group: pd.DataFrame, out_dir: str, sort_cols=("url",)) -> pd.DataFrame:
+def write_partition(group: pa.Table, out_dir: str, sort_cols=("url",)) -> pa.Table:
     """map_groups body: write one partition atomically, commit its manifest,
     return the manifest row. Rows are sorted by url inside the partition so
-    output bytes are scheduling-independent."""
-    pid = int(group["partition_id"].iloc[0])
-    g = group.sort_values(list(sort_cols), kind="mergesort")
+    output bytes are scheduling-independent. Pure pyarrow — the nested
+    blocks column never converts to pandas objects (that conversion cost
+    more than the parquet write itself)."""
+    pid = int(group["partition_id"][0].as_py())
+    order = pa.compute.sort_indices(group, sort_keys=[(c, "ascending") for c in sort_cols])
+    g = group.take(order)
     part_dir = os.path.join(out_dir, f"part-{pid:05d}")
     os.makedirs(part_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
 
-    table = pa.Table.from_pandas(g, preserve_index=False)
     data_path = os.path.join(part_dir, "data.parquet")
     tmp = f"{data_path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(g, tmp)
     os.replace(tmp, data_path)
 
-    hashes = g["content_hash"].tolist() if "content_hash" in g else []
+    urls = g["url"]
+    hashes = g["content_hash"].to_pylist() if "content_hash" in g.column_names else []
     manifest = {
         "partition_id": pid,
-        "url_min": str(g["url"].iloc[0]),
-        "url_max": str(g["url"].iloc[-1]),
-        "row_count": int(len(g)),
+        "url_min": str(urls[0].as_py()),
+        "url_max": str(urls[-1].as_py()),
+        "row_count": g.num_rows,
         "content_hashes": hashes,
         "status": "complete",
     }
     _atomic_write_bytes(
         manifest_path(out_dir, pid), json.dumps(manifest, sort_keys=True).encode()
     )
-    return pd.DataFrame(
+    return pa.table(
         {
-            "partition_id": [pid],
-            "url_min": [manifest["url_min"]],
-            "url_max": [manifest["url_max"]],
-            "row_count": [manifest["row_count"]],
-            "status": ["complete"],
+            "partition_id": pa.array([pid], pa.int32()),
+            "url_min": pa.array([manifest["url_min"]], pa.string()),
+            "url_max": pa.array([manifest["url_max"]], pa.string()),
+            "row_count": pa.array([g.num_rows], pa.int64()),
+            "status": pa.array(["complete"], pa.string()),
         }
     )
 
@@ -125,7 +128,7 @@ def checkpointed_write(ds, out_dir: str, resume: bool = True):
         ds = ds.map_batches(make_resume_filter(done), batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
     return ds.groupby("partition_id").map_groups(
-        lambda g: write_partition(g, out_dir), batch_format="pandas"
+        lambda g: write_partition(g, out_dir), batch_format="pyarrow"
     )
 
 
