@@ -18,7 +18,16 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from paddle_ray.pipelines import analysis, dedup, events, joins, multimodal, relational, similarity
+from paddle_ray.pipelines import (
+    analysis,
+    dedup,
+    events,
+    joins,
+    multimodal,
+    relational,
+    relational_ext,
+    similarity,
+)
 from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
 
 JACCARD_THRESHOLD = 0.9
@@ -86,6 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top3_orders": joins.window_top3_orders,
         "distinct_doc_keys": joins.distinct_doc_keys,
         "union_short_long_docs": joins.union_short_long_docs,
+        # --- extended relational (semi/anti/having/quantiles/wordcount) ----
+        "q4_semi_order_priority": relational_ext.q4_semi_order_priority,
+        "anti_customers_no_early_orders": relational_ext.anti_customers_no_early_orders,
+        "q12_priority_by_returnflag": relational_ext.q12_priority_by_returnflag,
+        "q14_promo_revenue": relational_ext.q14_promo_revenue,
+        "q18_large_orders": relational_ext.q18_large_orders,
+        "lang_quantile_chars": relational_ext.lang_quantile_chars,
+        "word_topk": relational_ext.word_topk,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -110,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
         "events_json_props": events.events_json_props,
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
+        "events_sliding": lambda sf: events.events_sliding(sf, 2 * TUMBLE_S, TUMBLE_S),
+        "events_distinct_users": events.events_distinct_users,
     }
 
 
@@ -145,4 +164,13 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,
         "events_sessionize": events.EVENTS_SESSION_SQL_T.format(gap_s=SESSION_GAP_S),
+        "events_sliding": events.EVENTS_SLIDING_SQL_T.format(hop_s=TUMBLE_S),
+        "events_distinct_users": events.EVENTS_DISTINCT_USERS_SQL,
+        "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
+        "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,
+        "q12_priority_by_returnflag": relational_ext.Q12_SQL,
+        "q14_promo_revenue": relational_ext.Q14_SQL,
+        "q18_large_orders": relational_ext.Q18_SQL,
+        "lang_quantile_chars": relational_ext.LANG_QUANTILE_SQL,
+        "word_topk": relational_ext.WORD_TOPK_SQL,
     }

@@ -120,6 +120,89 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_sliding(sf_dir: str, window_s: int = 7200, hop_s: int = 3600) -> pd.DataFrame:
+    """Sliding (hopping) windows: window_s = 2*hop_s, so every event lands
+    in exactly two windows. flat-map each event to its window starts inside
+    the batch fn (pure array concat, no row loop), partial-agg locally,
+    then a small global groupby over (window_start) partials."""
+    assert window_s == 2 * hop_s, "oracle SQL assumes exactly 2 windows/event"
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64").to_numpy()
+        w0 = (epoch_us // (hop_s * 1_000_000)) * hop_s
+        ws = np.concatenate([w0, w0 - hop_s])
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()),
+                "n_events": pa.array(np.ones(len(ws), np.int64), pa.int64()),
+                "sum_value": pa.array(np.concatenate([val, val]), pa.float64()),
+            }
+        )
+        g = t.group_by("window_start").aggregate([("n_events", "sum"), ("sum_value", "sum")])
+        return g.rename_columns([c.removesuffix("_sum") for c in g.column_names])
+
+    out = (
+        _events(sf_dir, columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("window_start")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out.sum_value.round(4)
+    return out.astype({"window_start": "int64", "n_events": "int64"})
+
+
+EVENTS_SLIDING_SQL_T = """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT (epoch_us(ts) // (CAST({hop_s} AS BIGINT) * 1000000)) * {hop_s} AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // (CAST({hop_s} AS BIGINT) * 1000000)) * {hop_s} - {hop_s}, value
+  FROM events
+)
+GROUP BY window_start ORDER BY window_start
+"""
+
+
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type: local distinct pairs
+    per batch, global distinct via groupby on the pair, then a tiny
+    driver-side count — the shuffle carries one row per distinct pair per
+    block, never raw events."""
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        _events(sf_dir, columns=["event_type", "user_id"])
+        .map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    out = (
+        pairs.groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "nunique"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_users": "int64"})
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     """Session windows per user (gap-based): sort each user's events by ts
     inside groupby(user_id).map_groups, split on gaps > gap_s. Returns
