@@ -1,0 +1,132 @@
+"""CLI entry point — the `ray job submit` surface (north_rule).
+
+On a real cluster:
+
+    ray job submit --working-dir . -- python -m paddle_ray run \
+        --input s3://bucket/pages/*.parquet --out s3://bucket/extracted
+
+In this sandbox it runs against local parquet. Subcommands:
+
+- ``run``    — the flagship checkpointed extraction JOB: read pages
+               parquet -> sniff/partition -> extractor + captioner actor
+               pools -> per-partition parquet + manifests (exact resume:
+               re-running skips completed partitions).
+- ``gen``    — write a deterministic synthetic pages table (FIXTURES.md
+               grammar) to parquet, for building job inputs.
+- ``status`` — report a checkpoint dir: completed/total partitions, rows.
+
+This module owns a Ray session (guarded init); the driver-facing library
+surface (__ray_entry__, paddle_ray.*) never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(address="local", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _ray_init(args.cpus)
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.pipelines.extract import extract_pipeline
+    from paddle_ray.state import checkpoint as ckpt
+
+    cfg = ExtractConfig(captioning_enabled=not args.no_captions)
+    t0 = time.time()
+    inputs = args.input if len(args.input) > 1 else args.input[0]
+    manifests = extract_pipeline(
+        inputs, cfg=cfg, out_dir=args.out, resume=not args.no_resume
+    ).to_pandas()
+    wall = time.time() - t0
+    done = ckpt.completed_partitions(args.out)
+    rows_this_run = int(manifests.row_count.sum()) if len(manifests) else 0
+    summary = {
+        "out_dir": args.out,
+        "partitions_written_this_run": int(len(manifests)),
+        "partitions_complete_total": len(done),
+        "rows_written_this_run": rows_this_run,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(rows_this_run / wall, 2) if wall > 0 else None,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_gen(args: argparse.Namespace) -> int:
+    from paddle_ray.sources.pages import write_pages_parquet
+
+    expected = write_pages_parquet(
+        args.out, args.n, seed=args.seed, pdf_every=args.pdf_every, outlier_every=args.outlier_every
+    )
+    print(json.dumps({"path": args.out, "n_pages": args.n, "n_expected_texts": len(expected)}))
+    return 0
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    from paddle_ray.state import checkpoint as ckpt
+
+    done = ckpt.completed_partitions(args.out)
+    rows = 0
+    mdir = os.path.join(args.out, ckpt.MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+                if m.get("status") == "complete":
+                    rows += int(m.get("row_count", 0))
+    print(json.dumps({"out_dir": args.out, "partitions_complete": len(done), "rows": rows}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m paddle_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="checkpointed extraction job")
+    pr.add_argument("--input", nargs="+", required=True, help="pages parquet path(s)")
+    pr.add_argument("--out", required=True, help="checkpointed output dir")
+    pr.add_argument("--cpus", type=int, default=None)
+    pr.add_argument("--no-resume", action="store_true", help="recompute completed partitions")
+    pr.add_argument("--no-captions", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pg = sub.add_parser("gen", help="write synthetic pages parquet")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--n", type=int, default=1000)
+    pg.add_argument("--seed", type=int, default=42)
+    pg.add_argument("--pdf-every", type=int, default=20)
+    pg.add_argument("--outlier-every", type=int, default=200)
+    pg.set_defaults(fn=cmd_gen)
+
+    ps = sub.add_parser("status", help="report a checkpoint dir")
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

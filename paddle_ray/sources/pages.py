@@ -249,8 +249,11 @@ def slice_table_by_bytes(
 
 def write_pages_parquet(path: str, n: int, seed: int = 42, **kw) -> dict[str, str]:
     """Materialize a synth pages table to one parquet file; returns expected map."""
+    import os
+
     import pyarrow.parquet as pq
 
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     table, expected = synth_pages(n, seed, **kw)
     pq.write_table(table, path)
     return expected
