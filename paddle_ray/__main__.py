@@ -51,9 +51,14 @@ def cmd_run(args: argparse.Namespace) -> int:
     t0 = time.time()
     inputs = args.input if len(args.input) > 1 else args.input[0]
     manifests = extract_pipeline(
-        inputs, cfg=cfg, out_dir=args.out, resume=not args.no_resume
+        inputs, cfg=cfg, out_dir=args.out, resume=not args.no_resume, with_metrics=args.metrics
     ).to_pandas()
     wall = time.time() - t0
+    if args.metrics:
+        from paddle_ray.state.metrics import metrics_snapshot_df
+
+        mdf = metrics_snapshot_df()
+        mdf.to_parquet(os.path.join(args.out, "_metrics.parquet"), index=False)
     done = ckpt.completed_partitions(args.out)
     rows_this_run = int(manifests.row_count.sum()) if len(manifests) else 0
     summary = {
@@ -105,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--cpus", type=int, default=None)
     pr.add_argument("--no-resume", action="store_true", help="recompute completed partitions")
     pr.add_argument("--no-captions", action="store_true")
+    pr.add_argument("--metrics", action="store_true", help="write _metrics.parquet lineage rollup")
     pr.set_defaults(fn=cmd_run)
 
     pg = sub.add_parser("gen", help="write synthetic pages parquet")

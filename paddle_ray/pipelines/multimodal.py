@@ -36,7 +36,11 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     """Per-kind rollup of the full decode/resize/frame-sample pipeline.
     sf_dir is unused (media is synthesized deterministically — the driver
     contract passes it to every query)."""
-    ds = decoded_media()
+    # materialize the decoded/resized blocks once — both consumers (feature
+    # rollup + frame explode) read the same blocks instead of re-running the
+    # decode/resize actor pools; the decoded projection is slim (features +
+    # payload) so this is object-store-resident, not a driver collect
+    ds = decoded_media().materialize()
     frames = ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 2), num_cpus=1
     )
