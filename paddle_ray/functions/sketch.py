@@ -1,0 +1,98 @@
+"""Distributed sketch aggregates: HyperLogLog approximate distinct count.
+
+The reference has no sketch aggregates (SURVEY.md §2.5 "No
+distinct/sketch... exist"); at 10^12-document scale an exact
+COUNT(DISTINCT) shuffles every distinct key, so the engine provides the
+standard mergeable sketch: per-batch partial registers (one fixed-size
+vector per block), merged by elementwise max — the shuffle carries
+O(#blocks × 2^p) bytes regardless of cardinality.
+
+Hash: splitmix64 (same generator as functions/hashes.py) over the
+element's UTF-8 bytes via a stable 64-bit FNV-1a pre-fold, fully
+vectorized in numpy. Standard HLL bias correction (Flajolet et al. 2007
+constants + small/large-range corrections).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 12  # 2^12 = 4096 registers -> ~1.6% standard error
+HLL_M = 1 << HLL_P
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + _GOLDEN).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= _SPLITMIX_C1
+        x ^= x >> np.uint64(27)
+        x *= _SPLITMIX_C2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash64_ints(vals: np.ndarray) -> np.ndarray:
+    return _splitmix64(vals.astype(np.uint64))
+
+
+def hash64_strings(vals: list[str]) -> np.ndarray:
+    """Stable 64-bit hash of UTF-8 strings: FNV-1a fold (python ints, but
+    only over distinct-ish short keys; for bulk numeric keys use
+    hash64_ints) finished with splitmix64 avalanche."""
+    out = np.empty(len(vals), dtype=np.uint64)
+    prime = int(_FNV_PRIME)
+    mask = (1 << 64) - 1
+    for i, s in enumerate(vals):
+        h = int(_FNV_OFFSET)
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * prime) & mask
+        out[i] = h
+    return _splitmix64(out)
+
+
+def hll_partial(hashes: np.ndarray) -> np.ndarray:
+    """One batch -> one register vector (uint8[HLL_M])."""
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(HLL_P)
+    # rank = position of leftmost 1-bit in the remaining 64-P bits, 1-based;
+    # all-zero rest -> max rank
+    nbits = 64 - HLL_P
+    rank = np.full(len(hashes), nbits + 1, dtype=np.uint8)
+    found = np.zeros(len(hashes), dtype=bool)
+    probe = rest.copy()
+    for r in range(1, nbits + 1):
+        top = (probe >> np.uint64(63)).astype(bool)
+        newly = top & ~found
+        rank[newly] = r
+        found |= top
+        if found.all():
+            break
+        probe = probe << np.uint64(1)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(partials: np.ndarray) -> np.ndarray:
+    """Elementwise max over a stack of register vectors."""
+    return partials.max(axis=0)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range (linear counting)
+    elif est > (1 << 64) / 30.0:
+        est = -(1 << 64) * np.log1p(-est / (1 << 64))
+    return float(est)

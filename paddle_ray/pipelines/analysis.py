@@ -161,3 +161,141 @@ LANG_DOC_STATS_SQL = """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) per event_type via a mergeable
+    HyperLogLog sketch (functions/sketch.py): one 4 KiB register row per
+    (event_type, batch) partial, elementwise-max merged driver-side. At
+    scale the shuffle carries O(#blocks x 4 KiB) regardless of user
+    cardinality — the scale path where events_distinct_users' exact
+    two-level distinct would move every distinct pair.
+
+    Rows-only driver check (approximation is engine-defined); accuracy is
+    locked by tests/test_sketch.py (<3% rel. error vs exact)."""
+    import numpy as np
+
+    from ..functions.sketch import HLL_M, hash64_ints, hll_estimate, hll_merge, hll_partial
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        types, regs = [], []
+        for et, g in df.groupby("event_type"):
+            types.append(et)
+            regs.append(hll_partial(hash64_ints(g.user_id.to_numpy())))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(np.stack(regs).tolist(), pa.list_(pa.uint8(), HLL_M)),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        regs = hll_merge(np.stack([np.asarray(r, dtype=np.uint8) for r in g.regs]))
+        rows.append({"event_type": et, "approx_users": int(round(hll_estimate(regs)))})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True).astype(
+        {"approx_users": "int64"}
+    )
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Sample correlation corr(l_quantity, l_extendedprice) per returnflag
+    via distributive moment sums (n, Σx, Σy, Σxx, Σyy, Σxy) — one partial
+    row per (flag, batch), exact final assembly driver-side."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_returnflag")
+        agg = pd.DataFrame(
+            {
+                "n": g.size(),
+                "sx": g.l_quantity.sum(),
+                "sy": g.l_extendedprice.sum(),
+                "sxx": g.apply(lambda d: float((d.l_quantity**2).sum()), include_groups=False),
+                "syy": g.apply(lambda d: float((d.l_extendedprice**2).sum()), include_groups=False),
+                "sxy": g.apply(
+                    lambda d: float((d.l_quantity * d.l_extendedprice).sum()), include_groups=False
+                ),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    s = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    n = s.n.astype(float)
+    # sample covariance/correlation (n-1 denominators cancel in corr)
+    cov = (s.sxy - s.sx * s.sy / n) / (n - 1)
+    sdx = np.sqrt((s.sxx - s.sx**2 / n) / (n - 1))
+    sdy = np.sqrt((s.syy - s.sy**2 / n) / (n - 1))
+    return pd.DataFrame(
+        {
+            "l_returnflag": s.l_returnflag,
+            "n": s.n.astype("int64"),
+            "corr_qty_price": (cov / (sdx * sdy)).round(6),
+        }
+    )
+
+
+CORR_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def orders_by_year_status(sf_dir: str) -> pd.DataFrame:
+    """Rollup by (year, status): date-function coverage + two-key groupby
+    with per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["yr"] = df.o_orderdate.dt.year.astype("int64")
+        g = df.groupby(["yr", "o_orderstatus"], as_index=False).agg(
+            n_orders=("o_orderdate", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["yr", "o_orderstatus"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values(["yr", "o_orderstatus"])
+        .reset_index(drop=True)
+    )
+    out["total"] = out.total.round(4)
+    return out.astype({"yr": "int64", "n_orders": "int64"})
+
+
+ORDERS_BY_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderstatus
+"""

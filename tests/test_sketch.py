@@ -1,0 +1,50 @@
+"""HyperLogLog sketch accuracy + mergeability tests."""
+
+import numpy as np
+
+from paddle_ray.functions.sketch import (
+    HLL_M,
+    hash64_ints,
+    hash64_strings,
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+)
+from paddle_ray.pipelines import analysis, events
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_accuracy_across_cardinalities():
+    rng = np.random.default_rng(7)
+    for true_n in (50, 1000, 50_000):
+        vals = rng.choice(10 * true_n, size=true_n, replace=False)
+        est = hll_estimate(hll_partial(hash64_ints(vals)))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_single_pass():
+    vals = np.arange(20_000, dtype=np.int64)
+    h = hash64_ints(vals)
+    whole = hll_partial(h)
+    parts = np.stack([hll_partial(h[i::4]) for i in range(4)])
+    assert (hll_merge(parts) == whole).all()
+
+
+def test_hll_string_hash_stable_and_spread():
+    h1 = hash64_strings(["abc", "abd", ""])
+    h2 = hash64_strings(["abc", "abd", ""])
+    assert (h1 == h2).all() and len(set(h1.tolist())) == 3
+
+
+def test_hll_register_shape():
+    regs = hll_partial(hash64_ints(np.arange(10)))
+    assert regs.shape == (HLL_M,) and regs.dtype == np.uint8
+
+
+def test_hll_pipeline_close_to_exact(ray_session):
+    approx = analysis.hll_distinct_users(SF)
+    exact = events.events_distinct_users(SF)
+    m = approx.merge(exact, on="event_type")
+    rel = (m.approx_users - m.n_users).abs() / m.n_users
+    assert (rel < 0.03).all(), m
