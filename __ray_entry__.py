@@ -24,6 +24,7 @@ from paddle_ray.pipelines import (
     events,
     joins,
     multimodal,
+    curate,
     relational,
     relational_ext,
     similarity,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": _extract_roundtrip,
         "extract_block_stats": _extract_block_stats,
         "extract_synth_grammar": _extract_synth_grammar,
+        "curate_corpus": curate.curate_corpus,
         # --- relational operators ----------------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS extracted_text FROM documents ORDER BY url"
         ),
+        "curate_corpus": curate.CURATE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -64,3 +64,15 @@ def test_sliding_window_double_counts(ray_session):
 def test_distinct_users_bounded(ray_session):
     out = events.events_distinct_users(SF)
     assert (out.n_users > 0).all()
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    from paddle_ray.pipelines.curate import curate_corpus
+
+    out = curate_corpus(SF)
+    assert list(out.columns) == ["lang", "n_docs", "sum_chars"]
+    assert (out.n_docs > 0).all()
+    # gate: every kept doc contributes >= MIN_CHARS chars
+    from paddle_ray.pipelines.curate import MIN_CHARS
+
+    assert (out.sum_chars >= out.n_docs * MIN_CHARS).all()
