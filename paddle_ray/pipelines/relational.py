@@ -264,13 +264,15 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
 
 
 def filter_project_documents(sf_dir: str) -> pd.DataFrame:
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    """Predicate pushed into the parquet read (row-group pruning +
+    fragment-level filtering) — only matching rows ever leave storage."""
+    import pyarrow.dataset as pads
 
-    def f(batch: pa.Table) -> pa.Table:
-        m = pc.and_(pc.equal(batch["lang"], pa.scalar("en")), pc.greater(batch["n_chars"], pa.scalar(300)))
-        return batch.filter(m)
-
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+    expr = (pads.field("lang") == "en") & (pads.field("n_chars") > 300)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"], filter=expr
+    )
+    return ds.sort("doc_id").to_pandas()
 
 
 FILTER_PROJECT_SQL = """
