@@ -1,0 +1,53 @@
+"""Single-document request/response API — reference-client parity surface.
+
+The reference serves one document per request and returns an InferResult
+envelope (`/root/reference/server/model_repo/layout-parsing/1/model.py:591-606`:
+`{layoutParsingResults: [per-page records], dataInfo}`, errors as
+`errorCode/errorMsg` 422 envelopes `model.py:569-589`). A user migrating
+from the reference's client can call this function to process one payload
+with the SAME kernels the Ray Data pipeline runs in its actor pools — no
+Ray session required (and none is started).
+
+For corpora, use the pipeline (`paddle_ray.pipelines.extract`) — this
+entry is for request-shaped callers (spot checks, services, tests).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .core.config import ExtractConfig
+from .stages.extract import DocumentExtractor, sha256_hex
+from .stages.sniff import sniff_type
+
+
+def extract_document_request(
+    payload: bytes,
+    file_type: str | None = None,
+    cfg: ExtractConfig | None = None,
+) -> dict[str, Any]:
+    """Process one document; returns the reference-shaped envelope.
+
+    file_type: "html" | "pdf" | "image" | None (None => magic-byte sniff,
+    ≙ `model.py:377-394`). Never raises for bad payloads: returns
+    errorCode 422 with the message (≙ `model.py:569-589`).
+    """
+    cfg = cfg or ExtractConfig()
+    ctype = file_type or sniff_type(payload[:8])
+    extractor = DocumentExtractor(cfg)
+    try:
+        r = extractor._one("request://doc", ctype, payload)
+    except Exception as e:
+        return {"errorCode": 422, "errorMsg": f"{type(e).__name__}: {e}", "result": None}
+    return {
+        "errorCode": 0,
+        "errorMsg": "",
+        "result": {
+            "contentType": ctype,
+            "extractedText": r["extracted_text"],
+            "markdown": r["markdown"],
+            "blocks": r["blocks"],
+            "nBlocks": r["n_blocks"],
+            "contentHash": sha256_hex(r["extracted_text"]),
+        },
+    }

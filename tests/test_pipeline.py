@@ -160,3 +160,21 @@ def test_skew_outliers_get_dedicated_partitions():
     assert (big.partition_id >= cfg.n_partitions).all()
     small = df[df.n_bytes_in <= cfg.outlier_bytes]
     assert (small.partition_id < cfg.n_partitions).all()
+
+
+def test_single_document_request_api():
+    """Request/response parity surface (paddle_ray/api.py): same kernels,
+    no Ray session, reference-shaped envelope."""
+    from paddle_ray.api import extract_document_request
+    from paddle_ray.sources.pages import synth_pages
+
+    pages, expected = synth_pages(5, pdf_every=0, outlier_every=0)
+    url = pages["url"][0].as_py()
+    payload = pages["html"][0].as_py()
+    resp = extract_document_request(payload)
+    assert resp["errorCode"] == 0
+    assert resp["result"]["contentType"] == "html"
+    assert resp["result"]["extractedText"] == expected[url]
+
+    bad = extract_document_request(b"%PDF-garbage")
+    assert bad["errorCode"] == 422 and bad["result"] is None
