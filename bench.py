@@ -26,8 +26,17 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "4000"))
-SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "40000"))
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "160000"))
 SCALING_CPUS = (4, 16)
+# Scaling corpus profile (see BASELINE.md "Scaling"):
+#  - "light" (default): parse-bound HTML+pdf grammar, no MB outliers — the
+#    host can physically scale this ~4.0x across 4x procs (mp calibration),
+#    so the measurement reflects ENGINE scaling, not host memory bandwidth.
+#  - "mixed": the flagship mix incl. MB-scale outliers — memory-bandwidth-
+#    bound on this host (mp ceiling ~2.05x), reported with the calibration
+#    so the host ceiling stays separable from engine behavior.
+SCALING_PROFILE = os.environ.get("BENCH_SCALING_PROFILE", "light")
+SCALING_INPUT = os.environ.get("BENCH_SCALING_INPUT", "")  # set by parent for children
 
 
 def _init_ray(num_cpus: int):
@@ -53,9 +62,13 @@ def _flagship_cfg(num_cpus: int):
     # PINNED pools (min == max): the autoscaling ramp from a small min left
     # actors ~50% idle over a short job. Constant fractions across CPU
     # budgets (3/4 extraction, 1/4 caption) so scaling runs compare like
-    # with like; read/shuffle/write tasks time-slice alongside.
-    lay = max(2, (3 * num_cpus) // 4)
-    cap = max(1, num_cpus // 4)
+    # with like. Leave >=1 CPU UNRESERVED for stateless tasks — with every
+    # CPU pinned to actors, ReadParquet/shuffle tasks can never schedule
+    # and a parquet-input job deadlocks (verify SKILL gotcha; bit us at
+    # num_cpus=4 where 3+1 actors reserved the whole node).
+    budget = max(3, num_cpus - max(1, num_cpus // 16))
+    lay = max(2, (3 * budget) // 4)
+    cap = max(1, budget - lay)
     return ExtractConfig(layout_pool_size=(lay, lay), caption_pool_size=(cap, cap))
 
 
@@ -130,22 +143,55 @@ def run_benchmarks() -> dict:
     }
 
 
+def _scaling_pages():
+    if SCALING_PROFILE == "light":
+        from paddle_ray.sources.pages import synth_pages
+
+        pages, _ = synth_pages(SCALING_DOCS, pdf_every=20, outlier_every=0)
+        return pages
+    return _flagship_pages(SF_DIR, SCALING_DOCS)
+
+
+def _scaling_input_dir() -> str:
+    """Materialize the scaling corpus ONCE as sharded parquet (children and
+    the mp calibration read it back — the measured job includes the real
+    read path, and generation cost is paid once, outside the window)."""
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/bench_scaling_pages_{SCALING_PROFILE}_{SCALING_DOCS}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        pages = _scaling_pages()
+        n_shards = 32
+        step = (pages.num_rows + n_shards - 1) // n_shards
+        for i in range(0, pages.num_rows, step):
+            pq.write_table(pages.slice(i, step), os.path.join(d, f"shard-{i // step:04d}.parquet"))
+        with open(marker, "w") as f:
+            f.write(str(pages.num_rows))
+    return d
+
+
 def run_scaling_child() -> None:
-    """One parallelism level: run the flagship JOB (extract -> checkpointed
-    per-partition parquet write with manifests) twice on the same input —
-    run 1 = cold (includes actor-pool spin-up), run 2 = warm steady-state —
-    and print one JSON line with both."""
+    """One parallelism level: run the flagship JOB (read parquet ->
+    extract -> checkpointed per-partition parquet write with manifests)
+    twice on the same input — run 1 = cold (includes actor-pool spin-up),
+    run 2 = warm steady-state — and print one JSON line with both."""
+    import glob
+
     _init_ray(NUM_CPUS)
     from paddle_ray.pipelines.extract import extract_pipeline
 
-    pages = _flagship_pages(SF_DIR, SCALING_DOCS)
-    n_docs = pages.num_rows
+    files = sorted(glob.glob(os.path.join(SCALING_INPUT, "shard-*.parquet")))
+    with open(os.path.join(SCALING_INPUT, "_DONE")) as f:
+        n_docs = int(f.read())
     out_dir = f"/tmp/bench_scaling_out_{NUM_CPUS}"
     secs = []
     for _run in (1, 2):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        man = extract_pipeline(pages, cfg=_flagship_cfg(NUM_CPUS), out_dir=out_dir, resume=False)
+        man = extract_pipeline(files, cfg=_flagship_cfg(NUM_CPUS), out_dir=out_dir, resume=False)
         rows = int(man.to_pandas().row_count.sum())
         secs.append(time.perf_counter() - t0)
         assert rows == n_docs, (rows, n_docs)
@@ -184,15 +230,19 @@ def _calibration_work(args):
     return n
 
 
-def _host_workload_calibration(pair=SCALING_CPUS) -> dict:
+def _host_workload_calibration(input_dir: str, pair=SCALING_CPUS) -> dict:
     """ENGINE-FREE speedup ceiling: the exact stage chain (sniff -> extract
     -> caption) over the exact scaling corpus, via plain multiprocessing
     (fork/COW-shared input, no Ray), at the extraction-core counts the Ray
-    job uses (3/4 of each CPU level). On this sandbox the real mix is
-    memory-bandwidth-bound: light HTML scales ~4.0x across 4x procs but
-    the bench mix only ~2.3x — a host property, not an engine one, so it
-    is measured and reported alongside the Ray numbers."""
+    job uses (3/4 of each CPU level). On this sandbox host the corpus
+    profile decides the ceiling: parse-bound light HTML scales ~4.0x
+    across 4x procs, the MB-outlier mix only ~2.1x (memory bandwidth) — a
+    host property, not an engine one, so it is measured on the SAME corpus
+    and reported alongside the Ray numbers."""
+    import glob
     import multiprocessing as mp
+
+    import pyarrow.parquet as pq
 
     from paddle_ray.core.config import ExtractConfig
     from paddle_ray.sources.pages import slice_table_by_bytes
@@ -201,7 +251,11 @@ def _host_workload_calibration(pair=SCALING_CPUS) -> dict:
     from paddle_ray.stages.sniff import make_sniff_batch
 
     cfg = ExtractConfig()
-    pages = _flagship_pages(SF_DIR, SCALING_DOCS)
+    import pyarrow as pa
+
+    pages = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(input_dir, "shard-*.parquet")))]
+    )
     _CAL_STATE["slices"] = slice_table_by_bytes(pages)
     _CAL_STATE["sniff"] = make_sniff_batch(cfg)
     _CAL_STATE["ex"] = DocumentExtractor(cfg)
@@ -223,13 +277,15 @@ def _host_workload_calibration(pair=SCALING_CPUS) -> dict:
 
 def run_scaling():
     lo, hi = SCALING_CPUS
-    cal = _host_workload_calibration()
+    input_dir = _scaling_input_dir()
+    cal = _host_workload_calibration(input_dir)
     results = {}
     for ncpu in (lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SCALING_CHILD="1",
+            BENCH_SCALING_INPUT=input_dir,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -246,6 +302,7 @@ def run_scaling():
         json.dumps(
             {
                 "cpus": [lo, hi],
+                "profile": SCALING_PROFILE,
                 "n_docs": results[lo]["n_docs"],
                 f"sec_{lo}_cold": results[lo]["sec_cold"],
                 f"sec_{lo}_warm": results[lo]["sec_warm"],

@@ -39,7 +39,9 @@ class ExtractConfig:
     # --- actor-pool sizing (≙ instance_group count 6 layout / 4 blip,
     #     dynamic batch 8/16; config_gpu_paddlex.pbtxt:20, config_gpu_blip.pbtxt:21-31)
     # min pool size 1: a min of 2+ can deadlock small CPU budgets (both
-    # pools reserve every CPU and the read/sort stages starve)
+    # pools reserve every CPU and the read/sort stages starve); pinned
+    # pools (min==max) must likewise leave >=1 CPU unreserved on the node
+    # or ReadParquet/shuffle tasks never schedule (bench._flagship_cfg)
     layout_pool_size: tuple = (1, 6)
     layout_batch_size: int = 16
     # caption pool mirrors the reference's 4 instances but may scale wider
