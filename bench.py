@@ -188,7 +188,10 @@ def run_scaling_child() -> None:
         n_docs = int(f.read())
     out_dir = f"/tmp/bench_scaling_out_{NUM_CPUS}"
     secs = []
-    for _run in (1, 2):
+    # run 1 = cold (actor spin-up); warm = MIN of runs 2..3 — this host's
+    # throughput drifts +-30% between minute-scale windows, so a single
+    # warm sample conflates host weather with engine behavior
+    for _run in (1, 2, 3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         man = extract_pipeline(files, cfg=_flagship_cfg(NUM_CPUS), out_dir=out_dir, resume=False)
@@ -196,15 +199,17 @@ def run_scaling_child() -> None:
         secs.append(time.perf_counter() - t0)
         assert rows == n_docs, (rows, n_docs)
     shutil.rmtree(out_dir, ignore_errors=True)
+    warm = min(secs[1:])
     print(
         json.dumps(
             {
                 "num_cpus": NUM_CPUS,
                 "n_docs": n_docs,
                 "sec_cold": round(secs[0], 3),
-                "sec_warm": round(secs[1], 3),
+                "sec_warm": round(warm, 3),
+                "sec_all": [round(s, 3) for s in secs],
                 "docs_per_sec_cold": round(n_docs / secs[0], 2),
-                "docs_per_sec_warm": round(n_docs / secs[1], 2),
+                "docs_per_sec_warm": round(n_docs / warm, 2),
             }
         )
     )
@@ -264,10 +269,13 @@ def _host_workload_calibration(input_dir: str, pair=SCALING_CPUS) -> dict:
     rates = {}
     for ncpu in pair:
         nproc = max(2, (3 * ncpu) // 4)
-        with mp.Pool(nproc) as p:
-            t0 = time.perf_counter()
-            total = sum(p.map(_calibration_work, [(i, nproc) for i in range(nproc)]))
-            rates[ncpu] = total / (time.perf_counter() - t0)
+        best = 0.0
+        for _rep in (1, 2):  # best-of-2: same host-weather policy as the Ray runs
+            with mp.Pool(nproc) as p:
+                t0 = time.perf_counter()
+                total = sum(p.map(_calibration_work, [(i, nproc) for i in range(nproc)]))
+                best = max(best, total / (time.perf_counter() - t0))
+        rates[ncpu] = best
     _CAL_STATE.clear()
     return {
         "mp_docs_per_sec": {str(k): round(v, 1) for k, v in rates.items()},
