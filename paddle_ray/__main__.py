@@ -96,7 +96,14 @@ def cmd_status(args: argparse.Namespace) -> int:
                     m = json.load(f)
                 if m.get("status") == "complete":
                     rows += int(m.get("row_count", 0))
-    print(json.dumps({"out_dir": args.out, "partitions_complete": len(done), "rows": rows}))
+    summary = {"out_dir": args.out, "partitions_complete": len(done), "rows": rows}
+    if args.deep:
+        ok, bad = ckpt.verify_output(args.out)
+        summary["verified_partitions"] = len(ok)
+        summary["corrupt_partitions"] = bad  # ids; empty when clean
+        print(json.dumps(summary))
+        return 1 if bad else 0
+    print(json.dumps(summary))
     return 0
 
 
@@ -123,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ps = sub.add_parser("status", help="report a checkpoint dir")
     ps.add_argument("--out", required=True)
+    ps.add_argument(
+        "--deep",
+        action="store_true",
+        help="recompute content hashes from the written parquet and verify "
+        "every complete manifest (exit 1 on any mismatch)",
+    )
     ps.set_defaults(fn=cmd_status)
 
     args = p.parse_args(argv)

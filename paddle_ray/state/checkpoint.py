@@ -140,3 +140,32 @@ def read_output(out_dir: str):
 
     files = sorted(glob.glob(os.path.join(out_dir, "part-*", "data.parquet")))
     return rd.read_parquet(files)
+
+
+def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
+    """Deep lineage check: for every complete manifest, recompute
+    sha256(extracted_text) per row from the written parquet and compare
+    against the manifest's content_hashes (count, order, and values — the
+    in-partition url sort makes the order deterministic). Returns
+    (verified partition ids, corrupt partition ids)."""
+    import hashlib
+
+    ok: list[int] = []
+    bad: list[int] = []
+    for pid in sorted(completed_partitions(out_dir)):
+        data_path = os.path.join(out_dir, f"part-{pid:05d}", "data.parquet")
+        try:
+            with open(manifest_path(out_dir, pid)) as f:
+                m = json.load(f)
+            t = pq.read_table(data_path, columns=["extracted_text"])
+            hashes = [
+                hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+                for s in t["extracted_text"].to_pylist()
+            ]
+            if hashes == m.get("content_hashes") and t.num_rows == m.get("row_count"):
+                ok.append(pid)
+            else:
+                bad.append(pid)
+        except Exception:
+            bad.append(pid)
+    return ok, bad

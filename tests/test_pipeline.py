@@ -178,3 +178,33 @@ def test_single_document_request_api():
 
     bad = extract_document_request(b"%PDF-garbage")
     assert bad["errorCode"] == 422 and bad["result"] is None
+
+
+def test_deep_verify_detects_tampering(tmp_path):
+    """verify_output: clean checkpoint passes; a tampered partition's
+    recomputed hashes mismatch its manifest."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.extract import extract_pipeline
+    from paddle_ray.sources.pages import synth_pages
+    from paddle_ray.state.checkpoint import verify_output
+
+    pages, _ = synth_pages(60, pdf_every=0, outlier_every=0)
+    out_dir = str(tmp_path / "out")
+    extract_pipeline(pages, out_dir=out_dir, resume=False).materialize()
+    ok, bad = verify_output(out_dir)
+    assert ok and not bad
+
+    victim = sorted(ok)[0]
+    data_path = f"{out_dir}/part-{victim:05d}/data.parquet"
+    t = pq.read_table(data_path)
+    texts = t["extracted_text"].to_pylist()
+    texts[0] = texts[0] + " TAMPERED"
+    import pyarrow as pa
+
+    t = t.set_column(
+        t.schema.get_field_index("extracted_text"), "extracted_text", pa.array(texts)
+    )
+    pq.write_table(t, data_path)
+    ok2, bad2 = verify_output(out_dir)
+    assert bad2 == [victim] and victim not in ok2
