@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": analysis.hll_distinct_users,
         "corr_quantity_price": analysis.corr_quantity_price,
         "orders_by_year_status": analysis.orders_by_year_status,
+        "lang_source_list": analysis.lang_source_list,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows --------------------------------------------
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,
+        "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,

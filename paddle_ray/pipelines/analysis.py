@@ -299,3 +299,37 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
        COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
 FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderstatus
 """
+
+
+def lang_source_list(sf_dir: str) -> pd.DataFrame:
+    """Ordered string_agg: per-lang comma-joined sorted distinct sources.
+    Two-level distinct (local per batch, then global) so the shuffle moves
+    one row per distinct pair per block; the join-to-string happens on the
+    tiny distinct result."""
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([])
+
+    pairs = (
+        _docs(sf_dir, columns=("lang", "source"))
+        .map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    out = (
+        pairs.sort_values(["lang", "source"])
+        .groupby("lang", as_index=False)
+        .agg(sources=("source", ",".join))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+LANG_SOURCE_LIST_SQL = """
+SELECT lang, string_agg(source, ',' ORDER BY source) AS sources
+FROM (SELECT DISTINCT lang, source FROM documents)
+GROUP BY lang ORDER BY lang
+"""
