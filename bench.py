@@ -60,15 +60,17 @@ def _flagship_cfg(num_cpus: int):
     from paddle_ray.core.config import ExtractConfig
 
     # PINNED pools (min == max): the autoscaling ramp from a small min left
-    # actors ~50% idle over a short job. Constant fractions across CPU
-    # budgets (3/4 extraction, 1/4 caption) so scaling runs compare like
-    # with like. Leave >=1 CPU UNRESERVED for stateless tasks — with every
-    # CPU pinned to actors, ReadParquet/shuffle tasks can never schedule
-    # and a parquet-input job deadlocks (verify SKILL gotcha; bit us at
-    # num_cpus=4 where 3+1 actors reserved the whole node).
-    budget = max(3, num_cpus - max(1, num_cpus // 16))
-    lay = max(2, (3 * budget) // 4)
-    cap = max(1, budget - lay)
+    # actors ~50% idle over a short job. EXACT constant fractions across
+    # CPU budgets — extraction N/2, caption N/4, and N/4 left UNRESERVED
+    # for stateless tasks (ReadParquet/shuffle/write) — so a scaling pair
+    # (N, 4N) scales every resource class by exactly 4x and the efficiency
+    # ratio compares like with like. The unreserved quarter is also the
+    # deadlock guard: pools that pin every CPU starve the task operators
+    # forever on parquet inputs (bit us at num_cpus=4). Requires
+    # num_cpus >= 4; below that the 3-stage pipeline cannot be pinned.
+    assert num_cpus >= 4, "pinned-pool config needs >= 4 CPUs"
+    lay = num_cpus // 2
+    cap = num_cpus // 4
     return ExtractConfig(layout_pool_size=(lay, lay), caption_pool_size=(cap, cap))
 
 
@@ -239,7 +241,8 @@ def _host_workload_calibration(input_dir: str, pair=SCALING_CPUS) -> dict:
     """ENGINE-FREE speedup ceiling: the exact stage chain (sniff -> extract
     -> caption) over the exact scaling corpus, via plain multiprocessing
     (fork/COW-shared input, no Ray), at the extraction-core counts the Ray
-    job uses (3/4 of each CPU level). On this sandbox host the corpus
+    job uses (num_cpus // 2, matching _flagship_cfg's extraction pool so
+    the mp and Ray core ratios are identical). On this sandbox host the corpus
     profile decides the ceiling: parse-bound light HTML scales ~4.0x
     across 4x procs, the MB-outlier mix only ~2.1x (memory bandwidth) — a
     host property, not an engine one, so it is measured on the SAME corpus
@@ -268,7 +271,7 @@ def _host_workload_calibration(input_dir: str, pair=SCALING_CPUS) -> dict:
 
     rates = {}
     for ncpu in pair:
-        nproc = max(2, (3 * ncpu) // 4)
+        nproc = max(2, ncpu // 2)  # == _flagship_cfg extraction pool size
         best = 0.0
         for _rep in (1, 2):  # best-of-2: same host-weather policy as the Ray runs
             with mp.Pool(nproc) as p:

@@ -86,17 +86,9 @@ def cmd_gen(args: argparse.Namespace) -> int:
 def cmd_status(args: argparse.Namespace) -> int:
     from paddle_ray.state import checkpoint as ckpt
 
-    done = ckpt.completed_partitions(args.out)
-    rows = 0
-    mdir = os.path.join(args.out, ckpt.MANIFEST_DIR)
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
-            if name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-                if m.get("status") == "complete":
-                    rows += int(m.get("row_count", 0))
-    summary = {"out_dir": args.out, "partitions_complete": len(done), "rows": rows}
+    manifests = ckpt.completed_manifests(args.out)
+    rows = sum(int(m.get("row_count", 0)) for m in manifests)
+    summary = {"out_dir": args.out, "partitions_complete": len(manifests), "rows": rows}
     if args.deep:
         ok, bad = ckpt.verify_output(args.out)
         summary["verified_partitions"] = len(ok)

@@ -183,10 +183,11 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
         for et, g in df.groupby("event_type"):
             types.append(et)
             regs.append(hll_partial(hash64_ints(g.user_id.to_numpy())))
+        reg_lists = np.stack(regs).tolist() if regs else []  # empty block => empty partial
         return pa.table(
             {
                 "event_type": pa.array(types, pa.string()),
-                "regs": pa.array(np.stack(regs).tolist(), pa.list_(pa.uint8(), HLL_M)),
+                "regs": pa.array(reg_lists, pa.list_(pa.uint8(), HLL_M)),
             }
         )
 

@@ -295,11 +295,16 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         ).to_numpy(zero_copy_only=False)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        is_promo = promo_[np.searchsorted(keys_, pk)]
+        # guarded probe: searchsorted alone crashes/misclassifies on keys
+        # absent from part; verify equality and keep inner-join semantics
+        # (unmatched rows contribute to NEITHER promo nor total)
+        idx = np.clip(np.searchsorted(keys_, pk), 0, len(keys_) - 1)
+        matched = keys_[idx] == pk
+        is_promo = promo_[idx] & matched
         return pa.table(
             {
                 "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
-                "total": pa.array([float(rev.sum())], pa.float64()),
+                "total": pa.array([float(rev[matched].sum())], pa.float64()),
             }
         )
 
@@ -339,7 +344,11 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["l_orderkey", "l_quantity"])
         g = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
-        return g.rename_columns(["l_orderkey", "total_qty"])
+        # rename by NAME — positional renaming silently swaps key/sum if
+        # pyarrow's group_by column order changes across versions
+        return g.rename_columns(
+            ["total_qty" if c == "l_quantity_sum" else c for c in g.column_names]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -451,7 +460,8 @@ def word_topk(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for s in pc.utf8_lower(batch["text"]).to_pylist():
-            c.update(_TOKEN_RE.findall(s))
+            if s:  # NULL text rows contribute no tokens (== oracle unnest)
+                c.update(_TOKEN_RE.findall(s))
         return pa.table(
             {
                 "token": pa.array(list(c.keys()), pa.string()),

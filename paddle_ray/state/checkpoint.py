@@ -44,21 +44,28 @@ def manifest_path(out_dir: str, partition_id: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"partition-{partition_id:05d}.json")
 
 
-def completed_partitions(out_dir: str) -> set[int]:
+def completed_manifests(out_dir: str) -> list[dict]:
+    """Parsed manifests of all COMPLETE partitions (torn/partial manifests
+    are skipped — they mean the partition never committed)."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
-        return set()
-    done = set()
-    for name in os.listdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
         if name.startswith("partition-") and name.endswith(".json"):
             try:
                 with open(os.path.join(mdir, name)) as f:
                     m = json.load(f)
                 if m.get("status") == "complete":
-                    done.add(int(m["partition_id"]))
+                    m["partition_id"] = int(m["partition_id"])
+                    out.append(m)
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue  # torn manifest == not complete
-    return done
+    return out
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    return {m["partition_id"] for m in completed_manifests(out_dir)}
 
 
 def make_resume_filter(done: set[int]):
@@ -148,20 +155,16 @@ def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
     against the manifest's content_hashes (count, order, and values — the
     in-partition url sort makes the order deterministic). Returns
     (verified partition ids, corrupt partition ids)."""
-    import hashlib
+    from ..stages.extract import sha256_hex  # the WRITER's hash fn — never fork it
 
     ok: list[int] = []
     bad: list[int] = []
-    for pid in sorted(completed_partitions(out_dir)):
+    for m in completed_manifests(out_dir):
+        pid = m["partition_id"]
         data_path = os.path.join(out_dir, f"part-{pid:05d}", "data.parquet")
         try:
-            with open(manifest_path(out_dir, pid)) as f:
-                m = json.load(f)
             t = pq.read_table(data_path, columns=["extracted_text"])
-            hashes = [
-                hashlib.sha256((s or "").encode("utf-8")).hexdigest()
-                for s in t["extracted_text"].to_pylist()
-            ]
+            hashes = [sha256_hex(s or "") for s in t["extracted_text"].to_pylist()]
             if hashes == m.get("content_hashes") and t.num_rows == m.get("row_count"):
                 ok.append(pid)
             else:
