@@ -53,39 +53,38 @@ def norm_ws(s: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-class _Stats:
-    __slots__ = ("text_len", "link_text_len", "n_p")
-
-    def __init__(self):
-        self.text_len = 0
-        self.link_text_len = 0
-        self.n_p = 0
+def _ws_len(s: str) -> int:
+    """len(norm_ws(s)) without building the normalized string — str.split
+    is a C whitespace scan. Used only for SCORING lengths; emitted text
+    always goes through norm_ws itself."""
+    parts = s.split()
+    return sum(map(len, parts)) + len(parts) - 1 if parts else 0
 
 
 def _collect_stats(root: Node) -> dict:
-    """Pass 1: bottom-up text/link accumulation (iterative post-order)."""
-    stats: dict[int, _Stats] = {}
+    """Pass 1: bottom-up text/link accumulation (iterative post-order).
+    stats[id(node)] = (text_len, link_text_len, n_p)."""
+    stats: dict[int, tuple] = {}
     order: list[Node] = list(root.iter_nodes())
     for node in reversed(order):  # children appear after parents in pre-order
-        st = _Stats()
+        tl = ll = np_ = 0
         for c in node.children:
             if isinstance(c, Node):
-                cs = stats[id(c)]
-                st.text_len += cs.text_len
-                st.link_text_len += cs.link_text_len
-                st.n_p += cs.n_p
+                ctl, cll, cnp = stats[id(c)]
+                tl += ctl
+                ll += cll
+                np_ += cnp
             else:
-                st.text_len += len(norm_ws(c))
-        if node.tag == "a":
-            st.link_text_len = st.text_len
-        if node.tag == "p":
-            st.n_p += 1
-        if node.tag in _STRIP_TAGS:
+                tl += _ws_len(c)
+        tag = node.tag
+        if tag == "a":
+            ll = tl
+        elif tag == "p":
+            np_ += 1
+        if tag in _STRIP_TAGS:
             # boilerplate subtrees contribute nothing upward
-            st.text_len = 0
-            st.link_text_len = 0
-            st.n_p = 0
-        stats[id(node)] = st
+            tl = ll = np_ = 0
+        stats[id(node)] = (tl, ll, np_)
     return stats
 
 
@@ -97,11 +96,11 @@ def _is_boiler(node: Node) -> bool:
 
 
 def _score(node: Node, stats: dict) -> float:
-    st = stats[id(node)]
-    if st.text_len == 0:
+    text_len, link_text_len, _n_p = stats[id(node)]
+    if text_len == 0:
         return 0.0
-    link_density = st.link_text_len / st.text_len
-    score = st.text_len * (1.0 - link_density)
+    link_density = link_text_len / text_len
+    score = text_len * (1.0 - link_density)
     if node.tag in _SEMANTIC_ROOTS:
         score *= 4.0
     elif node.tag in ("section", "div", "td"):
