@@ -47,7 +47,9 @@ MANIFEST_SCHEMA = pa.schema(
         ("url_min", pa.string()),
         ("url_max", pa.string()),
         ("row_count", pa.int64()),
-        ("content_hashes", pa.list_(pa.string())),
+        # rolled-up sha256 over the url-ordered per-row content hashes —
+        # manifests stay id-sized at any row count
+        ("content_digest", pa.string()),
         ("status", pa.string()),
     ]
 )

@@ -37,7 +37,7 @@ from .dom import Node, decode_html_bytes, parse_html
 _WS = re.compile(r"\s+")
 
 # containers that are boilerplate by construction
-_STRIP_TAGS = frozenset(("nav", "header", "footer", "aside", "form", "script", "style", "noscript", "iframe", "button", "select", "template"))
+_STRIP_TAGS = frozenset(("head", "nav", "header", "footer", "aside", "form", "script", "style", "noscript", "iframe", "button", "select", "template"))
 _BOILER_HINT = re.compile(
     r"(?:^|[\s_-])(?:ad|ads|advert\w*|banner|nav\w*|menu|sidebar|footer|header|"
     r"breadcrumb|social|share|comment\w*|related|promo|popup|cookie|subscribe)(?:$|[\s_-])"
@@ -103,8 +103,6 @@ def _score(node: Node, stats: dict) -> float:
     score = text_len * (1.0 - link_density)
     if node.tag in _SEMANTIC_ROOTS:
         score *= 4.0
-    elif node.tag in ("section", "div", "td"):
-        score *= 1.0
     elif node.tag == "body":
         score *= 0.8  # prefer a tighter container when one exists
     if _is_boiler(node):
@@ -129,6 +127,11 @@ def select_content_root(root: Node, stats: dict) -> Node | None:
         s = _score(node, stats)
         if s > best_score + 1e-9:  # strictly better; first-in-doc wins ties
             best, best_score = node, s
+    if best is None and stats[id(root)][0] > 0:
+        # HTML5-legal implicit body (no body/div/section container at all):
+        # fall back to the document root rather than silently extracting
+        # nothing — <head> content never leaks (head is a _STRIP_TAG)
+        return root
     return best
 
 

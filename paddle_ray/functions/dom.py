@@ -182,7 +182,10 @@ _TAG_RE = re.compile(
     r"|!(?P<decl>[^>]*)>?"  # <!doctype ...>, <![CDATA[ (skipped)
     r"|\?(?P<pi>[^>]*)>?"  # processing instructions (skipped)
     r"|/(?P<end>[a-zA-Z][-a-zA-Z0-9:_.]*)\s*[^>]*>"  # end tags
-    r"|(?P<start>[a-zA-Z][-a-zA-Z0-9:_.]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    # quoted sections only count as such directly after '=' (value
+    # position) — a stray quote elsewhere is ordinary soup, matching the
+    # stdlib parser's tolerant reading of e.g. <div class=a"b>
+    r"|(?P<start>[a-zA-Z][-a-zA-Z0-9:_.]*)(?P<attrs>(?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>"
     r")",
     re.DOTALL,
 )
@@ -215,11 +218,17 @@ class _FastBuilder(_TreeBuilder):
             if start is not None:
                 tag = start.lower()
                 raw_attrs = m.group("attrs")
-                selfclose = raw_attrs.endswith("/")
+                # a trailing '/' is self-closing ONLY when it cannot be part
+                # of an unquoted attribute value (stdlib semantics:
+                # <img src=http://x/> keeps the '/' in the value; <br/>,
+                # <img src="x"/> self-close)
+                selfclose = raw_attrs.endswith("/") and (
+                    len(raw_attrs) == 1 or raw_attrs[-2] in " \t\r\n\"'"
+                )
                 attrs = []
                 if raw_attrs and raw_attrs.strip("/ \t\r\n"):
                     if selfclose:
-                        raw_attrs = raw_attrs.rstrip("/")
+                        raw_attrs = raw_attrs[:-1]
                     for am in _ATTR_RE.finditer(raw_attrs):
                         name = am.group(1).lower()
                         v = am.group(2)

@@ -68,8 +68,15 @@ class MockLayoutModel:
         """Per-page "inference": emit (label, bbox, content, path) blocks in
         reading order (top-to-bottom by bbox y1 — deterministic)."""
         blocks = []
-        for spec in sorted(page_spec, key=lambda b: (b.get("bbox", [0, 0, 0, 0])[1], b.get("bbox", [0, 0, 0, 0])[0])):
-            bbox = [int(v) for v in spec.get("bbox", [0, 0, 0, 0])[:4]]
+        def _bbox4(spec) -> list[int]:
+            # pad/truncate to EXACTLY 4 — a short bbox would otherwise blow
+            # up the fixed_size_list(4) Arrow conversion outside the per-doc
+            # try/except and poison the whole batch (never-drop-rows)
+            raw = spec.get("bbox") or []
+            return ([int(v) for v in raw[:4]] + [0, 0, 0, 0])[:4]
+
+        for spec in sorted(page_spec, key=lambda b: (_bbox4(b)[1], _bbox4(b)[0])):
+            bbox = _bbox4(spec)
             # touch the weights so inference has real compute shape
             _ = float(self.weights[(bbox[0] * 31 + bbox[1]) % len(self.weights)])
             blocks.append(

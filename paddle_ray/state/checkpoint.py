@@ -25,19 +25,45 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST_DIR = "_manifests"
 
 
+def _tmp_name(path: str) -> str:
+    # pid alone is NOT unique across nodes on shared storage — speculative
+    # re-execution of the same partition on two nodes must never share a
+    # tmp file
+    return f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+
+
+def _fsync_file_and_dir(path: str) -> None:
+    """fsync an already-written file and its directory so the subsequent
+    os.replace commit ordering survives power loss (write-then-rename is
+    only atomic on durable media if the data hits disk first)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _atomic_write_bytes(path: str, data: bytes) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = _tmp_name(path)
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_file_and_dir(path)
 
 
 def manifest_path(out_dir: str, partition_id: int) -> str:
@@ -96,18 +122,30 @@ def write_partition(group: pa.Table, out_dir: str, sort_cols=("url",)) -> pa.Tab
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
 
     data_path = os.path.join(part_dir, "data.parquet")
-    tmp = f"{data_path}.tmp.{os.getpid()}"
+    tmp = _tmp_name(data_path)
     pq.write_table(g, tmp)
+    _fsync_file_and_dir(tmp)
     os.replace(tmp, data_path)
+    _fsync_file_and_dir(data_path)
 
     urls = g["url"]
-    hashes = g["content_hash"].to_pylist() if "content_hash" in g.column_names else []
+    # manifests stay id-sized at any row count: per-row hashes roll up into
+    # one digest (sha256 over the newline-joined row hashes, in url order) —
+    # a 10^6-row partition must not produce a ~65 MB JSON that every resume
+    # has to parse just to learn the partition id
+    if "content_hash" in g.column_names:
+        import hashlib
+
+        row_hashes = g["content_hash"].to_pylist()
+        digest = hashlib.sha256("\n".join(row_hashes).encode("ascii")).hexdigest()
+    else:
+        digest = None
     manifest = {
         "partition_id": pid,
         "url_min": str(urls[0].as_py()),
         "url_max": str(urls[-1].as_py()),
         "row_count": g.num_rows,
-        "content_hashes": hashes,
+        "content_digest": digest,
         "status": "complete",
     }
     _atomic_write_bytes(
@@ -151,10 +189,13 @@ def read_output(out_dir: str):
 
 def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
     """Deep lineage check: for every complete manifest, recompute
-    sha256(extracted_text) per row from the written parquet and compare
-    against the manifest's content_hashes (count, order, and values — the
-    in-partition url sort makes the order deterministic). Returns
-    (verified partition ids, corrupt partition ids)."""
+    sha256(extracted_text) per row from the written parquet, roll up the
+    same digest the writer computed, and compare (plus row counts; the
+    in-partition url sort makes the order deterministic). Partitions
+    written without a content_hash column (digest null) verify row_count
+    only. Returns (verified partition ids, corrupt partition ids)."""
+    import hashlib
+
     from ..stages.extract import sha256_hex  # the WRITER's hash fn — never fork it
 
     ok: list[int] = []
@@ -163,12 +204,16 @@ def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
         pid = m["partition_id"]
         data_path = os.path.join(out_dir, f"part-{pid:05d}", "data.parquet")
         try:
-            t = pq.read_table(data_path, columns=["extracted_text"])
-            hashes = [sha256_hex(s or "") for s in t["extracted_text"].to_pylist()]
-            if hashes == m.get("content_hashes") and t.num_rows == m.get("row_count"):
-                ok.append(pid)
+            want = m.get("content_digest")
+            if want is None:
+                t = pq.read_table(data_path, columns=[])
+                good = t.num_rows == m.get("row_count")
             else:
-                bad.append(pid)
+                t = pq.read_table(data_path, columns=["extracted_text"])
+                hashes = [sha256_hex(s or "") for s in t["extracted_text"].to_pylist()]
+                digest = hashlib.sha256("\n".join(hashes).encode("ascii")).hexdigest()
+                good = digest == want and t.num_rows == m.get("row_count")
+            (ok if good else bad).append(pid)
         except Exception:
             bad.append(pid)
     return ok, bad

@@ -55,6 +55,16 @@ def test_differential_soup_cases():
         "<dl><dt>term<dd>def<dt>term2</dl>",
         "<select><option>a<option>b</select>",
         "text &amp still decodes? <p>end",
+        # trailing-slash disambiguation (review finding): unquoted value
+        # keeps its '/', real self-closers still close
+        '<a href=http://example.com/>link</a>',
+        "<img src=x/>",
+        '<img src="x"/>',
+        "<br />",
+        "<a href=/>slash value</a>",
+        # stray quotes in soup must not degrade the tag to text
+        '<div class=a"b>t</div>',
+        "<p title=\"x>y\">quoted gt</p>",
     ]
     for c in cases:
         assert_same(c)

@@ -208,3 +208,45 @@ def test_deep_verify_detects_tampering(tmp_path):
     pq.write_table(t, data_path)
     ok2, bad2 = verify_output(out_dir)
     assert bad2 == [victim] and victim not in ok2
+
+
+def test_malformed_bbox_never_poisons_batch(ray_session):
+    """A pdf payload with a short bbox list must become an error-free row
+    (bbox padded to 4), or at worst an error row — never an Arrow
+    conversion crash that kills the whole batch (review regression)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from paddle_ray.pipelines.extract import extract_pipeline
+
+    body = json.dumps({"pages": [[{"label": "text", "bbox": [1, 2], "content": "hi"}]]})
+    payload = b"%PDF-FAKE\n" + body.encode()
+    good = b"<html><body><main><p>fine</p></main></body></html>"
+    t = pa.table(
+        {
+            "url": ["https://a.example/bad", "https://a.example/good"],
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+            "html": [payload, good],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    out = extract_pipeline(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 2  # both rows survive
+    bad = out[out.url.str.endswith("bad")].iloc[0]
+    assert bad.error is None and bad.extracted_text == "=== PAGE 1 ===\n\nhi"
+    assert list(bad.blocks[0]["bbox"]) == [1, 2, 0, 0]
+
+
+def test_implicit_body_fallback():
+    """HTML5-legal page with no body/div container still extracts content
+    (review regression: used to silently return empty)."""
+    from paddle_ray.functions.boilerplate import extract_document
+
+    html = b"<html><head><title>T</title><style>p{}</style></head>" \
+        b"<p>Real content paragraph with enough text to matter.</p></html>"
+    r = extract_document(html)
+    assert "Real content paragraph" in r["extracted_text"]
+    assert "T" not in r["extracted_text"].split("Real")[0]  # head never leaks
