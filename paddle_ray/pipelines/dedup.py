@@ -27,10 +27,9 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashes import (
-    char_set_jaccard,
     hamming64,
+    jaccard,
     lsh_band_keys,
-    minhash_jaccard_est,
     minhash_signature,
     shingle_hashes,
     simhash,
@@ -241,7 +240,10 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         for _, grp in hot.groupby(["q", "key"], sort=False):
             grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
             ids = grp.doc_id.to_numpy()
-            hs = (grp.h.to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+            # recover uint64 via bit reinterpretation + WRAPPING uint64 add:
+            # `int64 + (1 << 63)` promotes to float64 and rounds away the
+            # low ~11 bits of every hash (wrong hamming distances)
+            hs = grp.h.to_numpy().astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     d = hamming64(int(hs[i]), int(hs[j]))
@@ -288,8 +290,7 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
         for i in range(len(ids)):
             si = sets[i]
             for j in range(i + 1, len(ids)):
-                u = si | sets[j]
-                sim = len(si & sets[j]) / len(u) if u else 1.0
+                sim = jaccard(si, sets[j])  # == DuckDB jaccard() on char sets
                 if sim >= threshold:
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))

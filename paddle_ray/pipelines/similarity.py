@@ -63,7 +63,10 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(qids)):
             row = sims[qi]
-            top = np.argpartition(-row, kk - 1)[:kk]
+            # deterministic top-kk: ties broken by smallest neighbor id —
+            # bare argpartition keeps an ARBITRARY subset of tied rows and
+            # can drop the neighbor the oracle's ORDER BY ranks first
+            top = np.lexsort((ids, -row))[:kk]
             for t in top:
                 if ids[t] != qids[qi]:
                     out_q.append(int(qids[qi]))

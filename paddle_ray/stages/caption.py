@@ -127,14 +127,23 @@ class Captioner:
             return batch
 
         captions = self.model.generate(keys, self.cfg.caption_max_length)
-        # merge (M15): patch ONLY the flat content child, reuse every other
-        # buffer zero-copy, keep the original list offsets
-        contents_py = contents.to_pylist()
-        for fi, cap in zip(targets, captions):
-            cur = contents_py[fi] or ""
-            contents_py[fi] = f"{cur} {cap}".strip()
+        # merge (M15): patch ONLY the affected flat-content slots via
+        # replace_with_mask — cost proportional to captions applied, not to
+        # batch size (a full to_pylist of every block content re-created
+        # the Python round-trip this stage exists to avoid)
+        t_np = np.asarray(targets, dtype=np.int64)
+        order = np.argsort(t_np)
+        t_sorted = t_np[order]
+        cur = contents.take(pa.array(t_sorted)).to_pylist()
+        repl = pa.array(
+            [f"{(c or '')} {captions[i]}".strip() for c, i in zip(cur, order)],
+            pa.string(),
+        )
+        mask_flat = np.zeros(len(contents), dtype=bool)
+        mask_flat[t_sorted] = True
+        new_contents = pc.replace_with_mask(contents, pa.array(mask_flat), repl)
         new_vals = pa.StructArray.from_arrays(
-            [labels, bbox_fsl, pa.array(contents_py, pa.string()), paths],
+            [labels, bbox_fsl, new_contents, paths],
             fields=list(BLOCK_TYPE),
         )
         new_blocks = pa.ListArray.from_arrays(blocks.offsets, new_vals)

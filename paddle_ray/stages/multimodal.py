@@ -80,7 +80,7 @@ class MediaDecoder:
                 "duration_s": round(header["n_frames"] / 25.0, 6),
                 "mean_byte": round(mean_byte, 4),
             }
-        if payload[:4] in _REAL_IMAGE_MAGICS or payload[:2] in (m[:2] for m in _REAL_IMAGE_MAGICS):
+        if any(payload.startswith(m) for m in _REAL_IMAGE_MAGICS):
             if "image" not in self.codecs:
                 raise NotImplementedError(
                     "real image codec (PIL) not available in this environment"
@@ -157,8 +157,15 @@ class ImageResizer:
         hs = batch["height"].to_pylist()
         payloads = batch["payload"].to_pylist()
         tws, ths, out_payloads = [], [], []
-        for kind, w, h, payload in zip(kinds, ws, hs, payloads):
-            if kind != "image":
+        oks = (
+            batch["decoded_ok"].to_pylist()
+            if "decoded_ok" in batch.column_names
+            else [True] * len(kinds)
+        )
+        for kind, ok_, w, h, payload in zip(kinds, oks, ws, hs, payloads):
+            if kind != "image" or not ok_:
+                # pass through rows the decoder could not handle — resizing
+                # an undecoded payload raised and killed the whole batch
                 tws.append(w)
                 ths.append(h)
                 out_payloads.append(payload)

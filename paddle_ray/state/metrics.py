@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -62,24 +63,63 @@ def wrap_with_metrics(stage_name: str, fn):
     state = {}
 
     def wrapped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         actor = state.get("actor")
         if actor is None:
             actor = state["actor"] = get_metrics_actor()
         t0 = time.perf_counter()
         out = fn(batch)
         wall = time.perf_counter() - t0
-        pid = int(out["partition_id"][0].as_py()) if "partition_id" in out.column_names and len(out) else -1
-        bytes_in = int(pa.compute.sum(batch["n_bytes_in"]).as_py() or 0) if "n_bytes_in" in batch.column_names else 0
-        blocks = int(pa.compute.sum(out["n_blocks"]).as_py() or 0) if "n_blocks" in out.column_names else 0
-        errors = int(len(out) - out["error"].null_count) if "error" in out.column_names else 0
-        actor.report.remote(stage_name, pid, len(out), bytes_in, blocks, errors, wall)
+        if "partition_id" not in out.column_names or len(out) == 0:
+            actor.report.remote(stage_name, -1, len(out), 0, 0, 0, wall)
+            return out
+        # counters come from the OUTPUT batch (a stage like sniff CREATES
+        # n_bytes_in; reading the input reported 0 forever), attributed
+        # per partition — one batch can span several partitions
+        cols: dict = {"pid": out["partition_id"], "rows": pa.array(np.ones(len(out), np.int64))}
+        cols["bytes_in"] = (
+            pc.cast(out["n_bytes_in"], pa.int64())
+            if "n_bytes_in" in out.column_names
+            else pa.array(np.zeros(len(out), np.int64))
+        )
+        cols["blocks"] = (
+            pc.cast(out["n_blocks"], pa.int64())
+            if "n_blocks" in out.column_names
+            else pa.array(np.zeros(len(out), np.int64))
+        )
+        cols["errors"] = (
+            pc.cast(pc.is_valid(out["error"]), pa.int64())
+            if "error" in out.column_names
+            else pa.array(np.zeros(len(out), np.int64))
+        )
+        g = (
+            pa.table(cols)
+            .group_by("pid")
+            .aggregate([("rows", "sum"), ("bytes_in", "sum"), ("blocks", "sum"), ("errors", "sum")])
+        )
+        n_total = len(out)
+        for row in g.to_pylist():
+            rows = int(row["rows_sum"])
+            actor.report.remote(
+                stage_name,
+                int(row["pid"]),
+                rows,
+                int(row["bytes_in_sum"]),
+                int(row["blocks_sum"]),
+                int(row["errors_sum"]),
+                wall * rows / n_total,  # wall split proportionally by rows
+            )
         return out
 
     return wrapped
 
 
 def metrics_snapshot_df() -> pd.DataFrame:
+    """Best-effort: reports are fire-and-forget from workers; a short drain
+    pause lets in-flight messages land before the snapshot."""
     actor = get_metrics_actor()
+    time.sleep(0.3)
     rows = ray.get(actor.snapshot.remote())
     cols = ["stage", "partition_id", "rows", "bytes_in", "blocks", "errors", "wall_s"]
     return pd.DataFrame(rows, columns=cols)

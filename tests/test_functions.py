@@ -105,3 +105,14 @@ def test_rolling_and_winnow_deterministic():
     # position-shift robustness: shared k-grams -> shared fingerprint values
     fp2 = winnow_fingerprint("XXXX" + t)
     assert set(fp) & set(fp2)
+
+
+def test_simhash_int64_storage_roundtrip_exact():
+    """Regression: int64 + (1 << 63) promoted to float64 and rounded away
+    the low ~11 bits; the view+wrapping-add recovery must be exact."""
+    import numpy as np
+
+    h = 0x5271D2D3DE600F9F
+    stored = np.array([h - (1 << 63)], dtype=np.int64)  # as staged for Arrow
+    rec = stored.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
+    assert int(rec[0]) == h

@@ -17,6 +17,8 @@ def test_metrics_collected_per_stage(ray_session):
     sniff = df[df.stage == "sniff"]
     assert len(sniff) > 0
     assert sniff.rows.sum() == 120
+    assert sniff.bytes_in.sum() > 0  # sniff CREATES n_bytes_in — must be counted
+    assert (sniff.partition_id >= 0).all()  # per-partition, not first-row binning
     assert (sniff.wall_s >= 0).all()
     reset_metrics()
     assert len(metrics_snapshot_df()) == 0

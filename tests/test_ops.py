@@ -164,3 +164,14 @@ def test_sessionize_invariants():
 
     n_users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas().user_id.nunique()
     assert len(out) == n_users
+
+
+def test_knn_tiebreak_keeps_smallest_ids():
+    """Regression: per-batch top-k must break similarity ties by smallest
+    neighbor id (argpartition kept an arbitrary tied subset)."""
+    import numpy as np
+
+    ids = np.array([10, 3, 7, 1, 9, 5, 2], dtype=np.int64)
+    row = np.ones(7)
+    top = np.lexsort((ids, -row))[:4]
+    assert sorted(ids[top].tolist()) == [1, 2, 3, 5]
