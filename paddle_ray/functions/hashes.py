@@ -22,13 +22,16 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Hashes of word k-shingles (uint64, unique, sorted)."""
+    import zlib
+
     words = text.split()
     if len(words) < k:
-        joined = " ".join(words)
-        base = np.frombuffer(joined.encode("utf-8").ljust(8, b"\0")[:8], dtype=np.uint64)
-        return splitmix64(base.copy())
+        # short doc: ONE shingle over the whole text — hashing only the
+        # first 8 bytes made all short docs sharing a prefix exact dups
+        s = " ".join(words).encode("utf-8")
+        h = np.array([(zlib.crc32(s) << 32) | zlib.crc32(s[::-1])], dtype=np.uint64)
+        return splitmix64(h)
     # hash each shingle via Python's stable zlib.crc32 pairs -> 64-bit mix
-    import zlib
 
     hs = np.empty(len(words) - k + 1, dtype=np.uint64)
     for i in range(len(words) - k + 1):

@@ -99,14 +99,13 @@ def rolling_hashes(text: str, k: int = 8) -> np.ndarray:
     if n < k:
         return np.array([hash_text(text)], dtype=np.uint64)
     cs = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)[: n].astype(np.uint64)
-    # vectorized polynomial rolling hash via cumulative powers
+    # linear polynomial rolling hash (per-char Python loop; docs are small
+    # relative to batch, and the windows reuse the running value)
     out = np.zeros(n - k + 1, dtype=np.uint64)
     h = 0
     powk = pow(_B, k - 1, _MOD)
-    for i in range(n):  # linear, per-doc; docs are small relative to batch
+    for i in range(n):
         h = (h * _B + int(cs[i])) % _MOD
-        if i >= k:
-            pass
         if i >= k - 1:
             out[i - k + 1] = h
             h = (h - int(cs[i - k + 1]) * powk) % _MOD

@@ -43,7 +43,8 @@ def token_counts(sf_dir: str) -> pd.DataFrame:
 
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
@@ -68,14 +69,18 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
 
 QUALITY_SQL = """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
 )
 SELECT doc_id,
        len(ts) AS n_tokens,
-       ROUND(len(list_filter(ts, t -> lower(t) IN
+       ROUND(CASE WHEN len(ts) = 0 THEN 0.0 ELSE len(list_filter(ts, t -> lower(t) IN
          ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
-         * 1.0 / len(ts), 6) AS stop_ratio,
-       ROUND(list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts), 6) AS mean_word_len
+         * 1.0 / len(ts) END, 6) AS stop_ratio,
+       ROUND(CASE WHEN len(ts) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) END, 6) AS mean_word_len
 FROM toks ORDER BY doc_id
 """
 
@@ -147,7 +152,7 @@ def lang_doc_stats(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
         .to_pandas()

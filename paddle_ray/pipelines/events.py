@@ -38,7 +38,7 @@ def events_tumbling(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
 
     out = (
         _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["window_start", "event_type"])
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
@@ -71,7 +71,7 @@ def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     out = (
         _events(sf_dir, columns=["event_id", "user_id", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Sum("total_value", alias_name="total_value"), Sum("n_events", alias_name="n_events"))
         .to_pandas()
@@ -102,7 +102,7 @@ def events_json_props(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _events(sf_dir, columns=["event_type", "props"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(Sum("sum_k", alias_name="sum_k"), Max("max_k", alias_name="max_k"))
         .to_pandas()
@@ -112,10 +112,13 @@ def events_json_props(sf_dir: str) -> pd.DataFrame:
     return out.astype({"sum_k": "int64", "max_k": "int64"})
 
 
+# missing 'k' counts as 0 on BOTH sides (COALESCE mirrors the pipeline's
+# .get("k", 0)) — without it, an event_type whose rows all lack 'k' would
+# yield NULL max_k in SQL vs 0 in the pipeline
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+       MAX(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

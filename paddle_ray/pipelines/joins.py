@@ -30,8 +30,7 @@ import ray
 import ray.data as rd
 
 
-def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from .common import read_table as _read
 
 
 # --------------------------------------------------------------------------

@@ -23,8 +23,7 @@ import ray
 import ray.data as rd
 
 
-def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from .common import read_table as _read
 
 
 # --------------------------------------------------------------------------
@@ -189,11 +188,19 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         sup_keys_, sup_names_ = ray.get(lookup_ref)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        names = sup_names_[np.searchsorted(sup_keys_, sk)]
+        # guarded probe (inner-join semantics): unmatched suppkeys would
+        # crash (key > max) or silently credit the wrong nation
+        idx = np.clip(np.searchsorted(sup_keys_, sk), 0, len(sup_keys_) - 1)
+        matched = sup_keys_[idx] == sk
         revenue = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "n_name": pa.array(sup_names_[idx[matched]], pa.string()),
+                "revenue": pa.array(revenue[matched], pa.float64()),
+            }
         )
-        t = pa.table({"n_name": pa.array(names, pa.string()), "revenue": revenue})
         g = t.group_by("n_name").aggregate([("revenue", "sum")])
         return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
 

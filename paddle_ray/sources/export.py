@@ -19,7 +19,12 @@ _SAFE = re.compile(r"[^A-Za-z0-9._-]+")
 
 
 def _slug(url: str) -> str:
-    return _SAFE.sub("_", url)[:150]
+    """Filesystem-safe, COLLISION-FREE directory name: readable prefix +
+    a crc32 of the exact url — distinct urls that sanitize/truncate to the
+    same prefix must not overwrite each other's exports."""
+    import zlib
+
+    return f"{_SAFE.sub('_', url)[:140]}-{zlib.crc32(url.encode('utf-8')):08x}"
 
 
 def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:

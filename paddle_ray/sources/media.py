@@ -60,6 +60,8 @@ def unpack_media(payload: bytes) -> tuple[str, dict, bytes]:
     magic = payload[:4]
     for kind, m in _MAGICS.items():
         if magic == m:
+            if len(payload) < 8:
+                raise ValueError(f"truncated media container ({len(payload)} bytes)")
             (hlen,) = struct.unpack("<I", payload[4:8])
             header = json.loads(payload[8 : 8 + hlen])
             return kind, header, payload[8 + hlen :]
@@ -78,7 +80,7 @@ def synth_media(n: int, seed: int = 42) -> pa.Table:
             payload = pack_media(kind, {"width": w, "height": h, "channels": 3}, body)
             nf, sr = 1, 0
         elif kind == "audio":
-            sr = (8000, 16000, 44100)[i % 3 % 3]
+            sr = (8000, 16000, 44100)[(i // 3) % 3]
             ns = 1000 + (i * 101) % 50_000
             body = _bytes_for(base, min(ns, 4096))
             payload = pack_media(kind, {"sample_rate": sr, "n_samples": ns}, body)
