@@ -37,6 +37,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("n_bytes_in", pa.int64()),
         ("content_hash", pa.string()),
         ("partition_id", pa.int32()),
+        ("error", pa.string()),  # 422-envelope analogue; null == success
     ]
 )
 

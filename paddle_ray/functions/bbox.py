@@ -24,9 +24,10 @@ _LAST4 = re.compile(r"(\d+)_(\d+)_(\d+)_(\d+)(?:\D[^_]*)?$")
 MIN_W = 100
 MIN_H = 100
 MIN_AREA = 10_000
-OVERLAP_MARGIN = 10
 OVERLAP_THRESHOLD = 0.1
 ABOVE_MAX_GAP = 100
+
+_INT32_MAX = (1 << 31) - 1
 
 
 def parse_bbox_from_name(name: str) -> list[int] | None:
@@ -34,7 +35,9 @@ def parse_bbox_from_name(name: str) -> list[int] | None:
 
     Tries the explicit ``img_in_*_box`` grammar first, then the
     last-4-underscore-separated-numbers fallback. Returns None if neither
-    matches.
+    matches. Values are clamped to int32 — an adversarial filename like
+    ``img_in_image_box_3000000000_..`` must not overflow the Arrow
+    fixed_size_list<int32> bbox column and poison the whole batch.
     """
     if not name:
         return None
@@ -45,7 +48,7 @@ def parse_bbox_from_name(name: str) -> list[int] | None:
         m = _LAST4.search(stem)
     if m is None:
         return None
-    return [int(g) for g in m.groups()]
+    return [min(int(g), _INT32_MAX) for g in m.groups()]
 
 
 def normalize_bbox_key(bbox) -> str:
@@ -57,27 +60,34 @@ def bbox_wh(bbox) -> tuple[float, float]:
     return float(bbox[2]) - float(bbox[0]), float(bbox[3]) - float(bbox[1])
 
 
-def should_caption(bbox) -> bool:
-    """Caption size gate (drop tiny images)."""
+def should_caption(bbox, min_w: int = MIN_W, min_h: int = MIN_H, min_area: int = MIN_AREA) -> bool:
+    """Caption size gate (drop tiny images). Thresholds default to the
+    reference's caption_config.yaml values; pass ExtractConfig's
+    ``min_caption_*`` to stay in sync with the Captioner's vectorized gate
+    (stages/caption.py applies the same three comparisons on arrays)."""
     if bbox is None or len(bbox) != 4:
         return False
     w, h = bbox_wh(bbox)
-    return w >= MIN_W and h >= MIN_H and w * h >= MIN_AREA
+    return w >= min_w and h >= min_h and w * h >= min_area
 
 
-def boxes_overlap(a, b, margin: int = OVERLAP_MARGIN, threshold: float = OVERLAP_THRESHOLD) -> bool:
-    """Margin-expanded intersection-over-smaller-area overlap test."""
+def boxes_overlap(a, b, threshold: float = OVERLAP_THRESHOLD) -> bool:
+    """Reference semantics (`bbox_text_matcher.py:40-68`): expand box ``a``
+    by ``threshold`` x the LARGER box's dimensions per axis, return True on
+    any contact with ``b`` (symmetric by construction — the margin uses
+    max(w_a, w_b) / max(h_a, h_b))."""
+    if len(a) != 4 or len(b) != 4:
+        return False
     ax1, ay1, ax2, ay2 = (float(v) for v in a)
     bx1, by1, bx2, by2 = (float(v) for v in b)
-    ax1 -= margin; ay1 -= margin; ax2 += margin; ay2 += margin
-    ix = max(0.0, min(ax2, bx2) - max(ax1, bx1))
-    iy = max(0.0, min(ay2, by2) - max(ay1, by1))
-    inter = ix * iy
-    if inter <= 0:
-        return False
-    area_a = max(1.0, (ax2 - ax1) * (ay2 - ay1))
-    area_b = max(1.0, (bx2 - bx1) * (by2 - by1))
-    return inter / min(area_a, area_b) >= threshold
+    margin_x = max(ax2 - ax1, bx2 - bx1) * threshold
+    margin_y = max(ay2 - ay1, by2 - by1) * threshold
+    return not (
+        ax2 + margin_x < bx1
+        or ax1 - margin_x > bx2
+        or ay2 + margin_y < by1
+        or ay1 - margin_y > by2
+    )
 
 
 def text_above_image(text_bbox, img_bbox, max_gap: int = ABOVE_MAX_GAP) -> bool:

@@ -119,10 +119,18 @@ def select_content_root(root: Node, stats: dict) -> Node | None:
     """
     best: Node | None = None
     best_score = -1.0
-    for node in root.iter_nodes():  # pre-order == document order
+    # manual pre-order DFS that NEVER descends into boilerplate subtrees —
+    # a text-heavy div inside <footer>/<nav> must not be able to win the
+    # root election (its stats are nonzero even though pass 1 zeroed its
+    # ancestors' upward contribution)
+    stack: list[Node] = [root]
+    while stack:
+        node = stack.pop()
+        boiler = _is_boiler(node) and node.tag not in _SEMANTIC_ROOTS
+        if boiler:
+            continue  # skip node AND subtree
+        stack.extend(c for c in reversed(node.children) if isinstance(c, Node))
         if node.tag not in _SEMANTIC_ROOTS and node.tag not in ("body", "div", "section", "td"):
-            continue
-        if _is_boiler(node) and node.tag not in _SEMANTIC_ROOTS:
             continue
         s = _score(node, stats)
         if s > best_score + 1e-9:  # strictly better; first-in-doc wins ties
@@ -142,7 +150,7 @@ def _emit_table(node: Node) -> str:
         if tr.tag != "tr":
             continue
         cells = [
-            norm_ws(" ".join(td.text_parts()))
+            norm_ws("".join(td.text_parts()))
             for td in tr.children
             if isinstance(td, Node) and td.tag in ("td", "th")
         ]
@@ -175,9 +183,9 @@ def extract_blocks(content_root: Node, stats: dict) -> list[dict]:
             if c.tag in _STRIP_TAGS or _is_boiler(c):
                 continue
             if c.tag in _HEADINGS:
-                emit("title", norm_ws(" ".join(c.text_parts())), c)
+                emit("title", norm_ws("".join(c.text_parts())), c)
             elif c.tag in _TEXT_BLOCKS:
-                txt = norm_ws(" ".join(c.text_parts()))
+                txt = norm_ws("".join(c.text_parts()))
                 emit("text", txt, c)
                 for img in c.iter_nodes():
                     if img.tag == "img":
@@ -185,7 +193,7 @@ def extract_blocks(content_root: Node, stats: dict) -> list[dict]:
             elif c.tag in ("ul", "ol", "dl", "menu"):
                 for li in c.children:
                     if isinstance(li, Node) and li.tag in ("li", "dt", "dd"):
-                        emit("list", norm_ws(" ".join(li.text_parts())), li)
+                        emit("list", norm_ws("".join(li.text_parts())), li)
             elif c.tag == "table":
                 emit("table", _emit_table(c), c)
             elif c.tag == "img":

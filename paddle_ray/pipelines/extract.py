@@ -60,6 +60,11 @@ def extract_pipeline(
 
     sniff = make_sniff_batch(cfg)
     if with_metrics:
+        # create the collector driver-side (so the driver owns its
+        # lifetime) and zero it: metrics are per-job, not cumulative
+        from ..state.metrics import reset_metrics
+
+        reset_metrics()
         sniff = wrap_with_metrics("sniff", sniff)
     ds = ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
 

@@ -151,14 +151,18 @@ def write_partition(group: pa.Table, out_dir: str, sort_cols=("url",)) -> pa.Tab
     _atomic_write_bytes(
         manifest_path(out_dir, pid), json.dumps(manifest, sort_keys=True).encode()
     )
+    from ..core.schema import MANIFEST_SCHEMA
+
     return pa.table(
         {
             "partition_id": pa.array([pid], pa.int32()),
             "url_min": pa.array([manifest["url_min"]], pa.string()),
             "url_max": pa.array([manifest["url_max"]], pa.string()),
             "row_count": pa.array([g.num_rows], pa.int64()),
+            "content_digest": pa.array([digest], pa.string()),
             "status": pa.array(["complete"], pa.string()),
-        }
+        },
+        schema=MANIFEST_SCHEMA,
     )
 
 

@@ -50,11 +50,24 @@ class MetricsActor:
         self.counters.clear()
 
 
+_ACTOR_HANDLE = None
+
+
 def get_metrics_actor():
-    """Get-or-create the named collector (idempotent across tasks)."""
-    return MetricsActor.options(
-        name=METRICS_ACTOR_NAME, get_if_exists=True, lifetime="detached"
-    ).remote()
+    """Get-or-create the named collector (idempotent across tasks).
+
+    NOT detached: the actor dies with the driver that owns it — a detached
+    collector outlived jobs on shared clusters and double-counted every
+    subsequent run. The handle is cached at module level because a named
+    non-detached actor is garbage-collected the moment its last in-scope
+    handle drops; the pipeline driver creates it (and resets counters)
+    before launching work, so worker-side lookups always find it."""
+    global _ACTOR_HANDLE
+    if _ACTOR_HANDLE is None:
+        _ACTOR_HANDLE = MetricsActor.options(
+            name=METRICS_ACTOR_NAME, get_if_exists=True
+        ).remote()
+    return _ACTOR_HANDLE
 
 
 def wrap_with_metrics(stage_name: str, fn):

@@ -118,9 +118,77 @@ def test_should_caption_size_gate():
 
 def test_overlap_and_above():
     assert boxes_overlap([50, 50, 150, 150], [90, 90, 200, 200])
-    # corner graze: intersection below the 0.1-of-smaller-area threshold
-    assert not boxes_overlap([0, 0, 100, 100], [99, 99, 300, 300], margin=0)
+    # corner graze WITH margin contact counts as overlap (reference: any
+    # contact of the margin-expanded box)
+    assert boxes_overlap([0, 0, 100, 100], [99, 99, 300, 300])
     assert not boxes_overlap([0, 0, 50, 50], [500, 500, 600, 600])
     assert text_above_image([0, 0, 100, 90], [0, 100, 100, 300])
     assert not text_above_image([0, 0, 100, 90], [0, 300, 100, 500])  # gap > 100
     assert not text_above_image([0, 200, 100, 290], [0, 100, 100, 180])  # below
+
+
+def test_inline_tags_do_not_split_words():
+    """Review regression: ' '.join over text fragments fabricated spaces
+    at inline-element boundaries (un<b>believ</b>able -> 'un believ able')."""
+    from paddle_ray.functions.boilerplate import extract_document
+
+    html = b"<html><body><main><p>un<b>believ</b>able and <i>real</i> words</p></main></body></html>"
+    r = extract_document(html)
+    assert r["extracted_text"] == "unbelievable and real words"
+
+
+def test_footer_div_cannot_win_root_election():
+    """Review regression: a text-heavy div inside <footer> must not be
+    elected content root over the real body content."""
+    from paddle_ray.functions.boilerplate import extract_document
+
+    html = (
+        b"<html><body><p>the real content sentence</p>"
+        b"<footer><div>" + b"legal boilerplate " * 40 + b"</div></footer></body></html>"
+    )
+    r = extract_document(html)
+    assert "the real content sentence" in r["extracted_text"]
+    assert "legal boilerplate" not in r["extracted_text"]
+
+
+def test_adversarial_bbox_filename_does_not_overflow():
+    """Review regression: huge ints in an img src must clamp to int32, not
+    poison the Arrow batch."""
+    import pyarrow as pa
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.functions.bbox import parse_bbox_from_name
+    from paddle_ray.stages.extract import DocumentExtractor
+    from paddle_ray.stages.sniff import make_sniff_batch
+
+    bbox = parse_bbox_from_name("img_in_image_box_3000000000_0_4000000000_10.jpg")
+    assert max(bbox) <= (1 << 31) - 1
+
+    html = (
+        b'<html><body><main><p>text</p>'
+        b'<img src="img_in_image_box_3000000000_0_4000000000_10.jpg" alt="big">'
+        b"</main></body></html>"
+    )
+    t = pa.table(
+        {
+            "url": ["https://x.example/1"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": [html],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    out = DocumentExtractor(ExtractConfig())(make_sniff_batch(ExtractConfig())(t))
+    assert out.num_rows == 1 and out["error"][0].as_py() is None
+
+
+def test_boxes_overlap_reference_semantics():
+    """Reference bbox_text_matcher.py:40-68: a 10px gap bridged by the 10%
+    margin of a 100px-tall box counts as overlap; symmetric."""
+    from paddle_ray.functions.bbox import boxes_overlap
+
+    text = [0, 110, 500, 160]
+    img = [0, 0, 500, 100]
+    assert boxes_overlap(img, text)  # margin_y = 0.1*100 = 10 bridges the gap
+    assert boxes_overlap(text, img)  # symmetric
+    assert not boxes_overlap([0, 0, 10, 10], [500, 500, 600, 600])

@@ -71,6 +71,11 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must NOT produce a green "0 checks" run
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        n_fail += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
