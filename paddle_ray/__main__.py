@@ -51,7 +51,12 @@ def cmd_run(args: argparse.Namespace) -> int:
     t0 = time.time()
     inputs = args.input if len(args.input) > 1 else args.input[0]
     manifests = extract_pipeline(
-        inputs, cfg=cfg, out_dir=args.out, resume=not args.no_resume, with_metrics=args.metrics
+        inputs,
+        cfg=cfg,
+        out_dir=args.out,
+        resume=not args.no_resume,
+        with_metrics=args.metrics,
+        partitioning="planned" if args.planned_partitions else "streaming",
     ).to_pandas()
     wall = time.time() - t0
     if args.metrics:
@@ -110,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--no-resume", action="store_true", help="recompute completed partitions")
     pr.add_argument("--no-captions", action="store_true")
     pr.add_argument("--metrics", action="store_true", help="write _metrics.parquet lineage rollup")
+    pr.add_argument(
+        "--planned-partitions",
+        action="store_true",
+        help="exact LPT byte-balanced partitions (one extra slim pre-pass) "
+        "instead of single-pass streaming assignment",
+    )
     pr.set_defaults(fn=cmd_run)
 
     pg = sub.add_parser("gen", help="write synthetic pages parquet")

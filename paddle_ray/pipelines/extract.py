@@ -51,10 +51,22 @@ def extract_pipeline(
     out_dir: str | None = None,
     resume: bool = True,
     with_metrics: bool = False,
+    partitioning: str = "streaming",
 ):
     """Build the lazy extraction Dataset. If out_dir is given, performs the
     checkpointed per-partition write and returns the manifest Dataset;
-    otherwise returns the deterministic (url-sorted) extracted Dataset."""
+    otherwise returns the deterministic (url-sorted) extracted Dataset.
+
+    partitioning:
+      - "streaming" (default): single-pass crc32(url) + outlier diversion
+        (stages/sniff.py) — no pre-pass, scales to 10^12 rows.
+      - "planned": exact LPT byte-balancing (stages/partition.py) — one
+        cheap extra pass over (url, byte-length) builds a bucket size
+        index, the greedy plan broadcasts, and partition_id is
+        reassigned so each output partition holds ~equal payload bytes.
+        Use when partition-size uniformity matters more than the
+        pre-pass (e.g. fixed-size downstream consumers).
+    """
     cfg = cfg or ExtractConfig()
     ds = read_pages(source, columns=["url", "warc_ts", "html", "lang"])
 
@@ -67,6 +79,14 @@ def extract_pipeline(
         reset_metrics()
         sniff = wrap_with_metrics("sniff", sniff)
     ds = ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
+
+    if partitioning == "planned":
+        from ..stages.partition import bucket_sizes, make_planned_assigner, plan_partitions_from_sizes
+
+        # pre-pass: slim (url, n_bytes_in) projection only — the html
+        # payload column is dropped before the pass materializes anything
+        assign = plan_partitions_from_sizes(bucket_sizes(ds), cfg.n_partitions)
+        ds = ds.map_batches(make_planned_assigner(assign), batch_format="pyarrow")
 
     if out_dir and resume:
         done = ckpt.completed_partitions(out_dir)

@@ -61,3 +61,37 @@ def test_bucket_sizes_and_assigner_roundtrip(ray_session):
     assert out.partition_id.between(0, 15).all()
     loads = out.groupby("partition_id").n_bytes_in.sum()
     assert loads.max() / loads.sum() < 2.5 / 16  # no partition > ~2.5x fair share
+
+
+def test_planned_partitioning_end_to_end(tmp_path, ray_session):
+    """partitioning='planned' writes byte-balanced partitions and resumes
+    exactly like the streaming mode."""
+    from paddle_ray.pipelines.extract import extract_pipeline
+    from paddle_ray.sources.pages import synth_pages
+
+    pages, _ = synth_pages(400, pdf_every=0, outlier_every=100)
+    out = str(tmp_path / "o")
+    man = extract_pipeline(pages, out_dir=out, resume=False, partitioning="planned").to_pandas()
+    assert man.row_count.sum() == 400
+    # resume is a no-op
+    man2 = extract_pipeline(pages, out_dir=out, resume=True, partitioning="planned").to_pandas()
+    assert len(man2) == 0
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    part_rows = []
+    for f in glob.glob(os.path.join(out, "part-*", "data.parquet")):
+        rows = pq.read_table(f, columns=["n_bytes_in"])["n_bytes_in"].to_pylist()
+        part_rows.append(rows)
+    loads = sorted(sum(r) for r in part_rows)
+    biggest_row = max(max(r) for r in part_rows)
+    # an indivisible MB-outlier row may exceed the fair share — LPT must
+    # then ISOLATE it (its partition ~= just that row) rather than stack
+    # other work behind it
+    assert max(loads) <= biggest_row * 1.2
+    # partitions without an outlier balance tightly
+    normal = [x for x in loads if x < biggest_row / 2]
+    assert normal and max(normal) / min(normal) < 3.0
