@@ -114,6 +114,37 @@ def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
 
+_VIS_COLORS = {
+    "title": "#7b3ff2",
+    "text": "#1f6fd6",
+    "list": "#1a9850",
+    "table": "#d67c1f",
+    "image": "#d62e4e",
+}
+
+
+def render_blocks_svg(blocks: list[dict]) -> str:
+    """Deterministic SVG overlay of block bboxes (≙ the reference's
+    `visualize` knob returning annotated images, model.py:515-533 — here a
+    vector annotation instead of a raster, no image libs needed)."""
+    if not blocks:
+        return '<svg xmlns="http://www.w3.org/2000/svg" width="0" height="0"/>'
+    max_x = max(b["bbox"][2] for b in blocks if b["bbox"]) if blocks else 0
+    max_y = max(b["bbox"][3] for b in blocks if b["bbox"]) if blocks else 0
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{max_x}" height="{max_y}">'
+    ]
+    for b in blocks:
+        x1, y1, x2, y2 = b["bbox"] or [0, 0, 0, 0]
+        color = _VIS_COLORS.get(b["label"], "#666666")
+        parts.append(
+            f'<rect x="{x1}" y="{y1}" width="{max(0, x2 - x1)}" height="{max(0, y2 - y1)}" '
+            f'fill="none" stroke="{color}" stroke-width="2"><title>{b["label"]}</title></rect>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 class DocumentExtractor:
     def __init__(self, cfg: ExtractConfig | None = None):
         self.cfg = cfg or ExtractConfig()
@@ -150,18 +181,21 @@ class DocumentExtractor:
                 n_blocks.append(0)
                 hashes.append(sha256_hex(""))
                 errors.append(f"{type(e).__name__}: {e}")
-        return pa.table(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
-                "extracted_text": pa.array(texts, pa.string()),
-                "blocks": pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
-                "markdown": pa.array(mds, pa.string()),
-                "n_blocks": pa.array(n_blocks, pa.int32()),
-                "n_bytes_in": batch["n_bytes_in"],
-                "content_hash": pa.array(hashes, pa.string()),
-                "partition_id": batch["partition_id"],
-                "error": pa.array(errors, pa.string()),
-            }
-        )
+        cols = {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "extracted_text": pa.array(texts, pa.string()),
+            "blocks": pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
+            "markdown": pa.array(mds, pa.string()),
+            "n_blocks": pa.array(n_blocks, pa.int32()),
+            "n_bytes_in": batch["n_bytes_in"],
+            "content_hash": pa.array(hashes, pa.string()),
+            "partition_id": batch["partition_id"],
+            "error": pa.array(errors, pa.string()),
+        }
+        if self.cfg.visualize:  # ≙ request `visualize` knob (model.py:515-533)
+            cols["visualization"] = pa.array(
+                [render_blocks_svg(b) for b in blocks_col], pa.string()
+            )
+        return pa.table(cols)
