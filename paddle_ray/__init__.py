@@ -20,3 +20,15 @@ No module here calls ``ray.init()``/``ray.shutdown()`` — the driver,
 """
 
 __version__ = "0.1.0"
+
+# public convenience surface (lazy — keep package import light for workers)
+def extract_pipeline(*args, **kwargs):
+    from .pipelines.extract import extract_pipeline as _ep
+
+    return _ep(*args, **kwargs)
+
+
+def extract_document_request(*args, **kwargs):
+    from .api import extract_document_request as _edr
+
+    return _edr(*args, **kwargs)
