@@ -132,12 +132,20 @@ def _gen_article(rng: random.Random, n_paras: int, with_extras: bool):
             inner.append(f"<h2>{h}</h2>")
             expected.append(h)
         sent = _sentence(rng, rng.randint(15, 40))
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.3:
             # entity + inline markup case: decoded/flattened deterministically
             sent = sent.replace(" ", " &amp; ", 1)
             decoded = sent.replace("&amp;", "&")
             inner.append(f"<p>{sent.split(' ', 1)[0]} <b>{sent.split(' ', 1)[1]}</b></p>")
             expected.append(decoded)
+        elif roll < 0.45:
+            # MID-WORD inline tag: extraction must not fabricate a space
+            # (un<b>believ</b>able -> unbelievable)
+            first, rest = sent.split(" ", 1)
+            cut = max(1, len(first) // 2)
+            inner.append(f"<p>{first[:cut]}<i>{first[cut:]}</i> {rest}</p>")
+            expected.append(sent)
         else:
             inner.append(f"<p>{sent}</p>")
             expected.append(sent)
