@@ -112,7 +112,8 @@ class _TreeBuilder(HTMLParser):
         parent = self.stack[-1]
         counts = self._tag_counts[-1]
         counts[tag] = counts.get(tag, 0) + 1
-        node = Node(tag, dict(attrs), parent, counts[tag])
+        # skip dict() for the (majority) attribute-less tags
+        node = Node(tag, dict(attrs) if attrs else None, parent, counts[tag])
         parent.children.append(node)
         return node
 
@@ -198,8 +199,12 @@ class _FastBuilder(_TreeBuilder):
     def feed(self, html: str) -> None:  # type: ignore[override]
         pos, n = 0, len(html)
         handle_data = self.handle_data
+        handle_starttag = self.handle_starttag
+        handle_endtag = self.handle_endtag
+        tag_match = _TAG_RE.match
+        find = html.find
         while pos < n:
-            lt = html.find("<", pos)
+            lt = find("<", pos)
             if lt < 0:
                 text = html[pos:]
                 if text:
@@ -208,7 +213,7 @@ class _FastBuilder(_TreeBuilder):
             if lt > pos:
                 text = html[pos:lt]
                 handle_data(_unescape(text) if "&" in text else text)
-            m = _TAG_RE.match(html, lt)
+            m = tag_match(html, lt)
             if not m:
                 handle_data("<")  # bare '<' is text (stdlib 'invalid' path)
                 pos = lt + 1
@@ -250,11 +255,11 @@ class _FastBuilder(_TreeBuilder):
                     self.handle_endtag(tag)
                     pos = cm.end() if cm else n
                 else:
-                    self.handle_starttag(tag, attrs)
+                    handle_starttag(tag, attrs)
                 continue
             end = m.group("end")
             if end is not None:
-                self.handle_endtag(end.lower())
+                handle_endtag(end.lower())
             # comment / declaration / PI tokens produce no tree content
 
     def close(self) -> None:  # type: ignore[override]
