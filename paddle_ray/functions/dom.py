@@ -53,14 +53,28 @@ _RAWTEXT = frozenset(("script", "style"))
 class Node:
     """One element. ``children`` holds Node or str (text) in document order."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "index")
+    __slots__ = ("tag", "attrs", "children", "parent")
 
-    def __init__(self, tag: str, attrs=None, parent=None, index: int = 0):
+    def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
         self.attrs = attrs or {}
         self.children: list = []
         self.parent = parent
-        self.index = index  # 1-based position among same-tag siblings
+
+    @property
+    def index(self) -> int:
+        """1-based position among same-tag siblings, computed lazily —
+        paid only by the few emitted blocks whose path() is rendered, not
+        by every node at parse time (was ~10% of the parse)."""
+        if self.parent is None:
+            return 0
+        i = 0
+        for c in self.parent.children:
+            if isinstance(c, Node) and c.tag == self.tag:
+                i += 1
+                if c is self:
+                    return i
+        return 0
 
     # -- convenience -------------------------------------------------------
     def attr(self, name: str, default: str = "") -> str:
@@ -92,7 +106,8 @@ class Node:
         parts: list[str] = []
         n = self
         while n is not None and n.tag != "#root":
-            parts.append(f"{n.tag}[{n.index}]" if n.index > 1 else n.tag)
+            idx = n.index
+            parts.append(f"{n.tag}[{idx}]" if idx > 1 else n.tag)
             n = n.parent
         return "/".join(reversed(parts))
 
@@ -105,15 +120,12 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
-        self._tag_counts: list[dict] = [{}]
 
     # -- helpers -----------------------------------------------------------
     def _open(self, tag: str, attrs) -> Node:
         parent = self.stack[-1]
-        counts = self._tag_counts[-1]
-        counts[tag] = counts.get(tag, 0) + 1
         # skip dict() for the (majority) attribute-less tags
-        node = Node(tag, dict(attrs) if attrs else None, parent, counts[tag])
+        node = Node(tag, dict(attrs) if attrs else None, parent)
         parent.children.append(node)
         return node
 
@@ -122,16 +134,13 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
-                del self._tag_counts[i:]
                 return True
         return False
 
     # -- HTMLParser hooks --------------------------------------------------
     def handle_starttag(self, tag, attrs):
         if tag in _RAWTEXT:
-            node = self._open(tag, attrs)
-            self.stack.append(node)
-            self._tag_counts.append({})
+            self.stack.append(self._open(tag, attrs))
             return
         auto = _AUTO_CLOSE.get(tag)
         if auto:
@@ -143,7 +152,6 @@ class _TreeBuilder(HTMLParser):
         node = self._open(tag, attrs)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
-            self._tag_counts.append({})
 
     def handle_startendtag(self, tag, attrs):
         self._open(tag, attrs)
