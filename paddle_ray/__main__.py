@@ -47,7 +47,11 @@ def cmd_run(args: argparse.Namespace) -> int:
     from paddle_ray.pipelines.extract import extract_pipeline
     from paddle_ray.state import checkpoint as ckpt
 
-    cfg = ExtractConfig(captioning_enabled=not args.no_captions)
+    # env layer applies on the job-submit surface (defaults < env < flags):
+    # IMAGE_CAPTIONING_ENABLED / MAX_NUM_INPUT_IMGS, ≙ model.py:36-42
+    cfg = ExtractConfig.from_env(
+        **({"captioning_enabled": False} if args.no_captions else {})
+    )
     t0 = time.time()
     inputs = args.input if len(args.input) > 1 else args.input[0]
     manifests = extract_pipeline(

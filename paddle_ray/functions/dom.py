@@ -36,15 +36,19 @@ BLOCK_ELEMENTS = frozenset(
     ).split()
 )
 
-# start of key => elements it implicitly closes (nearest-first)
+# start of key => (elements it implicitly closes, scope boundary tags) —
+# the close NEVER crosses a boundary, so nested lists/tables keep their
+# structure (HTML5: li scope is bounded by ul/ol, td/tr by table)
+_LIST_SCOPE = frozenset(("ul", "ol", "menu", "dl"))
+_TABLE_SCOPE = frozenset(("table",))
 _AUTO_CLOSE = {
-    "li": ("li",),
-    "tr": ("tr", "td", "th"),
-    "td": ("td", "th"),
-    "th": ("td", "th"),
-    "option": ("option",),
-    "dt": ("dt", "dd"),
-    "dd": ("dt", "dd"),
+    "li": (("li",), _LIST_SCOPE),
+    "tr": (("tr", "td", "th"), _TABLE_SCOPE),
+    "td": (("td", "th"), _TABLE_SCOPE),
+    "th": (("td", "th"), _TABLE_SCOPE),
+    "option": (("option",), frozenset(("select",))),
+    "dt": (("dt", "dd"), _LIST_SCOPE),
+    "dd": (("dt", "dd"), _LIST_SCOPE),
 }
 
 _RAWTEXT = frozenset(("script", "style"))
@@ -129,12 +133,16 @@ class _TreeBuilder(HTMLParser):
         parent.children.append(node)
         return node
 
-    def _close_to(self, tag: str) -> bool:
-        """Close nearest open ``tag``; return False if not open."""
+    def _close_to(self, tag: str, stop: frozenset = frozenset()) -> bool:
+        """Close nearest open ``tag`` WITHOUT crossing a ``stop`` boundary;
+        return False if not open within scope."""
         for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
+            t = self.stack[i].tag
+            if t == tag:
                 del self.stack[i:]
                 return True
+            if t in stop:
+                return False
         return False
 
     # -- HTMLParser hooks --------------------------------------------------
@@ -144,11 +152,21 @@ class _TreeBuilder(HTMLParser):
             return
         auto = _AUTO_CLOSE.get(tag)
         if auto:
-            for victim in auto:
-                if self._close_to(victim):
+            victims, stop = auto
+            for victim in victims:
+                if self._close_to(victim, stop):
                     break
-        elif tag in BLOCK_ELEMENTS and self.stack[-1].tag == "p":
-            self._close_to("p")
+        elif tag in BLOCK_ELEMENTS:
+            # HTML5 p-scope: an open <p> closes on any block start even
+            # through inline wrappers (<p>a<span>b<div> closes the p), but
+            # never across another block/rawtext boundary
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in BLOCK_ELEMENTS or t in _RAWTEXT:
+                    break
         node = self._open(tag, attrs)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
@@ -188,13 +206,17 @@ def parse_html_stdlib(html: str) -> Node:
 _TAG_RE = re.compile(
     r"<(?:"
     r"!--(?P<comment>.*?)(?:-->|$)"  # comments (unterminated swallows rest)
-    r"|!(?P<decl>[^>]*)>?"  # <!doctype ...>, <![CDATA[ (skipped)
+    r"|!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|$)"  # marked sections scan to ]]> (stdlib parity)
+    r"|!(?P<decl>[^>]*)>?"  # <!doctype ...> (skipped)
     r"|\?(?P<pi>[^>]*)>?"  # processing instructions (skipped)
     r"|/(?P<end>[a-zA-Z][-a-zA-Z0-9:_.]*)\s*[^>]*>"  # end tags
     # quoted sections only count as such directly after '=' (value
     # position) — a stray quote elsewhere is ordinary soup, matching the
-    # stdlib parser's tolerant reading of e.g. <div class=a"b>
-    r"|(?P<start>[a-zA-Z][-a-zA-Z0-9:_.]*)(?P<attrs>(?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>"
+    # stdlib parser's tolerant reading of e.g. <div class=a"b>. ALL
+    # quantifiers here are POSSESSIVE (*+): the alternation is ambiguous
+    # ([^>] also matches '=') and a truncated tag at EOF would otherwise
+    # backtrack exponentially (2^n_attrs) and wedge the actor forever.
+    r"|(?P<start>[a-zA-Z][-a-zA-Z0-9:_.]*)(?P<attrs>(?:=\s*+\"[^\"]*+\"|=\s*+'[^']*+'|[^>])*+)>"
     r")",
     re.DOTALL,
 )
@@ -211,6 +233,7 @@ class _FastBuilder(_TreeBuilder):
         handle_endtag = self.handle_endtag
         tag_match = _TAG_RE.match
         find = html.find
+        no_more_tags = False  # set once find('>') fails — every later '<' is text
         while pos < n:
             lt = find("<", pos)
             if lt < 0:
@@ -221,8 +244,17 @@ class _FastBuilder(_TreeBuilder):
             if lt > pos:
                 text = html[pos:lt]
                 handle_data(_unescape(text) if "&" in text else text)
+            if no_more_tags:
+                handle_data("<")
+                pos = lt + 1
+                continue
             m = tag_match(html, lt)
             if not m:
+                if find(">", lt) == -1:
+                    # no tag can complete anymore (e.g. crawl-truncated
+                    # page) — remember it so the tail costs one find()
+                    # total, not one rescan per remaining '<'
+                    no_more_tags = True
                 handle_data("<")  # bare '<' is text (stdlib 'invalid' path)
                 pos = lt + 1
                 continue

@@ -68,9 +68,19 @@ def extract_pipeline(
         pre-pass (e.g. fixed-size downstream consumers).
     """
     cfg = cfg or ExtractConfig()
-    ds = read_pages(source, columns=["url", "warc_ts", "html", "lang"])
+    pages_ds = read_pages(source, columns=["url", "warc_ts", "html", "lang"])
 
     sniff = make_sniff_batch(cfg)
+    assign = None
+    if partitioning == "planned":
+        from ..stages.partition import bucket_sizes, make_planned_assigner, plan_partitions_from_sizes
+
+        # pre-pass on a separate UNMETERED branch of the lazy dataset (the
+        # metered main pass below would otherwise report sniff twice):
+        # slim (url, n_bytes_in) projection only
+        pre = pages_ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
+        assign = plan_partitions_from_sizes(bucket_sizes(pre), cfg.n_partitions)
+
     if with_metrics:
         # create the collector driver-side (so the driver owns its
         # lifetime) and zero it: metrics are per-job, not cumulative
@@ -78,16 +88,24 @@ def extract_pipeline(
 
         reset_metrics()
         sniff = wrap_with_metrics("sniff", sniff)
-    ds = ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
+    ds = pages_ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
+    if assign is not None:
+        from ..stages.partition import make_planned_assigner
 
-    if partitioning == "planned":
-        from ..stages.partition import bucket_sizes, make_planned_assigner, plan_partitions_from_sizes
-
-        # pre-pass: slim (url, n_bytes_in) projection only — the html
-        # payload column is dropped before the pass materializes anything
-        assign = plan_partitions_from_sizes(bucket_sizes(ds), cfg.n_partitions)
         ds = ds.map_batches(make_planned_assigner(assign), batch_format="pyarrow")
 
+    # partition ids are only meaningful relative to the assignment config:
+    # stamp it on first write, refuse to resume under a different one
+    fingerprint = {
+        "mode": partitioning,
+        "n_partitions": cfg.n_partitions,
+        "outlier_bytes": cfg.outlier_bytes,
+        "n_outlier_partitions": cfg.n_outlier_partitions,
+    }
+    if out_dir:
+        if resume:
+            ckpt.check_partitioning_stamp(out_dir, fingerprint)
+        ckpt.write_partitioning_stamp(out_dir, fingerprint)
     if out_dir and resume:
         done = ckpt.completed_partitions(out_dir)
         if done:

@@ -48,14 +48,33 @@ class UrlFetcher:
         self.timeout_s = timeout_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if "html" not in batch.column_names:
+            need = np.ones(len(batch), dtype=bool)
+        else:
+            have = pc.fill_null(
+                pc.greater(pc.binary_length(batch["html"]), pa.scalar(0)), False
+            ).to_numpy(zero_copy_only=False)
+            need = ~have
+        if not need.any():
+            # common pass-through: every payload already materialized —
+            # the batch moves zero-copy (no to_pylist of MB-scale blobs)
+            if "error" in batch.column_names:
+                return batch
+            return batch.append_column("error", pa.nulls(len(batch), pa.string()))
+
         urls = batch["url"].to_pylist()
-        payloads = batch["html"].to_pylist() if "html" in batch.column_names else [None] * len(urls)
+        payloads = (
+            batch["html"].to_pylist() if "html" in batch.column_names else [None] * len(urls)
+        )
         errors = (
             batch["error"].to_pylist() if "error" in batch.column_names else [None] * len(urls)
         )
         out_payloads: list[bytes] = []
         for i, (url, payload) in enumerate(zip(urls, payloads)):
-            if payload:  # already materialized — pass through
+            if not need[i]:
                 out_payloads.append(payload)
                 continue
             try:

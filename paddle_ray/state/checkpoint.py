@@ -221,3 +221,34 @@ def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
         except Exception:
             bad.append(pid)
     return ok, bad
+
+
+PARTITIONING_STAMP = "_PARTITIONING.json"
+
+
+def write_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:
+    """Record how rows were assigned to partitions. Resume REFUSES to mix
+    manifests produced under a different assignment — partition ids are
+    only meaningful relative to their partitioning config, and silently
+    filtering new ids against old manifests drops never-written rows."""
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    path = os.path.join(out_dir, MANIFEST_DIR, PARTITIONING_STAMP)
+    if os.path.exists(path):
+        return  # first writer wins; check_partitioning_stamp validates
+    _atomic_write_bytes(path, json.dumps(fingerprint, sort_keys=True).encode())
+
+
+def check_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:
+    """Raise if out_dir was checkpointed under a DIFFERENT partitioning."""
+    path = os.path.join(out_dir, MANIFEST_DIR, PARTITIONING_STAMP)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        existing = json.load(f)
+    if existing != fingerprint:
+        raise ValueError(
+            f"checkpoint dir {out_dir} was written with partitioning "
+            f"{existing}, current config is {fingerprint}: resuming would "
+            "silently drop rows whose new partition_id collides with a "
+            "completed old one. Use a fresh out_dir or resume=False."
+        )

@@ -97,3 +97,43 @@ def test_documented_divergence_unterminated_comment():
 )
 def test_differential_generated_soup(parts):
     assert_same("".join(parts))
+
+
+def test_adversarial_truncated_tag_parses_fast():
+    """Review regression: ambiguous attrs alternation backtracked
+    exponentially on crawl-truncated tags (k=24 quoted attrs took >20 s);
+    possessive quantifiers + the no-'>'-left early exit must keep it
+    linear."""
+    import time
+
+    doc = "<div " + '="aaaa" ' * 60
+    t0 = time.perf_counter()
+    parse_html(doc)
+    assert time.perf_counter() - t0 < 0.5
+    t0 = time.perf_counter()
+    parse_html("<a " * 100_000)  # 300 KB of truncated tags
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_nested_list_and_table_scopes():
+    """li/td/tr auto-close is bounded by its list/table scope — nested
+    structures keep their shape."""
+    t = parse_html("<ul><li>A<ul><li>B</li><li>C</li></ul></li></ul>")
+    li_a = t.children[0].children[0]
+    inner = [c for c in li_a.children if not isinstance(c, str)]
+    assert len(inner) == 1 and inner[0].tag == "ul" and len(inner[0].children) == 2
+
+    t2 = parse_html("<table><tr><td>x<table><tr><td>y</td></tr></table></td></tr></table>")
+    outer_td = t2.children[0].children[0].children[0]
+    assert outer_td.tag == "td"
+    inner_tables = [c for c in outer_td.children if not isinstance(c, str) and c.tag == "table"]
+    assert len(inner_tables) == 1  # inner table stays inside the outer cell
+
+
+def test_cdata_matches_stdlib():
+    assert_same("<p>x<![CDATA[a>b]]>y</p>")
+
+
+def test_p_closes_through_inline_wrapper():
+    t = parse_html("<p>a<span>b<div>c")
+    assert [c.tag for c in t.children if not isinstance(c, str)] == ["p", "div"]

@@ -113,7 +113,7 @@ def test_checkpointed_write_and_resume(tmp_path):
     man = extract_pipeline(pages, out_dir=out).to_pandas()
     assert man.row_count.sum() == 100
     n_parts = len(man)
-    assert len(glob.glob(f"{out}/_manifests/*.json")) == n_parts
+    assert len(glob.glob(f"{out}/_manifests/partition-*.json")) == n_parts
 
     # simulate partial failure: delete 2 partitions' data+manifest
     victims = sorted(man.partition_id)[:2]
@@ -250,3 +250,25 @@ def test_implicit_body_fallback():
     r = extract_document(html)
     assert "Real content paragraph" in r["extracted_text"]
     assert "T" not in r["extracted_text"].split("Real")[0]  # head never leaks
+
+
+def test_resume_refuses_partitioning_mismatch(tmp_path, ray_session):
+    """Review regression: resuming a checkpoint under a DIFFERENT
+    partitioning config must raise, not silently drop rows."""
+    import pytest
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.pipelines.extract import extract_pipeline
+    from paddle_ray.sources.pages import synth_pages
+
+    pages, _ = synth_pages(60, pdf_every=0, outlier_every=0)
+    out = str(tmp_path / "o")
+    extract_pipeline(pages, out_dir=out, resume=False).materialize()
+    # same config resumes fine (no-op)
+    assert len(extract_pipeline(pages, out_dir=out, resume=True).to_pandas()) == 0
+    # different partition count must refuse
+    with pytest.raises(ValueError, match="partitioning"):
+        extract_pipeline(pages, cfg=ExtractConfig(n_partitions=32), out_dir=out, resume=True)
+    # different mode must refuse
+    with pytest.raises(ValueError, match="partitioning"):
+        extract_pipeline(pages, out_dir=out, resume=True, partitioning="planned")
