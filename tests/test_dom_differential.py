@@ -90,6 +90,9 @@ def test_documented_divergence_unterminated_comment():
                 "<img src=x>", "<br/>", "text ", "more words ", "&amp;",
                 "&#65;", "<!-- c -->", "<script>a<b</script>", "<style>x</style>",
                 '<a href="u">', "</a>", "<P>", "<EM>", "</EM>",
+                '<div class="x y" id=z>', "<span data-a='1' hidden>", "</span>",
+                '<a href=http://e.com/>', '<img src="a.png" alt="t w"/>',
+                "<td colspan=2>", "<ol>", "</ol>", "<dl>", "<dt>", "<dd>",
             ]
         ),
         max_size=50,
