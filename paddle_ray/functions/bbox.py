@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 
-_BOX_KEY = re.compile(r"img_in_(?:image|table|chart)_box_(\d+)_(\d+)_(\d+)_(\d+)")
+BOX_KEY_RE = re.compile(r"img_in_(?:image|table|chart)_box_(\d+)_(\d+)_(\d+)_(\d+)")
 _LAST4 = re.compile(r"(\d+)_(\d+)_(\d+)_(\d+)(?:\D[^_]*)?$")
 
 MIN_W = 100
@@ -41,7 +41,7 @@ def parse_bbox_from_name(name: str) -> list[int] | None:
     """
     if not name:
         return None
-    m = _BOX_KEY.search(name)
+    m = BOX_KEY_RE.search(name)
     if m is None:
         stem = name.rsplit("/", 1)[-1]
         stem = stem.rsplit(".", 1)[0]

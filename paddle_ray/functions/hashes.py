@@ -78,6 +78,11 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
 
     The per-band sequential mix runs vectorized ACROSS bands (rows ~8
     vector ops instead of bands*rows scalar ops)."""
+    if bands > len(sig) or len(sig) % bands != 0:
+        # rows=0 would key EVERY doc into the same constant bucket (the
+        # whole corpus becomes one O(n^2) candidate set, silently); a
+        # non-dividing band count silently ignores tail signature rows
+        raise ValueError(f"bands={bands} must divide signature length {len(sig)}")
     rows = len(sig) // bands
     chunks = sig[: bands * rows].reshape(bands, rows)
     h = np.full(bands, np.uint64(1469598103934665603), dtype=np.uint64)

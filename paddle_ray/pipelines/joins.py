@@ -33,6 +33,15 @@ import ray.data as rd
 from .common import read_table as _read
 
 
+def _hash_part(key_np, n_parts: int):
+    """splitmix64-hashed coarse partition id — raw modulo collapses ids
+    allocated with a stride (e.g. multiples of 64) into one partition."""
+    from ..functions.hashes import splitmix64
+
+    h = splitmix64(key_np.astype(np.uint64))
+    return pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
 # --------------------------------------------------------------------------
 # q6: single-value filter aggregate (no shuffle at all — partials + driver sum)
 # --------------------------------------------------------------------------
@@ -200,7 +209,7 @@ def asof_events_orders(sf_dir: str) -> pd.DataFrame:
         key = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "part": pa.array((key % N_ASOF_PARTS).astype(np.int32), pa.int32()),
+                "part": _hash_part(key, N_ASOF_PARTS),
                 "key": batch["user_id"],
                 "ts_us": pc.cast(batch["ts"], pa.int64()),
                 "kind": pa.array(np.ones(len(key), dtype=np.int8), pa.int8()),
@@ -212,7 +221,7 @@ def asof_events_orders(sf_dir: str) -> pd.DataFrame:
         key = batch["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "part": pa.array((key % N_ASOF_PARTS).astype(np.int32), pa.int32()),
+                "part": _hash_part(key, N_ASOF_PARTS),
                 "key": batch["o_custkey"],
                 "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
                 "kind": pa.array(np.zeros(len(key), dtype=np.int8), pa.int8()),
@@ -236,7 +245,7 @@ def asof_events_orders(sf_dir: str) -> pd.DataFrame:
         )
         m["matched"] = m.o_ts_us.notna()
         m["age_s"] = ((m.ts_us - m.o_ts_us) // 1_000_000).fillna(0).astype("int64")
-        out = m.groupby("event_type", as_index=False).agg(
+        out = m.groupby("event_type", as_index=False, dropna=False).agg(
             n_events=("ts_us", "size"),
             n_matched=("matched", "sum"),
             sum_age_s=("age_s", "sum"),
@@ -247,7 +256,7 @@ def asof_events_orders(sf_dir: str) -> pd.DataFrame:
         both.groupby("part")
         .map_groups(asof_part, batch_format="pandas")
         .to_pandas()
-        .groupby("event_type", as_index=False)
+        .groupby("event_type", as_index=False, dropna=False)
         .agg(n_events=("n_events", "sum"), n_matched=("n_matched", "sum"), sum_age_s=("sum_age_s", "sum"))
         .sort_values("event_type")
         .reset_index(drop=True)
@@ -338,9 +347,7 @@ def window_top3_orders(sf_dir: str) -> pd.DataFrame:
 
     def add_part(batch: pa.Table) -> pa.Table:
         key = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array((key % N_WINDOW_PARTS).astype(np.int32), pa.int32())
-        )
+        return batch.append_column("part", _hash_part(key, N_WINDOW_PARTS))
 
     def rank_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

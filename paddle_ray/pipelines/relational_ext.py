@@ -50,7 +50,12 @@ N_COGROUP_PARTS = 64
 
 
 def _part_of(key_np: np.ndarray) -> pa.Array:
-    return pa.array((key_np % N_COGROUP_PARTS).astype(np.int32), pa.int32())
+    # splitmix64-hashed (not raw modulo): stride-allocated keys must not
+    # collapse into one partition
+    from ..functions.hashes import splitmix64
+
+    h = splitmix64(key_np.astype(np.uint64))
+    return pa.array((h % np.uint64(N_COGROUP_PARTS)).astype(np.int32), pa.int32())
 
 
 # --------------------------------------------------------------------------

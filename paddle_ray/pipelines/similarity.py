@@ -22,15 +22,44 @@ import ray
 import ray.data as rd
 
 
+from .common import read_table
+
+
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    if len(ids) == 0:  # reshape(0, -1) raises on empty input
+        return ids, np.zeros((0, 0), dtype=np.float32)
     flat = batch["embedding"].combine_chunks()
     arr = np.asarray(flat.values, dtype=np.float32).reshape(len(ids), -1)
     return ids, arr
+
+
+_EMPTY_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim_raw": pa.array([], pa.float64()),
+    }
+)
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side final merge shared by all ANN variants: per query keep
+    top-k by (sim desc, neighbor_id asc) — the oracle's ORDER BY."""
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
+        for _, r in g.iterrows():
+            out_rows.append((int(qid), int(r.neighbor_id), round(float(r.sim_raw), 6)))
+    return (
+        pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"])
+        .sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -56,6 +85,8 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
     q_ref = ray.put((q_ids, q_mat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PARTIAL
         qids, qm = ray.get(q_ref)
         ids, m = _to_matrix(batch)
         sims = qm @ _normalize(m.astype(np.float64)).T  # (nq, nb)
@@ -81,14 +112,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
         )
 
     partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append((qid, int(r.neighbor_id), round(r.sim_raw, 6)))
-    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    return _merge_topk(partials, k)
 
 
 KNN_SQL_T = """
@@ -146,6 +170,8 @@ def knn_lsh(
     ref = ray.put((q_ids, q_mat, planes, q_codes))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PARTIAL
         qids, qm, pl, qc = ray.get(ref)
         ids, m = _to_matrix(batch)
         mn = _normalize(m.astype(np.float64))
@@ -160,7 +186,7 @@ def knn_lsh(
             sims = qm[qi] @ mn[cand].T
             cids = ids[cand]
             kk = min(k, len(cids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
+            top = np.lexsort((cids, -sims))[:kk]  # ties -> smallest id
             for t in top:
                 out["query_id"].append(int(qids[qi]))
                 out["neighbor_id"].append(int(cids[t]))
@@ -174,14 +200,7 @@ def knn_lsh(
         )
 
     partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append((int(qid), int(r.neighbor_id), round(r.sim_raw, 6)))
-    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    return _merge_topk(partials, k)
 
 
 def knn_ivf(
@@ -221,6 +240,8 @@ def knn_ivf(
     ref = ray.put((q_ids, q_mat, cent, q_probe))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PARTIAL
         qids, qm, ce, qp = ray.get(ref)
         ids, m = _to_matrix(batch)
         mn = _normalize(m.astype(np.float64))
@@ -233,7 +254,7 @@ def knn_ivf(
             sims = qm[qi] @ mn[cand].T
             cids = ids[cand]
             kk = min(k, len(cids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
+            top = np.lexsort((cids, -sims))[:kk]  # ties -> smallest id
             for t2 in top:
                 out["query_id"].append(int(qids[qi]))
                 out["neighbor_id"].append(int(cids[t2]))
@@ -247,14 +268,7 @@ def knn_ivf(
         )
 
     partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["sim_raw", "neighbor_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append((int(qid), int(r.neighbor_id), round(r.sim_raw, 6)))
-    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    return _merge_topk(partials, k)
 
 
 # --------------------------------------------------------------------------
@@ -265,22 +279,37 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Pairs with cosine >= threshold within each label group (partitioned
     self-join via groupby(label).map_groups; vectorized gram matrix)."""
 
+    BLOCK = 2048
+
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
         ids = g.vec_id.to_numpy()
         m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        n = len(ids)
+        # blockwise upper-triangle sweep: memory O(BLOCK x n), never the
+        # full n x n gram matrix (100k-vector group = 80 GB otherwise)
+        a_out, b_out, s_out = [], [], []
+        for i0 in range(0, n, BLOCK):
+            i1 = min(i0 + BLOCK, n)
+            sims = m[i0:i1] @ m.T  # (block, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            upper = cols > (rows + i0)  # strict upper triangle only
+            rows, cols = rows[upper], cols[upper]
+            a_out.append(ids[rows + i0])
+            b_out.append(ids[cols])
+            s_out.append(sims[rows, cols])
+        ids_a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        ids_b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        sims_v = np.concatenate(s_out) if s_out else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
-                "id_a": ids[iu[keep]].astype("int64"),
-                "id_b": ids[ju[keep]].astype("int64"),
-                "sim": np.round(sims[iu, ju][keep], 6),
+                "id_a": ids_a.astype("int64"),
+                "id_b": ids_b.astype("int64"),
+                "sim": np.round(sims_v, 6),
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     pairs = ds.groupby("label").map_groups(group_pairs, batch_format="pandas").to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})

@@ -20,7 +20,6 @@ truncated to 512 chars (`layout_captioning.py:169`) and appended to
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +27,8 @@ import pyarrow as pa
 from ..core.config import ExtractConfig
 from ..core.schema import BLOCK_TYPE
 
-_MD_IMG_KEY = re.compile(r"img_in_(?:image|table|chart)_box_(\d+)_(\d+)_(\d+)_(\d+)")
+# the bbox key grammar has ONE owner — functions/bbox.py
+from ..functions.bbox import BOX_KEY_RE as _MD_IMG_KEY
 
 _CAPTION_VOCAB = (
     "a photo of diagram chart figure showing table screenshot rendering of the "
@@ -76,6 +76,11 @@ class Captioner:
         blocks = batch["blocks"]
         if isinstance(blocks, pa.ChunkedArray):
             blocks = blocks.combine_chunks()
+        if blocks.null_count:
+            # rebuilding via from_arrays would silently turn null rows into
+            # [] (validity is not carried); our extractor never emits null
+            # blocks, so just pass such external batches through unpatched
+            return batch
         offsets = np.asarray(blocks.offsets)  # absolute into blocks.values
         vals = blocks.values  # raw struct child; flat indices are absolute
         labels = vals.field("label")

@@ -272,3 +272,28 @@ def test_resume_refuses_partitioning_mismatch(tmp_path, ray_session):
     # different mode must refuse
     with pytest.raises(ValueError, match="partitioning"):
         extract_pipeline(pages, out_dir=out, resume=True, partitioning="planned")
+
+
+def test_assemble_pages_ds_operator(ray_session):
+    """The engine-side page->document reassembly operator (M16/O1): pages
+    arrive unordered; output must be page_index-sorted with separators."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from paddle_ray.stages.assemble import assemble_pages_ds
+
+    rows = pa.table(
+        {
+            "url": ["u2", "u1", "u1", "u2", "u1"],
+            "page_index": [1, 2, 0, 0, 1],
+            "page_text": ["B2", "a3", "a1", "B1", "a2"],
+        }
+    )
+    out = assemble_pages_ds(rd.from_arrow(rows)).to_pandas().sort_values("url")
+    u1 = out[out.url == "u1"].iloc[0]
+    assert u1.n_pages == 3
+    assert u1.extracted_text == (
+        "=== PAGE 1 ===\n\na1\n\n=== PAGE 2 ===\n\na2\n\n=== PAGE 3 ===\n\na3"
+    )
+    u2 = out[out.url == "u2"].iloc[0]
+    assert u2.n_pages == 2 and "B1" in u2.extracted_text and "B2" in u2.extracted_text
