@@ -10,7 +10,7 @@ defaults < file < env < request order (SURVEY.md §2.10).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 def _env_bool(name: str, default: bool) -> bool:

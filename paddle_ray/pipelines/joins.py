@@ -26,8 +26,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
-import ray.data as rd
 
 
 from .common import read_table as _read

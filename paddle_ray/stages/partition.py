@@ -47,8 +47,6 @@ def bucket_sizes(ds, url_col: str = "url", bytes_col: str = "n_bytes_in") -> np.
     """One cheap aggregation pass over a slim (url, n_bytes) projection:
     per-batch partial sums into N_BUCKETS, then a tiny driver-side merge —
     no shuffle of the full data."""
-    import pyarrow.compute as pc  # noqa: F401
-
     def partial(batch: pa.Table) -> pa.Table:
         sizes = np.zeros(N_BUCKETS, dtype=np.int64)
         nb = batch[bytes_col].to_numpy(zero_copy_only=False)
