@@ -64,10 +64,9 @@ def cmd_run(args: argparse.Namespace) -> int:
     ).to_pandas()
     wall = time.time() - t0
     if args.metrics:
-        from paddle_ray.state.metrics import metrics_snapshot_df
+        from paddle_ray.state.metrics import write_metrics_parquet
 
-        mdf = metrics_snapshot_df()
-        mdf.to_parquet(os.path.join(args.out, "_metrics.parquet"), index=False)
+        write_metrics_parquet(args.out)
     done = ckpt.completed_partitions(args.out)
     rows_this_run = int(manifests.row_count.sum()) if len(manifests) else 0
     summary = {
@@ -118,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--cpus", type=int, default=None)
     pr.add_argument("--no-resume", action="store_true", help="recompute completed partitions")
     pr.add_argument("--no-captions", action="store_true")
-    pr.add_argument("--metrics", action="store_true", help="write _metrics.parquet lineage rollup")
+    pr.add_argument("--metrics", action="store_true", help="write _metrics/metrics.parquet lineage rollup")
     pr.add_argument(
         "--planned-partitions",
         action="store_true",

@@ -36,6 +36,12 @@ class ExtractConfig:
     min_caption_w: int = 100             # caption_config.yaml:8-11 size gate
     min_caption_h: int = 100
     min_caption_area: int = 10_000
+    # conditional captioning (M12+M14): feed the image's relevant text as
+    # the caption prompt (`bbox_text_matcher.py:85-125` find_relevant_text,
+    # prompt gate/truncate `blip_conditional_caption_e2e.py:144-147`)
+    conditional_captioning: bool = True
+    caption_context_min_len: int = 10    # len > 10 gate before using context
+    caption_context_max: int = 200       # context truncated to 200 chars
     # --- actor-pool sizing (≙ instance_group count 6 layout / 4 blip,
     #     dynamic batch 8/16; config_gpu_paddlex.pbtxt:20, config_gpu_blip.pbtxt:21-31)
     # min pool size 1: a min of 2+ can deadlock small CPU budgets (both
@@ -59,6 +65,9 @@ class ExtractConfig:
     # --- output
     deterministic_sort: bool = True
     visualize: bool = False              # ≙ request `visualize` knob (model.py:515-533)
+    # --- metrics plane (set by extract_pipeline(with_metrics=True)): actor
+    # stages report per-partition counters incl. caption merges (A5)
+    emit_metrics: bool = False
 
     @staticmethod
     def from_env(**overrides) -> "ExtractConfig":

@@ -99,3 +99,84 @@ def text_above_image(text_bbox, img_bbox, max_gap: int = ABOVE_MAX_GAP) -> bool:
     if iy1 - ty2 > max_gap:
         return False
     return min(tx2, ix2) > max(tx1, ix1)
+
+
+# --- conditional-captioning context (M12/M13/M14) -------------------------
+
+_IMG_DIV_RE = re.compile(r"<div[^>]*>\s*<img[^>]*>\s*</div>", re.IGNORECASE | re.DOTALL)
+_IMG_TAG_RE = re.compile(r"<img[^>]*>", re.IGNORECASE)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+DEFAULT_CAPTION_PROMPT = (
+    "Describe this image in detail, focusing on key elements and their relationships"
+)
+
+
+def clean_caption_context(text: str) -> str:
+    """M13 cleaner, reference semantics (`bbox_text_matcher.py:127-146`):
+    strip ``<div><img></div>`` wrappers, bare ``<img>`` tags, any remaining
+    HTML tags, then collapse whitespace runs to single spaces."""
+    if not text or not text.strip():
+        return ""
+    text = _IMG_DIV_RE.sub("", text)
+    text = _IMG_TAG_RE.sub("", text)
+    text = _ANY_TAG_RE.sub("", text)
+    return _WS_RE.sub(" ", text).strip()
+
+
+def build_caption_prompt(context: str, min_len: int = 10, max_len: int = 200) -> str:
+    """M14 prompt builder (`blip_conditional_caption_e2e.py:144-147`): use
+    the cleaned context only when meaningful (len > 10), truncated to 200
+    chars; otherwise the generic unconditional prompt."""
+    if context and len(context) > min_len:
+        return f"Based on this context: '{context[:max_len]}', describe this image in detail"
+    return DEFAULT_CAPTION_PROMPT
+
+
+def find_caption_context(
+    img_idx: int,
+    row_lo: int,
+    row_hi: int,
+    labels: list,
+    bboxes,
+    contents: list,
+    text_labels=("text", "title", "list"),
+) -> str:
+    """M12 relevant-text lookup over one row's block span ``[row_lo, row_hi)``.
+
+    Reference primary path (`bbox_text_matcher.py:85-125`
+    ``find_relevant_text_for_image``): the matched image block's own
+    ``block_content`` IS the relevant text. When that is empty, fall back to
+    the spatial predicates the reference ships alongside it (M11
+    ``is_text_above_image`` `:70-83`, then M10 ``boxes_overlap`` `:40-68`):
+    nearest text block directly above the image (smallest vertical gap,
+    document order breaking ties), else the first text block overlapping it.
+
+    ``bboxes`` is indexable as ``bboxes[i] -> [x1, y1, x2, y2]``.
+    """
+    own = (contents[img_idx] or "").strip()
+    if own:
+        return own
+    ib = bboxes[img_idx]
+    best_gap, best_txt = None, ""
+    for i in range(row_lo, row_hi):
+        if i == img_idx or labels[i] not in text_labels:
+            continue
+        txt = (contents[i] or "").strip()
+        if not txt:
+            continue
+        tb = bboxes[i]
+        if text_above_image(tb, ib):
+            gap = float(ib[1]) - float(tb[3])
+            if best_gap is None or gap < best_gap:
+                best_gap, best_txt = gap, txt
+    if best_txt:
+        return best_txt
+    for i in range(row_lo, row_hi):
+        if i == img_idx or labels[i] not in text_labels:
+            continue
+        txt = (contents[i] or "").strip()
+        if txt and boxes_overlap(bboxes[i], ib):
+            return txt
+    return ""

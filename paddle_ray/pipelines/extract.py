@@ -81,13 +81,21 @@ def extract_pipeline(
         pre = pages_ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
         assign = plan_partitions_from_sizes(bucket_sizes(pre), cfg.n_partitions)
 
+    extractor_cls, captioner_cls = DocumentExtractor, Captioner
     if with_metrics:
         # create the collector driver-side (so the driver owns its
         # lifetime) and zero it: metrics are per-job, not cumulative
-        from ..state.metrics import reset_metrics
+        from dataclasses import replace
+
+        from ..state.metrics import reset_metrics, wrap_class_with_metrics
 
         reset_metrics()
         sniff = wrap_with_metrics("sniff", sniff)
+        # every stage reports (A1-A4); the Captioner additionally emits the
+        # caption-merge count (A5) via cfg.emit_metrics
+        extractor_cls = wrap_class_with_metrics("extract", DocumentExtractor)
+        captioner_cls = wrap_class_with_metrics("caption", Captioner)
+        cfg = replace(cfg, emit_metrics=True)
     ds = pages_ds.map_batches(sniff, batch_format="pyarrow", batch_size=cfg.html_batch_size)
     if assign is not None:
         from ..stages.partition import make_planned_assigner
@@ -105,6 +113,12 @@ def extract_pipeline(
     if out_dir:
         if resume:
             ckpt.check_partitioning_stamp(out_dir, fingerprint)
+        else:
+            # fresh run into an existing dir: stale manifests/part data from
+            # a previous (possibly differently-partitioned) run must not
+            # survive — a later resume=True would pass the stamp check yet
+            # mix old partitions with new ones
+            ckpt.reset_output_dir(out_dir)
         ckpt.write_partitioning_stamp(out_dir, fingerprint)
     if out_dir and resume:
         done = ckpt.completed_partitions(out_dir)
@@ -112,7 +126,7 @@ def extract_pipeline(
             ds = ds.map_batches(ckpt.make_resume_filter(done), batch_format="pyarrow")
 
     ds = ds.map_batches(
-        DocumentExtractor,
+        extractor_cls,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
@@ -121,7 +135,7 @@ def extract_pipeline(
     )
     if cfg.captioning_enabled:
         ds = ds.map_batches(
-            Captioner,
+            captioner_cls,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=cfg.caption_batch_size,

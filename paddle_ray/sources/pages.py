@@ -186,9 +186,16 @@ def _gen_pdf_payload(rng: random.Random, n_pages: int) -> tuple[bytes, str]:
             blocks.append(
                 {"label": "title" if bi == 0 else "text", "bbox": [50, y, 1100, y + 150], "content": content}
             )
+        if rng.random() < 0.5:
+            # figure block: empty content (no OCR text inside the image), so
+            # expected text is unchanged; sits right under the last text
+            # block -> the conditional Captioner finds that block as context
+            # (M11 text-above-image) and captions it via the markdown ref
+            y = 100 + 200 * len(blocks)
+            blocks.append({"label": "image", "bbox": [60, y, 900, y + 400], "content": ""})
         pages.append(blocks)
         parts.append(f"=== PAGE {pi + 1} ===")
-        parts.extend(b["content"] for b in blocks)
+        parts.extend(b["content"] for b in blocks if b["content"])
     payload = b"%PDF-\n" + json.dumps({"pages": pages}, sort_keys=True).encode()
     return payload, "\n\n".join(parts)
 

@@ -29,6 +29,12 @@ from ..core.schema import BLOCK_TYPE
 
 # the bbox key grammar has ONE owner — functions/bbox.py
 from ..functions.bbox import BOX_KEY_RE as _MD_IMG_KEY
+from ..functions.bbox import (
+    DEFAULT_CAPTION_PROMPT,
+    build_caption_prompt,
+    clean_caption_context,
+    find_caption_context,
+)
 
 _CAPTION_VOCAB = (
     "a photo of diagram chart figure showing table screenshot rendering of the "
@@ -38,16 +44,21 @@ _CAPTION_VOCAB = (
 
 class MockCaptionModel:
     """Deterministic BLIP stand-in: seeded embedding table as 'weights',
-    caption = words picked by hashing the bbox key through the weights."""
+    caption = words picked by hashing (bbox key, prompt) through the
+    weights — a conditional prompt changes the caption, mirroring BLIP's
+    conditional generation (`blip_conditional_caption_e2e.py:176-190`)."""
 
     def __init__(self, seed: int = 7):
         rng = np.random.default_rng(seed)
         self.weights = rng.integers(0, len(_CAPTION_VOCAB), size=32768).astype(np.int32)
 
-    def generate(self, keys: list[str], max_length: int) -> list[str]:
+    def generate(self, keys: list[str], prompts: list[str], max_length: int) -> list[str]:
         out = []
-        for k in keys:
+        for k, p in zip(keys, prompts):
             h = sum((i + 1) * ord(c) for i, c in enumerate(k)) & 0x7FFF
+            if p != DEFAULT_CAPTION_PROMPT:
+                # conditional path: the prompt text steers generation
+                h ^= sum((i + 3) * ord(c) for i, c in enumerate(p)) & 0x7FFF
             words = [_CAPTION_VOCAB[int(self.weights[(h + j) % len(self.weights)])] for j in range(6)]
             out.append(" ".join(words)[:max_length])
         return out
@@ -57,6 +68,27 @@ class Captioner:
     def __init__(self, cfg: ExtractConfig | None = None):
         self.cfg = cfg or ExtractConfig()
         self.model = MockCaptionModel()  # once per actor
+        self._metrics_actor = None
+
+    def _report_captions(self, batch: pa.Table, rows: np.ndarray, n_by_row: np.ndarray):
+        """A5 caption-merge count, attributed per partition (fire-and-forget
+        to the metrics actor; never on the data path)."""
+        try:
+            if self._metrics_actor is None:
+                from ..state.metrics import get_metrics_actor
+
+                self._metrics_actor = get_metrics_actor()
+            if "partition_id" in batch.column_names:
+                pids = batch["partition_id"].take(pa.array(rows)).to_pylist()
+            else:
+                pids = [-1] * len(rows)
+            agg: dict[int, int] = {}
+            for pid, n in zip(pids, n_by_row):
+                agg[int(pid)] = agg.get(int(pid), 0) + int(n)
+            for pid, n in agg.items():
+                self._metrics_actor.report_captions.remote("caption", pid, n)
+        except Exception:
+            pass  # metrics must never fail the data path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.cfg.captioning_enabled:
@@ -115,23 +147,54 @@ class Captioner:
         if not by_row:
             return batch
 
-        # probe side: markdown image keys of the affected rows only
+        # probe side: markdown image keys of the affected rows only.
+        # Per match, the conditional path (M12+M14) resolves the caption
+        # context from the SAME row's block span — the image block's own
+        # content, else the nearest text block above / overlapping it
+        # (functions/bbox.py::find_caption_context) — cleaned (M13) and
+        # gated/truncated into the prompt (M14).
         affected_rows = sorted(by_row)
         md_sub = batch["markdown"].take(pa.array(affected_rows)).to_pylist()
         targets: list[int] = []
         keys: list[str] = []
+        prompts: list[str] = []
+        tgt_rows: list[int] = []
+        cond = self.cfg.conditional_captioning
         for r, md in zip(affected_rows, md_sub):
             d = by_row[r]
+            lo, hi = int(offsets[r]), int(offsets[r + 1])
+            row_labels = row_contents = None  # materialized lazily, once per row
             for m in _MD_IMG_KEY.finditer(md or ""):
                 key = "_".join(m.groups())
                 fi = d.pop(key, None)
-                if fi is not None:
-                    targets.append(fi)
-                    keys.append(key)
+                if fi is None:
+                    continue
+                targets.append(fi)
+                keys.append(key)
+                tgt_rows.append(r)
+                if cond:
+                    if row_labels is None:
+                        row_labels = labels.slice(lo, hi - lo).to_pylist()
+                        row_contents = contents.slice(lo, hi - lo).to_pylist()
+                    ctx = find_caption_context(
+                        fi - lo, 0, hi - lo, row_labels, bb[lo:hi], row_contents
+                    )
+                    prompts.append(
+                        build_caption_prompt(
+                            clean_caption_context(ctx),
+                            self.cfg.caption_context_min_len,
+                            self.cfg.caption_context_max,
+                        )
+                    )
+                else:
+                    prompts.append(DEFAULT_CAPTION_PROMPT)
         if not keys:
             return batch
 
-        captions = self.model.generate(keys, self.cfg.caption_max_length)
+        captions = self.model.generate(keys, prompts, self.cfg.caption_max_length)
+        if self.cfg.emit_metrics:
+            u_rows, n_by_row = np.unique(np.asarray(tgt_rows, dtype=np.int64), return_counts=True)
+            self._report_captions(batch, u_rows, n_by_row)
         # merge (M15): patch ONLY the affected flat-content slots via
         # replace_with_mask — cost proportional to captions applied, not to
         # batch size (a full to_pylist of every block content re-created

@@ -106,6 +106,11 @@ def assemble_pdf_pages(page_blocks: list[tuple[int, list[dict]]]) -> tuple[str, 
             if b["content"]:
                 parts.append(b["content"])
                 md.append(f"# {b['content']}" if b["label"] == "title" else b["content"])
+            if b["label"] == "image" and b["bbox"]:
+                # markdown image ref with the bbox key (≙ markdown.images
+                # keys, model.py:541) — the Captioner's probe side
+                key = "_".join(str(int(v)) for v in b["bbox"])
+                md.append(f"![{b['content']}](img_in_image_box_{key}.jpg)")
             all_blocks.append(b)
     return "\n\n".join(parts), all_blocks, "\n\n".join(md)
 

@@ -223,6 +223,23 @@ def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
     return ok, bad
 
 
+def reset_output_dir(out_dir: str) -> None:
+    """resume=False semantics: wipe prior checkpoint state (manifest dir,
+    partitioning stamp, part-*/ data) so the fresh run cannot inherit stale
+    manifests or a stamp describing an older partitioning config. Only the
+    engine's own artifacts are touched — anything else in out_dir stays."""
+    import re
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return
+    part_re = re.compile(r"^part-\d+$")
+    for name in os.listdir(out_dir):
+        path = os.path.join(out_dir, name)
+        if name == MANIFEST_DIR or part_re.match(name):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 PARTITIONING_STAMP = "_PARTITIONING.json"
 
 

@@ -30,16 +30,25 @@ class MetricsActor:
     def __init__(self):
         self.counters: dict[tuple, dict] = {}
 
-    def report(self, stage: str, partition_id: int, rows: int, bytes_in: int, blocks: int, errors: int, wall_s: float):
-        key = (stage, partition_id)
-        c = self.counters.setdefault(
-            key, {"rows": 0, "bytes_in": 0, "blocks": 0, "errors": 0, "wall_s": 0.0}
+    def _cell(self, stage: str, partition_id: int) -> dict:
+        return self.counters.setdefault(
+            (stage, partition_id),
+            {"rows": 0, "bytes_in": 0, "blocks": 0, "errors": 0, "captions": 0, "wall_s": 0.0},
         )
+
+    def report(self, stage: str, partition_id: int, rows: int, bytes_in: int, blocks: int, errors: int, wall_s: float):
+        c = self._cell(stage, partition_id)
         c["rows"] += rows
         c["bytes_in"] += bytes_in
         c["blocks"] += blocks
         c["errors"] += errors
         c["wall_s"] += wall_s
+
+    def report_captions(self, stage: str, partition_id: int, n: int):
+        """A5 caption-merge count (`layout_captioning.py:322-343` merged
+        tally) — a dedicated counter so the enrichment volume is visible
+        per partition."""
+        self._cell(stage, partition_id)["captions"] += n
 
     def snapshot(self) -> list[dict]:
         return [
@@ -128,15 +137,55 @@ def wrap_with_metrics(stage_name: str, fn):
     return wrapped
 
 
+def wrap_class_with_metrics(stage_name: str, cls):
+    """Actor-pool analogue of :func:`wrap_with_metrics`: subclass the
+    callable stage class so every ``__call__`` reports the same per-partition
+    counters. Init cost still runs once per actor (the subclass adds none)."""
+
+    class Metered(cls):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            w = getattr(self, "_metered_call", None)
+            if w is None:
+                w = wrap_with_metrics(stage_name, super().__call__)
+                self._metered_call = w
+            return w(batch)
+
+    Metered.__name__ = f"Metered{getattr(cls, '__name__', 'Stage')}"
+    return Metered
+
+
 def metrics_snapshot_df() -> pd.DataFrame:
-    """Best-effort: reports are fire-and-forget from workers; a short drain
-    pause lets in-flight messages land before the snapshot."""
+    """Reports are fire-and-forget from workers; instead of a fixed sleep
+    (which both undercounted still-in-flight reports and taxed idle calls),
+    poll until two consecutive snapshots agree — an idle actor converges on
+    the first re-read, a draining one within a few 50 ms ticks."""
     actor = get_metrics_actor()
-    time.sleep(0.3)
     rows = ray.get(actor.snapshot.remote())
-    cols = ["stage", "partition_id", "rows", "bytes_in", "blocks", "errors", "wall_s"]
+    for _ in range(20):
+        time.sleep(0.05)
+        again = ray.get(actor.snapshot.remote())
+        if again == rows:
+            break
+        rows = again
+    cols = ["stage", "partition_id", "rows", "bytes_in", "blocks", "errors", "captions", "wall_s"]
     return pd.DataFrame(rows, columns=cols)
 
 
 def reset_metrics():
     ray.get(get_metrics_actor().reset.remote())
+
+
+def write_metrics_parquet(out_dir: str) -> str:
+    """Persist the per-stage/per-partition metrics snapshot next to the
+    output (≙ the reference's monitoring plane being queryable after the
+    fact). Returns the written path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = metrics_snapshot_df()
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, "metrics.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return path

@@ -297,3 +297,38 @@ def test_assemble_pages_ds_operator(ray_session):
     )
     u2 = out[out.url == "u2"].iloc[0]
     assert u2.n_pages == 2 and "B1" in u2.extracted_text and "B2" in u2.extracted_text
+
+
+def test_resume_false_resets_stale_checkpoint_state(tmp_path):
+    """resume=False into an existing out_dir must not leave stale manifests
+    or a stamp describing the OLD partitioning config (ADVICE r1): a later
+    resume=True under the new config has to see only this run's state."""
+    out = str(tmp_path / "out")
+    pages, expected = synth_pages(60, pdf_every=0, outlier_every=0)
+    cfg_a = ExtractConfig(n_partitions=8)
+    extract_pipeline(pages, cfg=cfg_a, out_dir=out).materialize()
+    stale_parts = set(glob.glob(f"{out}/part-*"))
+    assert stale_parts
+
+    # rerun FRESH with a different partitioning config
+    cfg_b = ExtractConfig(n_partitions=3)
+    extract_pipeline(pages, cfg=cfg_b, out_dir=out, resume=False).materialize()
+    with open(f"{out}/_manifests/{ckpt.PARTITIONING_STAMP}") as f:
+        stamp = json.load(f)
+    assert stamp["n_partitions"] == 3  # stamp rewritten, not first-writer-wins
+    # no leftover partition dirs/manifests from the old config
+    manifests = ckpt.completed_manifests(out)
+    part_dirs = {os.path.basename(p) for p in glob.glob(f"{out}/part-*")}
+    assert part_dirs == {f"part-{m['partition_id']:05d}" for m in manifests}
+    final = ckpt.read_output(out).to_pandas()
+    assert len(final) == 60
+    for url, text in zip(final.url, final.extracted_text):
+        assert text == expected[url]
+
+    # and a subsequent resume=True under cfg_b is a clean no-op resume
+    man3 = extract_pipeline(pages, cfg=cfg_b, out_dir=out).to_pandas()
+    assert len(man3) == 0 or man3.row_count.sum() == 0
+
+    # while resume=True under a DIFFERENT config still refuses
+    with pytest.raises(ValueError, match="partitioning"):
+        extract_pipeline(pages, cfg=cfg_a, out_dir=out)
