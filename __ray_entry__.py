@@ -32,7 +32,10 @@ from paddle_ray.pipelines import (
 from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
 
 JACCARD_THRESHOLD = 0.9
-EMB_NEARDUP_THRESHOLD = 0.8
+SHINGLE_THRESHOLD = 0.9
+# 0.4 yields non-empty oracle pairs at every test sf (5 @ sf0.01, 86 @
+# sf0.1); the r1 value 0.8 passed vacuously against a 0-row oracle
+EMB_NEARDUP_THRESHOLD = 0.4
 KNN_K = 5
 KNN_NQ = 5
 TUMBLE_S = 3600
@@ -55,8 +58,10 @@ def _extract_roundtrip(sf_dir: str):
 
 
 def _extract_block_stats(sf_dir: str):
-    """Per-lang extraction outcome stats over the derived pages table
-    (n_blocks is heuristic-defined: rows-only check)."""
+    """Per-lang extraction outcome stats over the derived pages table.
+    Value-oracled: each single-paragraph fixture page extracts to EXACTLY
+    one content block with zero errors, so total_blocks == n_docs and
+    n_errors == 0 per lang — a regression trap on the whole extractor."""
     df = extract_from_documents(sf_dir).to_pandas()
     g = (
         df.groupby("lang", as_index=False)
@@ -110,10 +115,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
+        # exact word-shingle ground truth + the minhash subset relation
+        # (both value-oracled; converts the minhash family from rows-only)
+        "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
+        "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, SHINGLE_THRESHOLD),
         # --- similarity search -------------------------------------------
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
+        # IVF with n_probe == n_centroids scans every inverted list ->
+        # exact result, value-oracled against the brute-force SQL (locks
+        # the IVF assignment/probe/scoring machinery end-to-end)
+        "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
+            sf, KNN_K, KNN_NQ, n_centroids=16, n_probe=16
+        ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
         # --- text analysis ------------------------------------------------
         "token_counts": analysis.token_counts,
@@ -144,6 +159,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS extracted_text FROM documents ORDER BY url"
         ),
+        "extract_block_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS total_blocks, "
+            "CAST(0 AS BIGINT) AS n_errors FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "curate_corpus": curate.CURATE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
@@ -161,7 +180,12 @@ def oracle_sql() -> dict[str, str]:
         "union_short_long_docs": joins.UNION_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "jaccard_pairs_by_source": dedup.JACCARD_PAIRS_SQL_T.format(threshold=JACCARD_THRESHOLD),
+        "shingle_jaccard_pairs": dedup.SHINGLE_JACCARD_SQL_T.format(
+            threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
+        ),
+        "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
+        "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,

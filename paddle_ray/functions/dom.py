@@ -244,13 +244,20 @@ class _FastBuilder(_TreeBuilder):
             if lt > pos:
                 text = html[pos:lt]
                 handle_data(_unescape(text) if "&" in text else text)
-            if no_more_tags:
+            if no_more_tags and html[lt + 1 : lt + 2] not in ("!", "?"):
+                # start/end tags need a '>' and none remains — but '<!'/'<?'
+                # constructs (comment, CDATA, decl, PI) terminate at EOF via
+                # their $ / optional-'>' alternatives and must still be
+                # matched, or an unterminated <!-- appearing after a bare
+                # '<' would leak its payload into extracted text. Each such
+                # construct consumes the whole remaining tail, so this costs
+                # at most one extra regex match.
                 handle_data("<")
                 pos = lt + 1
                 continue
             m = tag_match(html, lt)
             if not m:
-                if find(">", lt) == -1:
+                if not no_more_tags and find(">", lt) == -1:
                     # no tag can complete anymore (e.g. crawl-truncated
                     # page) — remember it so the tail costs one find()
                     # total, not one rescan per remaining '<'

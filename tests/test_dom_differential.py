@@ -140,3 +140,14 @@ def test_cdata_matches_stdlib():
 def test_p_closes_through_inline_wrapper():
     t = parse_html("<p>a<span>b<div>c")
     assert [c.tag for c in t.children if not isinstance(c, str)] == ["p", "div"]
+
+
+def test_unterminated_comment_after_bare_lt_swallowed():
+    """ADVICE r1: an unterminated <!-- appearing AFTER a bare '<' (which
+    sets the no-more-tags shortcut) must still be swallowed to EOF, not
+    leak '!-- secret' into extracted text."""
+    fast = tree_sig(parse_html("a < b <!-- secret"))
+    assert fast == ("#root", (), 0, ("a ", "<", " b "))
+    # same for an unterminated CDATA marked section
+    fast2 = tree_sig(parse_html("a < b <![CDATA[ hidden"))
+    assert fast2 == ("#root", (), 0, ("a ", "<", " b "))
