@@ -207,29 +207,58 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
-    """Session windows per user (gap-based): sort each user's events by ts
-    inside groupby(user_id).map_groups, split on gaps > gap_s. Returns
-    per-user session count + longest session length (oracle via SQL window
-    functions)."""
+    """Session windows per user (gap-based). Coarse-hash-partitioned
+    (pattern of joins.window_top3_orders, VERDICT r1): ONE vectorized
+    map_groups call per hash partition instead of one Python call per user
+    (per-group call overhead dominates at 10^8 users) — inside a partition
+    the whole frame is sorted by (user, ts, event_id) once, session breaks
+    come from a single shifted comparison, and the per-user rollup is a
+    C-level pandas groupby. Returns per-user session count + longest
+    session length (oracle via SQL window functions)."""
+    N_PARTS = 64
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        epoch = g.ts.astype("datetime64[us]").astype("int64") // 1_000_000
-        new_sess = (epoch.diff() > gap_s).fillna(True)
-        sess_id = new_sess.cumsum()
-        sizes = sess_id.value_counts()
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_sessions": pd.Series([], dtype="int64"),
+                 "max_session_events": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g.user_id.to_numpy()
+        epoch = g.ts.to_numpy().astype("datetime64[us]").astype("int64") // 1_000_000
+        import numpy as np
+
+        user_change = np.empty(len(g), dtype=bool)
+        user_change[0] = True
+        user_change[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (epoch[1:] - epoch[:-1]) > gap_s
+        new_sess = user_change | gap
+        sess_id = np.cumsum(new_sess)
+        f = pd.DataFrame({"user_id": uid, "sess_id": sess_id})
+        per_sess = f.groupby(["user_id", "sess_id"], sort=False).size().rename("n")
+        per_user = per_sess.groupby("user_id").agg(["size", "max"])
         return pd.DataFrame(
             {
-                "user_id": [int(g.user_id.iloc[0])],
-                "n_sessions": [int(sess_id.nunique())],
-                "max_session_events": [int(sizes.max())],
+                "user_id": per_user.index.to_numpy(),
+                "n_sessions": per_user["size"].to_numpy(),
+                "max_session_events": per_user["max"].to_numpy(),
             }
         )
 
     out = (
         _events(sf_dir, columns=["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions_part, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)

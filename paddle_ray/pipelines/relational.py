@@ -16,6 +16,7 @@ match the oracle SQL exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -120,38 +121,89 @@ ORDER BY l_returnflag, l_linestatus
 # --------------------------------------------------------------------------
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    # small sides: customer (segment filter), orders -> broadcast to lineitem
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keep_cust = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[orders.o_custkey.isin(keep_cust)]
-    odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
-    # broadcast just the key set as an Arrow array (ray.put once, zero-copy
-    # reads per task) — not a Python dict, which would unpickle per worker
-    keep_keys_ref = ray.put(pa.array(sorted(odate), pa.int64()))
+    """Scale-safe shape (VERDICT r1 — no fact table ever reaches the
+    driver): the only broadcast is the BUILDING custkey set (a filtered
+    single column of the customer dim); orders is filtered DISTRIBUTED to a
+    slim (o_orderkey, o_orderdate) stream; lineitem pre-aggregates revenue
+    per orderkey; date-attach is a hash cogroup on orderkey; top-10 is a
+    per-partition partial top-k merged on the driver (<= 10 rows per
+    partition)."""
+    # broadcast side: filtered + projected BEFORE to_pandas — the driver
+    # holds one int column of ~1/5 of a dim table, never the orders fact
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], pa.scalar("BUILDING"))
+        return batch.filter(m).select(["c_custkey"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keep_keys_ref)
-        batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=keys))
+    keep_cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(cust_keys, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep_cust_ref = ray.put(pa.array(sorted(keep_cust.c_custkey), pa.int64()))
+
+    N_PARTS = 32
+
+    def _part_col(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+        from .joins import _hash_part
+
+        return _hash_part(np.asarray(keys.to_numpy(zero_copy_only=False)), N_PARTS)
+
+    # side A: orders filtered distributed -> (part, key, o_orderdate, revenue=null)
+    def orders_side(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["o_custkey"], value_set=ray.get(keep_cust_ref))
+        b = batch.filter(m)
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _part_col(b["o_orderkey"]),
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "revenue": pa.array([None] * n, pa.float64()),
+            }
+        )
+
+    # side B: lineitem partial revenue agg -> (part, key, date=null, revenue)
+    def li_partial(batch: pa.Table) -> pa.Table:
         revenue = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
         t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": revenue})
         g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
-        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
+        n = g.num_rows
+        return pa.table(
+            {
+                "part": _part_col(g["l_orderkey"]),
+                "l_orderkey": pc.cast(g["l_orderkey"], pa.int64()),
+                "o_orderdate": pa.array([None] * n, pa.timestamp("us")),
+                "revenue": g["revenue_sum"],
+            }
+        )
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    from ray.data.aggregate import Sum
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        dates = g[g.revenue.isna()][["l_orderkey", "o_orderdate"]]
+        rev = (
+            g[g.o_orderdate.isna()]
+            .groupby("l_orderkey", as_index=False)
+            .agg(revenue=("revenue", "sum"))
+        )
+        m = rev.merge(dates, on="l_orderkey")  # inner: BUILDING orders only
+        m["revenue"] = m.revenue.round(4)
+        return m.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
 
-    agg = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+    orders_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow"
     )
-    agg["o_orderdate"] = agg.l_orderkey.map(odate)
-    agg["revenue"] = agg.revenue.round(4)
-    out = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    li_ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    partials = (
+        orders_ds.union(li_ds)
+        .groupby("part")
+        .map_groups(join_topk, batch_format="pandas")
+        .to_pandas()  # <= 10 rows per partition
+    )
+    out = partials.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
