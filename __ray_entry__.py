@@ -79,12 +79,54 @@ def _extract_synth_grammar(sf_dir: str):
     return ds.to_pandas()[["url", "content_hash", "n_blocks"]]
 
 
+def _extract_image_stats(sf_dir: str):
+    """Per-doc-type stats over extracted-image payloads + dataInfo columns
+    (VERDICT r1 #4/#8; rows-only — payload bytes are engine-defined, their
+    byte-stability is locked by golden pytest hashes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds, _ = extract_synth(300, pdf_every=10, outlier_every=0)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        imgs = batch["images"].to_pylist()
+        n_imgs = [len(m or []) for m in imgs]
+        img_bytes = [sum(len(v or b"") for _, v in (m or [])) for m in imgs]
+        return pa.table(
+            {
+                "doc_type": batch["doc_type"],
+                "n_docs": pa.array(np.ones(len(imgs), np.int64)),
+                "n_pages": pa.array(batch["num_pages"].to_numpy(zero_copy_only=False).astype("int64")),
+                "n_images": pa.array(n_imgs, pa.int64()),
+                "image_bytes": pa.array(img_bytes, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("doc_type")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_images", alias_name="n_images"),
+            Sum("image_bytes", alias_name="image_bytes"),
+        )
+        .to_pandas()
+        .sort_values("doc_type")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- flagship extraction (oracle: byte-identical roundtrip) -------
         "extract_roundtrip": _extract_roundtrip,
         "extract_block_stats": _extract_block_stats,
         "extract_synth_grammar": _extract_synth_grammar,
+        "extract_image_stats": _extract_image_stats,
         "curate_corpus": curate.curate_corpus,
         # --- relational operators ----------------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,

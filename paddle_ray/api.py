@@ -46,8 +46,15 @@ def extract_document_request(
             "contentType": ctype,
             "extractedText": r["extracted_text"],
             "markdown": r["markdown"],
+            "images": dict(r["images"]),  # ref name -> payload (model.py:541)
             "blocks": r["blocks"],
             "nBlocks": r["n_blocks"],
             "contentHash": sha256_hex(r["extracted_text"]),
+            # ≙ dataInfo envelope (model.py:591-606)
+            "dataInfo": {
+                "numPages": r["num_pages"],
+                "pages": r["page_dims"],
+                "type": r["doc_type"],
+            },
         },
     }

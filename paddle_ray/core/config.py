@@ -65,6 +65,10 @@ class ExtractConfig:
     # --- output
     deterministic_sort: bool = True
     visualize: bool = False              # ≙ request `visualize` knob (model.py:515-533)
+    # extracted-image payloads (≙ markdown.images map model.py:536-552);
+    # postprocess cap ≙ max_output_img_size (2000, 2000) (model.py:96-119)
+    carry_images: bool = True
+    max_output_img_size: int = 2000
     # --- metrics plane (set by extract_pipeline(with_metrics=True)): actor
     # stages report per-partition counters incl. caption merges (A5)
     emit_metrics: bool = False

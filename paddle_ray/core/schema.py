@@ -24,6 +24,9 @@ BLOCK_TYPE = pa.struct(
     ]
 )
 
+# per-page raster dimensions (≙ dataInfo.pages, model.py:591-606)
+PAGE_DIM_TYPE = pa.struct([("width", pa.int32()), ("height", pa.int32())])
+
 # output: extracted documents (flattened InferResult analogue, model.py:536-552)
 EXTRACTED_SCHEMA = pa.schema(
     [
@@ -33,6 +36,14 @@ EXTRACTED_SCHEMA = pa.schema(
         ("extracted_text", pa.string()),
         ("blocks", pa.list_(BLOCK_TYPE)),
         ("markdown", pa.string()),
+        # extracted image payloads keyed by their markdown ref name
+        # (≙ markdown.images map<path -> b64>, model.py:541); payloads are
+        # already capped to max_output_img_size (model.py:96-119 semantics)
+        ("images", pa.map_(pa.string(), pa.binary())),
+        # dataInfo envelope columns (model.py:591-606)
+        ("num_pages", pa.int32()),
+        ("page_dims", pa.list_(PAGE_DIM_TYPE)),
+        ("doc_type", pa.string()),
         ("n_blocks", pa.int32()),
         ("n_bytes_in", pa.int64()),
         ("content_hash", pa.string()),
@@ -64,6 +75,7 @@ METRICS_SCHEMA = pa.schema(
         ("bytes_in", pa.int64()),
         ("blocks", pa.int64()),
         ("errors", pa.int64()),
+        ("captions", pa.int64()),  # A5 caption-merge count
         ("wall_s", pa.float64()),
     ]
 )

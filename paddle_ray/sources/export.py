@@ -28,21 +28,28 @@ def _slug(url: str) -> str:
 
 
 def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
-    """Write one dir per document: <slug>/doc.md (markdown) + meta.txt.
-    Returns the number of documents written. Driver-side writer over an
-    iter_batches stream (no full materialization); use only for human
-    inspection/small exports — the scale path is checkpointed parquet."""
+    """Write one dir per document: <slug>/doc.md (markdown) + meta.txt +
+    extracted image payloads next to doc.md under their markdown ref names
+    (≙ the reference client writing markdown.images beside the document,
+    client/testScript.py:160-190). Returns the number of documents written.
+    Driver-side writer over an iter_batches stream (no full
+    materialization); use only for human inspection/small exports — the
+    scale path is checkpointed parquet."""
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     index: list[str] = []
-    for batch in ds.select_columns(["url", "markdown", "extracted_text", "content_hash"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for url, md, text, h in zip(
+    cols = ["url", "markdown", "extracted_text", "content_hash"]
+    has_images = "images" in ds.schema().names
+    if has_images:
+        cols.append("images")
+    for batch in ds.select_columns(cols).iter_batches(batch_format="pyarrow"):
+        imgs_col = batch["images"].to_pylist() if has_images else [None] * len(batch)
+        for url, md, text, h, imgs in zip(
             batch["url"].to_pylist(),
             batch["markdown"].to_pylist(),
             batch["extracted_text"].to_pylist(),
             batch["content_hash"].to_pylist(),
+            imgs_col,
         ):
             d = os.path.join(out_dir, _slug(url))
             os.makedirs(d, exist_ok=True)
@@ -52,6 +59,10 @@ def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
                 f.write(text or "")
             with open(os.path.join(d, "meta.txt"), "w", encoding="utf-8") as f:
                 f.write(f"url: {url}\ncontent_hash: {h}\n")
+            for name, payload in dict(imgs or {}).items():
+                safe = _SAFE.sub("_", name)[:160]
+                with open(os.path.join(d, safe), "wb") as f:
+                    f.write(payload or b"")
             index.append(f"- [{url}]({_slug(url)}/doc.md)")
             n += 1
             if limit is not None and n >= limit:

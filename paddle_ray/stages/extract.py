@@ -64,6 +64,31 @@ class MockLayoutModel:
             pages = []
         return list(enumerate(pages[:max_pages]))
 
+    def render_image(self, bbox: list[int], max_out: int = 2000) -> tuple[bytes, int, int]:
+        """Deterministic extracted-image payload for an image block
+        (≙ the per-page image crops the reference ships in markdown.images,
+        model.py:536-552). Applies the postprocess size cap — output dims
+        scaled so max(w, h) <= max_out (≙ app_common.postprocess_images
+        max_img_size=(2000, 2000), model.py:96-119). The payload is the
+        repo's self-describing fake image container (sources/media.py) with
+        a bounded pseudo-pixel body: real codecs don't ship in this
+        sandbox, but the dims/cap/bytes plumbing is real and hash-stable."""
+        from ..sources.media import _bytes_for, pack_media
+
+        w = max(1, int(bbox[2]) - int(bbox[0]))
+        h = max(1, int(bbox[3]) - int(bbox[1]))
+        if max(w, h) > max_out:
+            scale = max_out / max(w, h)
+            w = max(1, round(w * scale))
+            h = max(1, round(h * scale))
+        seed = (bbox[0] * 73_856_093) ^ (bbox[1] * 19_349_663) ^ (bbox[2] * 83_492_791) ^ bbox[3]
+        body = _bytes_for(seed & 0x7FFFFFFF, min(w * h * 3, 4096))
+        return (
+            pack_media("image", {"width": w, "height": h, "channels": 3}, body),
+            w,
+            h,
+        )
+
     def detect_blocks(self, page_spec) -> list[dict]:
         """Per-page "inference": emit (label, bbox, content, path) blocks in
         reading order (top-to-bottom by bbox y1 — deterministic)."""
@@ -157,19 +182,50 @@ class DocumentExtractor:
 
     def _one(self, url: str, ctype: str, payload: bytes) -> dict:
         if ctype == "html":
-            return extract_document(payload)
+            r = extract_document(payload)
+            # dataInfo for the html path: one logical page, no raster dims
+            r.update(images=[], num_pages=1, page_dims=[{"width": 0, "height": 0}], doc_type="html")
+            return r
         page_iter = self.model.iterate_pages(payload, self.cfg.max_pages_per_doc)
         page_blocks = [(pi, self.model.detect_blocks(spec)) for pi, spec in page_iter]
         if not page_blocks:
             raise ValueError("no pages decoded")  # ≙ zero-pages 422, model.py:583-589
         text, blocks, md = assemble_pdf_pages(page_blocks)
-        return {"extracted_text": text, "blocks": blocks, "markdown": md, "n_blocks": len(blocks)}
+        # dataInfo (model.py:591-606): per-page dims = rendered extent
+        page_dims = [
+            {
+                "width": max((b["bbox"][2] for b in bl), default=0),
+                "height": max((b["bbox"][3] for b in bl), default=0),
+            }
+            for _, bl in sorted(page_blocks, key=lambda t: t[0])
+        ]
+        # extracted-image payloads keyed by the markdown ref (model.py:541)
+        images = []
+        if self.cfg.carry_images:
+            for b in blocks:
+                if b["label"] == "image" and b["bbox"]:
+                    key = "_".join(str(int(v)) for v in b["bbox"])
+                    img, _, _ = self.model.render_image(b["bbox"], self.cfg.max_output_img_size)
+                    images.append((f"img_in_image_box_{key}.jpg", img))
+        return {
+            "extracted_text": text,
+            "blocks": blocks,
+            "markdown": md,
+            "n_blocks": len(blocks),
+            "images": images,
+            "num_pages": len(page_blocks),
+            "page_dims": page_dims,
+            "doc_type": ctype,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.schema import PAGE_DIM_TYPE
+
         urls = batch["url"].to_pylist()
         ctypes = batch["content_type"].to_pylist()
         payloads = batch["html"].to_pylist()
         texts, blocks_col, mds, n_blocks, hashes, errors = [], [], [], [], [], []
+        images_col, num_pages_col, page_dims_col, doc_types = [], [], [], []
         for url, ctype, payload in zip(urls, ctypes, payloads):
             try:
                 r = self._one(url, ctype, payload or b"")
@@ -178,6 +234,10 @@ class DocumentExtractor:
                 mds.append(r["markdown"])
                 n_blocks.append(r["n_blocks"])
                 hashes.append(sha256_hex(r["extracted_text"]))
+                images_col.append(r["images"])
+                num_pages_col.append(r["num_pages"])
+                page_dims_col.append(r["page_dims"])
+                doc_types.append(r["doc_type"])
                 errors.append(None)
             except Exception as e:  # never drop a row (≙ 422 path)
                 texts.append("")
@@ -185,6 +245,10 @@ class DocumentExtractor:
                 mds.append("")
                 n_blocks.append(0)
                 hashes.append(sha256_hex(""))
+                images_col.append([])
+                num_pages_col.append(0)
+                page_dims_col.append([])
+                doc_types.append(ctype)
                 errors.append(f"{type(e).__name__}: {e}")
         cols = {
             "url": batch["url"],
@@ -193,6 +257,10 @@ class DocumentExtractor:
             "extracted_text": pa.array(texts, pa.string()),
             "blocks": pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
             "markdown": pa.array(mds, pa.string()),
+            "images": pa.array(images_col, pa.map_(pa.string(), pa.binary())),
+            "num_pages": pa.array(num_pages_col, pa.int32()),
+            "page_dims": pa.array(page_dims_col, pa.list_(PAGE_DIM_TYPE)),
+            "doc_type": pa.array(doc_types, pa.string()),
             "n_blocks": pa.array(n_blocks, pa.int32()),
             "n_bytes_in": batch["n_bytes_in"],
             "content_hash": pa.array(hashes, pa.string()),
