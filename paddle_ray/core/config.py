@@ -42,6 +42,9 @@ class ExtractConfig:
     conditional_captioning: bool = True
     caption_context_min_len: int = 10    # len > 10 gate before using context
     caption_context_max: int = 200       # context truncated to 200 chars
+    # captioner variant from stages.caption.CAPTION_MODELS ("blip" | "git",
+    # ≙ caption_config.yaml provider swap / OFA-GIT experiments T5)
+    caption_model: str = "blip"
     # --- actor-pool sizing (≙ instance_group count 6 layout / 4 blip,
     #     dynamic batch 8/16; config_gpu_paddlex.pbtxt:20, config_gpu_blip.pbtxt:21-31)
     # min pool size 1: a min of 2+ can deadlock small CPU budgets (both

@@ -64,10 +64,50 @@ class MockCaptionModel:
         return out
 
 
+class GitStyleCaptionModel:
+    """Second captioner variant behind the same interface (≙ the reference's
+    OFA / microsoft-git experiment models swapped behind one JSON contract,
+    `exp1.py:29-31`, `blip/git_parse_caption.py:12-15`, caption_config.yaml
+    provider knob). Different 'architecture': an affine hash chain over a
+    differently-seeded table, captions prefixed in the GIT textcaps style."""
+
+    def __init__(self, seed: int = 23):
+        rng = np.random.default_rng(seed)
+        self.weights = rng.integers(0, len(_CAPTION_VOCAB), size=16384).astype(np.int32)
+
+    def generate(self, keys: list[str], prompts: list[str], max_length: int) -> list[str]:
+        out = []
+        for k, p in zip(keys, prompts):
+            h = 1469598103934665603
+            for c in k + "\x1f" + (p if p != DEFAULT_CAPTION_PROMPT else ""):
+                h = ((h ^ ord(c)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            words = [
+                _CAPTION_VOCAB[int(self.weights[(h >> (7 * j)) % len(self.weights)])]
+                for j in range(5)
+            ]
+            out.append(("an image of " + " ".join(words))[:max_length])
+        return out
+
+
+# stage registry (≙ caption_config.yaml provider/model selection): any
+# class with generate(keys, prompts, max_length) -> list[str] plugs in
+CAPTION_MODELS = {
+    "blip": MockCaptionModel,
+    "git": GitStyleCaptionModel,
+}
+
+
 class Captioner:
     def __init__(self, cfg: ExtractConfig | None = None):
         self.cfg = cfg or ExtractConfig()
-        self.model = MockCaptionModel()  # once per actor
+        try:
+            model_cls = CAPTION_MODELS[self.cfg.caption_model]
+        except KeyError:
+            raise ValueError(
+                f"unknown caption_model {self.cfg.caption_model!r}; "
+                f"registered: {sorted(CAPTION_MODELS)}"
+            ) from None
+        self.model = model_cls()  # once per actor
         self._metrics_actor = None
 
     def _report_captions(self, batch: pa.Table, rows: np.ndarray, n_by_row: np.ndarray):

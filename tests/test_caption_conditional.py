@@ -170,3 +170,32 @@ def test_caption_depends_on_neighbor_text_pdf(ray_session):
     assert cap_a == cap_a2  # deterministic
     # extracted_text is untouched by captioning (text contract unchanged)
     assert "quarterly revenue grew twelve percent" in a[a.url == "https://t/pdf-a"].iloc[0].extracted_text
+
+
+def test_caption_model_registry_swap(ray_session):
+    """T5: a second captioner variant plugs in behind the same stage
+    interface via cfg.caption_model; unknown names are rejected."""
+    import pytest
+
+    from paddle_ray.stages.caption import Captioner
+
+    html = (
+        '<main><p>intro paragraph long enough to matter here</p>'
+        '<p><img src="img_in_image_box_10_20_310_340.jpg" alt="a chart of numbers"></p></main>'
+    ).encode()
+    blip = extract_pipeline(_page("https://t/m1", html)).to_pandas()
+    git = extract_pipeline(
+        _page("https://t/m2", html), cfg=ExtractConfig(caption_model="git")
+    ).to_pandas()
+    cap_blip = _image_caption(blip, "https://t/m1")
+    cap_git = _image_caption(git, "https://t/m2")
+    assert cap_blip != cap_git
+    assert "an image of" in cap_git  # GIT-style prefix
+    # deterministic per model
+    git2 = extract_pipeline(
+        _page("https://t/m3", html), cfg=ExtractConfig(caption_model="git")
+    ).to_pandas()
+    assert cap_git.split(" ", 4)[-1] == _image_caption(git2, "https://t/m3").split(" ", 4)[-1]
+
+    with pytest.raises(ValueError, match="unknown caption_model"):
+        Captioner(ExtractConfig(caption_model="nope"))

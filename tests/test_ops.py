@@ -175,3 +175,37 @@ def test_knn_tiebreak_keeps_smallest_ids():
     row = np.ones(7)
     top = np.lexsort((ids, -row))[:4]
     assert sorted(ids[top].tolist()) == [1, 2, 3, 5]
+
+
+def test_jaccard_hot_source_guard_matches_exact(tmp_path, ray_session):
+    """One hot source must not go quadratic (VERDICT r1 #10): with the LSH
+    prefilter forced on (max_group_rows below the group size), the result
+    matches the exact all-pairs scan on the same data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.dedup import jaccard_pairs_by_source
+
+    texts, ids = [], []
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for i in range(60):
+        ids.append(i)
+        if i % 3 == 0:
+            texts.append(base)          # identical char sets -> sim 1.0
+        elif i % 3 == 1:
+            texts.append(base[:-1])     # 35/36 overlap -> ~0.97
+        else:
+            texts.append(base[: 10 + i % 5])  # low sim
+    t = pa.table(
+        {"doc_id": ids, "text": texts, "source": ["hot"] * len(ids),
+         "lang": ["en"] * len(ids), "n_chars": [len(x) for x in texts]}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    exact = jaccard_pairs_by_source(str(d), 0.9, max_group_rows=10_000)
+    guarded = jaccard_pairs_by_source(str(d), 0.9, max_group_rows=10)
+    assert len(exact) > 0
+    pd_eq = exact.reset_index(drop=True).equals(guarded.reset_index(drop=True))
+    assert pd_eq, (len(exact), len(guarded))
