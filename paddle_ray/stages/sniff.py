@@ -58,10 +58,15 @@ def make_sniff_batch(cfg: ExtractConfig):
         # per-row magic sniff on the first 8 bytes only (no full-payload copy)
         heads = pc.binary_slice(html, 0, 8).to_pylist()
         ctype = np.array([sniff_type(h or b"") for h in heads], dtype=object)
-        pids = np.empty(len(urls), dtype=np.int32)
-        for i, u in enumerate(urls):
-            h = stable_hash(u)
-            pids[i] = n_parts + (h % n_out) if nb[i] > outlier else h % n_parts
+        # crc32 stays a C call per url; the branch/modulo arithmetic is
+        # vectorized (the old per-row Python if/else boxed every int)
+        hs = np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) for u in urls), dtype=np.uint64, count=len(urls)
+        )
+        pids = (hs % np.uint64(n_parts)).astype(np.int32)
+        out_mask = nb > outlier
+        if out_mask.any():
+            pids[out_mask] = (n_parts + (hs[out_mask] % np.uint64(n_out))).astype(np.int32)
         return (
             batch.append_column("content_type", pa.array(ctype, pa.string()))
             .append_column("n_bytes_in", n_bytes)
