@@ -33,6 +33,10 @@ from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
 
 JACCARD_THRESHOLD = 0.9
 SHINGLE_THRESHOLD = 0.9
+# subset-relation exact threshold: a 0.05 margin above est_threshold 0.8
+# makes the empty-difference claim ~1e-8-robust per pair (see
+# dedup.minhash_missed_pairs)
+MISSED_EXACT_THRESHOLD = 0.95
 # 0.4 yields non-empty oracle pairs at every test sf (5 @ sf0.01, 86 @
 # sf0.1); the r1 value 0.8 passed vacuously against a 0-row oracle
 EMB_NEARDUP_THRESHOLD = 0.4
@@ -160,7 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact word-shingle ground truth + the minhash subset relation
         # (both value-oracled; converts the minhash family from rows-only)
         "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
-        "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, SHINGLE_THRESHOLD),
+        "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
         # --- similarity search -------------------------------------------
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),

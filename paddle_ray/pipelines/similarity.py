@@ -251,24 +251,33 @@ def knn_ivf(
     Same output schema as knn_bruteforce."""
 
     def local_sample(batch: pa.Table) -> pa.Table:
-        # keep the train_size smallest splitmix-hashed vec_ids per batch —
-        # a deterministic uniform reservoir; the driver-side merge below
-        # keeps the train_size smallest overall, so the sample is identical
-        # regardless of batching/parallelism
+        # keep each batch's train_size smallest splitmix-hashed vec_ids;
+        # the hash de-correlates the kept rows from row order inside the
+        # scanned prefix
         ids, _ = _to_matrix(batch)
         if len(ids) == 0:
-            return batch.select(["vec_id", "embedding"])
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.schema.field("embedding").type),
+                    "_h": pa.array([], pa.uint64()),
+                }
+            )
         h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16)
         order = np.argsort(h, kind="stable")[:train_size]
         t = batch.select(["vec_id", "embedding"]).take(pa.array(order))
         return t.append_column("_h", pa.array(h[order].astype("uint64")))
 
-    # limit() bounds driver memory AND early-stops the scan (order-
-    # preserving in Ray Data, so the result is deterministic); within the
-    # scanned prefix the hash-reservoir de-biases row order inside blocks
+    # limit() bounds driver memory AND early-stops the scan. Ray Data's
+    # limit is order-preserving, so for a FIXED input layout and batch size
+    # the sample — hence the trained centroids — is reproducible run to
+    # run; batch_size is pinned explicitly because a different batching
+    # changes which rows each per-batch top-k sees (the sample is a
+    # deterministic function of (layout, batch_size), not layout alone).
+    # k-means init only needs a representative sample, not an exact one.
     sampled = (
         _emb(sf_dir)
-        .map_batches(local_sample, batch_format="pyarrow")
+        .map_batches(local_sample, batch_format="pyarrow", batch_size=1024)
         .limit(train_size * 4)
         .to_pandas()
         .sort_values(["_h", "vec_id"])

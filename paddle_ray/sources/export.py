@@ -59,10 +59,21 @@ def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
                 f.write(text or "")
             with open(os.path.join(d, "meta.txt"), "w", encoding="utf-8") as f:
                 f.write(f"url: {url}\ncontent_hash: {h}\n")
-            for name, payload in dict(imgs or {}).items():
-                safe = _SAFE.sub("_", name)[:160]
-                with open(os.path.join(d, safe), "wb") as f:
-                    f.write(payload or b"")
+            imgs_d = dict(imgs or {})
+            if imgs_d:
+                # payloads live under images/ (never beside doc.md — a ref
+                # named "doc.md" must not clobber the document) and carry a
+                # crc of the ORIGINAL ref name, so distinct refs that
+                # sanitize identically cannot overwrite each other
+                import zlib
+
+                img_dir = os.path.join(d, "images")
+                os.makedirs(img_dir, exist_ok=True)
+                for name, payload in imgs_d.items():
+                    stem = _SAFE.sub("_", name)[:140]
+                    safe = f"{zlib.crc32(name.encode('utf-8')):08x}-{stem}"
+                    with open(os.path.join(img_dir, safe), "wb") as f:
+                        f.write(payload or b"")
             index.append(f"- [{url}]({_slug(url)}/doc.md)")
             n += 1
             if limit is not None and n >= limit:

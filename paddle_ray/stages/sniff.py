@@ -49,6 +49,13 @@ def make_sniff_batch(cfg: ExtractConfig):
     n_parts = cfg.n_partitions
     n_out = cfg.n_outlier_partitions
     outlier = cfg.outlier_bytes
+    # validate at build time: numpy's `x % uint64(0)` is a silent 0 with a
+    # RuntimeWarning, which would route every outlier to partition n_parts
+    # (outside the configured range) instead of failing loudly
+    if n_parts <= 0 or n_out <= 0:
+        raise ValueError(
+            f"n_partitions={n_parts} and n_outlier_partitions={n_out} must both be >= 1"
+        )
 
     def sniff_batch(batch: pa.Table) -> pa.Table:
         html = batch["html"]

@@ -128,14 +128,16 @@ def test_pipeline_images_roundtrip_parquet_and_export(ray_session, tmp_path):
 
     exp = str(tmp_path / "tree")
     export_doc_tree(ds, exp)
+    # payloads land under images/ with a crc-prefixed sanitized ref name
+    # (collision-proof; can never clobber doc.md)
     img_files = [
-        f for _, _, fs in os.walk(exp) for f in fs if f.startswith("img_in_image_box")
+        os.path.join(r, f)
+        for r, _, fs in os.walk(exp)
+        for f in fs
+        if "img_in_image_box" in f
     ]
-    assert img_files == ["img_in_image_box_60_470_900_870.jpg"]
-    found = None
-    for root, _, fs in os.walk(exp):
-        for f in fs:
-            if f.startswith("img_in_image_box"):
-                found = os.path.join(root, f)
-    with open(found, "rb") as fh:
+    assert len(img_files) == 1
+    assert os.path.basename(os.path.dirname(img_files[0])) == "images"
+    assert img_files[0].endswith("-img_in_image_box_60_470_900_870.jpg")
+    with open(img_files[0], "rb") as fh:
         assert fh.read() == want

@@ -177,13 +177,15 @@ def test_knn_tiebreak_keeps_smallest_ids():
     assert sorted(ids[top].tolist()) == [1, 2, 3, 5]
 
 
-def test_jaccard_hot_source_guard_matches_exact(tmp_path, ray_session):
-    """One hot source must not go quadratic (VERDICT r1 #10): with the LSH
-    prefilter forced on (max_group_rows below the group size), the result
-    matches the exact all-pairs scan on the same data."""
+def test_jaccard_hot_source_distinct_set_algebra(tmp_path, ray_session):
+    """One hot source must not cost O(n^2) set intersections (VERDICT r1
+    #10): the distinct-char-set algebra computes jaccard once per DISTINCT
+    set pair and expands, matching a brute-force reference exactly
+    (identical char sets repeat massively in homogeneous corpora)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from paddle_ray.functions.hashes import jaccard
     from paddle_ray.pipelines.dedup import jaccard_pairs_by_source
 
     texts, ids = [], []
@@ -204,8 +206,48 @@ def test_jaccard_hot_source_guard_matches_exact(tmp_path, ray_session):
     d.mkdir()
     pq.write_table(t, str(d / "documents.parquet"))
 
-    exact = jaccard_pairs_by_source(str(d), 0.9, max_group_rows=10_000)
-    guarded = jaccard_pairs_by_source(str(d), 0.9, max_group_rows=10)
+    got = jaccard_pairs_by_source(str(d), 0.9)
+    # brute-force reference
+    sets = [frozenset(x) for x in texts]
+    want = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            s = jaccard(sets[i], sets[j])
+            if s >= 0.9:
+                want.append((ids[i], ids[j], round(s, 6)))
+    got_t = list(got.itertuples(index=False, name=None))
+    assert sorted(got_t) == sorted(want)
+    assert len(want) > 0
+
+
+def test_shingle_jaccard_hot_source_guard(tmp_path, ray_session):
+    """shingle_jaccard_pairs' LSH guard (forced on via max_group_rows)
+    finds the same pairs as the exact scan on planted near-dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.dedup import shingle_jaccard_pairs
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        if i % 10 == 1:
+            texts.append(" ".join(words))              # base doc
+        elif i % 10 == 2:
+            texts.append(" ".join(words[:-1]))         # near-dup of base
+        else:
+            texts.append(" ".join(words[j % len(words)] for j in range(i, i + 12)))
+    t = pa.table(
+        {"doc_id": ids, "text": texts, "source": ["hot"] * len(ids),
+         "lang": ["en"] * len(ids), "n_chars": [len(x) for x in texts]}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    exact = shingle_jaccard_pairs(str(d), 0.8, max_group_rows=10_000)
+    guarded = shingle_jaccard_pairs(str(d), 0.8, max_group_rows=10)
     assert len(exact) > 0
-    pd_eq = exact.reset_index(drop=True).equals(guarded.reset_index(drop=True))
-    assert pd_eq, (len(exact), len(guarded))
+    assert exact.reset_index(drop=True).equals(guarded.reset_index(drop=True))
