@@ -53,7 +53,7 @@ def extract_document_request(
             # ≙ dataInfo envelope (model.py:591-606)
             "dataInfo": {
                 "numPages": r["num_pages"],
-                "pages": r["page_dims"],
+                "pages": [{"width": w, "height": h} for w, h in r["page_dims"]],
                 "type": r["doc_type"],
             },
         },

@@ -184,7 +184,9 @@ class DocumentExtractor:
         if ctype == "html":
             r = extract_document(payload)
             # dataInfo for the html path: one logical page, no raster dims
-            r.update(images=[], num_pages=1, page_dims=[{"width": 0, "height": 0}], doc_type="html")
+            # (page_dims rows are (width, height) tuples; the Arrow struct
+            # column is assembled vectorized in __call__)
+            r.update(images=[], num_pages=1, page_dims=[(0, 0)], doc_type="html")
             return r
         page_iter = self.model.iterate_pages(payload, self.cfg.max_pages_per_doc)
         page_blocks = [(pi, self.model.detect_blocks(spec)) for pi, spec in page_iter]
@@ -193,10 +195,10 @@ class DocumentExtractor:
         text, blocks, md = assemble_pdf_pages(page_blocks)
         # dataInfo (model.py:591-606): per-page dims = rendered extent
         page_dims = [
-            {
-                "width": max((b["bbox"][2] for b in bl), default=0),
-                "height": max((b["bbox"][3] for b in bl), default=0),
-            }
+            (
+                max((b["bbox"][2] for b in bl), default=0),
+                max((b["bbox"][3] for b in bl), default=0),
+            )
             for _, bl in sorted(page_blocks, key=lambda t: t[0])
         ]
         # extracted-image payloads keyed by the markdown ref (model.py:541)
@@ -225,7 +227,13 @@ class DocumentExtractor:
         ctypes = batch["content_type"].to_pylist()
         payloads = batch["html"].to_pylist()
         texts, blocks_col, mds, n_blocks, hashes, errors = [], [], [], [], [], []
-        images_col, num_pages_col, page_dims_col, doc_types = [], [], [], []
+        num_pages_col, doc_types = [], []
+        # images / page_dims accumulate FLAT (values + per-row counts) so the
+        # Arrow map / list<struct> columns assemble from typed arrays +
+        # offsets, not per-row Python object trees (that conversion cost
+        # ~3% of the whole extraction kernel)
+        img_counts, img_keys, img_vals = [], [], []
+        pd_counts, pd_w, pd_h = [], [], []
         for url, ctype, payload in zip(urls, ctypes, payloads):
             try:
                 r = self._one(url, ctype, payload or b"")
@@ -234,9 +242,17 @@ class DocumentExtractor:
                 mds.append(r["markdown"])
                 n_blocks.append(r["n_blocks"])
                 hashes.append(sha256_hex(r["extracted_text"]))
-                images_col.append(r["images"])
+                imgs = r["images"]
+                img_counts.append(len(imgs))
+                for k, v in imgs:
+                    img_keys.append(k)
+                    img_vals.append(v)
+                dims = r["page_dims"]
+                pd_counts.append(len(dims))
+                for w, h in dims:
+                    pd_w.append(w)
+                    pd_h.append(h)
                 num_pages_col.append(r["num_pages"])
-                page_dims_col.append(r["page_dims"])
                 doc_types.append(r["doc_type"])
                 errors.append(None)
             except Exception as e:  # never drop a row (≙ 422 path)
@@ -245,11 +261,23 @@ class DocumentExtractor:
                 mds.append("")
                 n_blocks.append(0)
                 hashes.append(sha256_hex(""))
-                images_col.append([])
+                img_counts.append(0)
+                pd_counts.append(0)
                 num_pages_col.append(0)
-                page_dims_col.append([])
                 doc_types.append(ctype)
                 errors.append(f"{type(e).__name__}: {e}")
+        img_offsets = pa.array(np.concatenate([[0], np.cumsum(img_counts)]).astype(np.int32))
+        images_arr = pa.MapArray.from_arrays(
+            img_offsets, pa.array(img_keys, pa.string()), pa.array(img_vals, pa.binary())
+        ).cast(pa.map_(pa.string(), pa.binary()))
+        pd_offsets = pa.array(np.concatenate([[0], np.cumsum(pd_counts)]).astype(np.int32))
+        dims_struct = pa.StructArray.from_arrays(
+            [pa.array(pd_w, pa.int32()), pa.array(pd_h, pa.int32())],
+            fields=list(PAGE_DIM_TYPE),
+        )
+        page_dims_arr = pa.ListArray.from_arrays(pd_offsets, dims_struct).cast(
+            pa.list_(PAGE_DIM_TYPE)
+        )
         cols = {
             "url": batch["url"],
             "warc_ts": batch["warc_ts"],
@@ -257,9 +285,9 @@ class DocumentExtractor:
             "extracted_text": pa.array(texts, pa.string()),
             "blocks": pa.array(blocks_col, pa.list_(BLOCK_TYPE)),
             "markdown": pa.array(mds, pa.string()),
-            "images": pa.array(images_col, pa.map_(pa.string(), pa.binary())),
+            "images": images_arr,
             "num_pages": pa.array(num_pages_col, pa.int32()),
-            "page_dims": pa.array(page_dims_col, pa.list_(PAGE_DIM_TYPE)),
+            "page_dims": page_dims_arr,
             "doc_type": pa.array(doc_types, pa.string()),
             "n_blocks": pa.array(n_blocks, pa.int32()),
             "n_bytes_in": batch["n_bytes_in"],
