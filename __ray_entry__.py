@@ -8,9 +8,12 @@ here (nor in paddle_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``  — one entry per implemented operator/pipeline
                    (SURVEY.md §2 + training-data extensions).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
-                   rows-only entries (extraction internals, sketch-based
-                   near-dup, heuristic lang-id, ANN) are intentionally
-                   omitted there.
+                   rows-only entries (synth-input extraction internals,
+                   sketch-based near-dup, approximate ANN probes,
+                   stub-codec media) are intentionally omitted there —
+                   each such family also carries a value-oracled exact
+                   companion (shingle_jaccard_pairs/minhash_missed_pairs,
+                   knn_ivf/lsh_exhaustive, events_distinct_users).
 """
 
 from __future__ import annotations
@@ -175,6 +178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
             sf, KNN_K, KNN_NQ, n_centroids=16, n_probe=16
         ),
+        # LSH with n_planes=0 puts every row in the one bucket of the one
+        # table -> exact result, value-oracled against the brute-force SQL
+        # (locks the code/candidate/score/merge machinery end-to-end)
+        "knn_lsh_exhaustive": lambda sf: similarity.knn_lsh(
+            sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
+        ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
         # --- text analysis ------------------------------------------------
         "token_counts": analysis.token_counts,
@@ -232,10 +241,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
+        "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,
+        "lang_id": analysis.LANG_ID_SQL,
         "content_hashes": analysis.CONTENT_HASHES_SQL,
+        "fingerprints": analysis.FINGERPRINTS_SQL,
         "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,

@@ -13,6 +13,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.textstats import (
+    _B as _FP_B,
+    _MOD as _FP_MOD,
     bpe_token_count,
     detect_lang,
     quality_features,
@@ -86,8 +88,9 @@ FROM toks ORDER BY doc_id
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language ID per doc (non-SQL; rows-only driver check).
-    Deterministic n-gram/script scoring."""
+    """Heuristic language ID per doc (value-oracled: the marker/script
+    heuristic is re-expressed in SQL — LANG_ID_SQL — so the driver
+    hash-checks predictions, not just row counts)."""
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -98,6 +101,65 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+def _marker_count_sql(marker: str) -> str:
+    """Non-overlapping occurrence count of `marker` in `probe` — same
+    semantics as str.count (both scan greedily left-to-right)."""
+    esc = marker.replace("'", "''")
+    return f"(length(probe) - length(replace(probe, '{esc}', ''))) // {len(marker)}"
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of functions/textstats.detect_lang, generated from the
+    SAME _LANG_MARKERS table so heuristic and oracle cannot drift.
+
+    Tie-break: detect_lang takes max() over sorted(lang) keys, i.e. the
+    alphabetically-first language wins ties — the CASE arms below test
+    langs in sorted order with >= so first-max wins identically."""
+    from ..functions.textstats import _LANG_MARKERS
+
+    marked = sorted(lang for lang, ms in _LANG_MARKERS.items() if ms)
+    scores = ",\n           ".join(
+        f"({' + '.join(_marker_count_sql(m) for m in _LANG_MARKERS[lang])}) AS s_{lang}"
+        for lang in marked
+    )
+    arms = []
+    for idx, lang in enumerate(marked):
+        rest = marked[idx + 1 :]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in rest)
+            arms.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            arms.append(f"ELSE '{lang}'")
+    arm_sql = "\n            ".join(arms)
+    greatest = ", ".join(f"s_{lang}" for lang in marked)
+    return f"""
+WITH p AS (
+    SELECT doc_id,
+           lower(substr(text, 1, 2000)) AS probe,
+           substr(text, 1, 2000) AS raw
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           length(regexp_replace(raw, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+           length(regexp_replace(raw, '[^\\x{{0900}}-\\x{{097f}}]', '', 'g')) AS n_deva,
+           length(probe) AS plen,
+           {scores}
+    FROM p
+)
+SELECT doc_id,
+       CASE WHEN plen = 0 THEN 'und'
+            WHEN n_cjk > plen * 0.05 THEN 'zh'
+            WHEN n_deva > plen * 0.05 THEN 'hi'
+            WHEN greatest({greatest}) = 0 THEN 'und'
+            {arm_sql} END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def content_hashes(sf_dir: str) -> pd.DataFrame:
@@ -125,8 +187,10 @@ SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id
 
 def fingerprints(sf_dir: str) -> pd.DataFrame:
     """Winnowing fingerprints (rolling k-gram hashes, min per window).
-    Non-SQL; rows-only check. Returns doc_id + fingerprint size + first
-    fingerprint value (stable summary columns)."""
+    Value-oracled: FINGERPRINTS_SQL re-derives the identical Rabin-Karp
+    winnow in DuckDB (HUGEINT modular prefix sums + window MIN), so the
+    driver hash-checks fingerprint values. Returns doc_id + fingerprint
+    size + first fingerprint value (stable summary columns)."""
 
     def f(batch: pa.Table) -> pa.Table:
         fps = [winnow_fingerprint(t) for t in batch["text"].to_pylist()]
@@ -139,6 +203,79 @@ def fingerprints(sf_dir: str) -> pd.DataFrame:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+def _fingerprints_sql() -> str:
+    """DuckDB twin of functions/textstats.winnow_fingerprint (k=8,
+    window=16) over `documents` — value-oracles the Rabin-Karp winnow.
+
+    Math: the Python kernel's k-gram hash is W_j = sum c_t * B^(e-t) mod M
+    (t = j..e, e = j+k-1, M = 2^61-1 prime). With invB = B^-1 mod M and
+    the modular prefix sum S_i = sum_{t<=i} (c_t * invB^t mod M) — summed
+    RAW in HUGEINT, 2000 terms * 2^61 < 2^127, no overflow — each window
+    is W_j = ((S_e - S_{j-1}) mod M) * B^e mod M. Powers come from one
+    recursive CTE; B^e * (diff mod M) < 2^122 stays inside HUGEINT.
+
+    Pitfall encoded here: LAG(s, k) must run in its own CTE BEFORE the
+    i >= k filter — a WHERE in the same SELECT filters rows before window
+    evaluation and the lag would fall off the front (silently COALESCEd
+    to 0 for every window after the first).
+
+    Preconditions (asserted true of the test tables at every sf): ASCII
+    text (unicode(substr(..)) == Python ord) and len(text) >= k+window-1
+    so the short-document branches of the kernel never trigger."""
+    B = _FP_B
+    M = _FP_MOD
+    inv_b = pow(B, M - 2, M)
+    shift = 1 << 60  # fp_head offset used by fingerprints() for int64 output
+    return f"""
+WITH RECURSIVE pows(i, p, invp) AS (
+    SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT i + 1, (p * {B}) % {M}, (invp * {inv_b}) % {M}
+    FROM pows WHERE i < 5000
+),
+chars AS (
+    SELECT d.doc_id, gs.i,
+           unicode(substr(d.text, CAST(gs.i AS INTEGER), 1)) AS c,
+           length(d.text) AS n
+    FROM documents d, LATERAL unnest(generate_series(1, length(d.text))) AS gs(i)
+),
+terms AS (
+    SELECT ch.doc_id, ch.i, ch.n, pw.p,
+           SUM((CAST(ch.c AS HUGEINT) * pw.invp) % {M})
+               OVER (PARTITION BY ch.doc_id ORDER BY ch.i ROWS UNBOUNDED PRECEDING) AS s
+    FROM chars ch JOIN pows pw ON pw.i = ch.i
+),
+lagged AS (
+    SELECT doc_id, i, n, p, s,
+           COALESCE(LAG(s, 8) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s_prev
+    FROM terms
+),
+winhash AS (
+    SELECT doc_id, i - 7 AS j, n,
+           (((s - s_prev) % {M}) * p) % {M} AS w
+    FROM lagged WHERE i >= 8
+),
+mins AS (
+    SELECT doc_id, j, n,
+           MIN(w) OVER (PARTITION BY doc_id ORDER BY j
+                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mv
+    FROM winhash
+),
+kept AS (
+    SELECT doc_id, j, mv,
+           LAG(mv) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+    FROM mins WHERE j <= n - 7 - 15
+)
+SELECT doc_id,
+       COUNT(*) FILTER (WHERE prev IS NULL OR mv != prev) AS n_fp,
+       CAST(MIN(CASE WHEN j = 1 THEN mv END) - {shift} AS BIGINT) AS fp_head
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+FINGERPRINTS_SQL = _fingerprints_sql()
 
 
 def lang_doc_stats(sf_dir: str) -> pd.DataFrame:
