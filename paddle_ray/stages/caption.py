@@ -153,6 +153,11 @@ class Captioner:
             # [] (validity is not carried); our extractor never emits null
             # blocks, so just pass such external batches through unpatched
             return batch
+        if blocks.offset:
+            # a zero-copy slice (offset > 0) would break the absolute-flat-
+            # index bookkeeping below (combine_chunks compacts on this
+            # pyarrow version, but that's version behavior, not contract)
+            blocks = pa.concat_arrays([blocks])
         offsets = np.asarray(blocks.offsets)  # absolute into blocks.values
         vals = blocks.values  # raw struct child; flat indices are absolute
         labels = vals.field("label")
@@ -172,6 +177,9 @@ class Captioner:
             w * h >= self.cfg.min_caption_area
         )
         cand_idx = np.flatnonzero(img_np & gate)
+        # trailing child elements past the last list window belong to no
+        # row — drop them before searchsorted maps them to row == n_rows
+        cand_idx = cand_idx[cand_idx < offsets[-1]]
 
         if cand_idx.size == 0:
             return batch

@@ -14,7 +14,7 @@ import datetime
 import pyarrow as pa
 
 from paddle_ray.core.config import ExtractConfig
-from paddle_ray.core.schema import PAGES_SCHEMA
+from paddle_ray.core.schema import BLOCK_TYPE, PAGES_SCHEMA
 from paddle_ray.functions.bbox import (
     DEFAULT_CAPTION_PROMPT,
     build_caption_prompt,
@@ -199,3 +199,46 @@ def test_caption_model_registry_swap(ray_session):
 
     with pytest.raises(ValueError, match="unknown caption_model"):
         Captioner(ExtractConfig(caption_model="nope"))
+
+
+def test_captioner_sliced_and_overhanging_blocks():
+    """Flat-index bookkeeping must survive non-canonical Arrow layouts:
+    (a) a blocks child with TRAILING elements past the last list window
+    (offsets don't cover the full child) and (b) a zero-copy slice with
+    offset > 0. Both occur for arrays Ray slices out of larger blocks."""
+    from paddle_ray.stages.caption import Captioner
+
+    def blk(label, bbox, content):
+        return {"label": label, "bbox": bbox, "content": content, "path": ""}
+
+    # child has 3 blocks; offsets [0, 2] reference only the first two —
+    # the third (an image that WOULD pass the gate) overhangs and must
+    # be ignored, not mapped to row n_rows by searchsorted
+    child = pa.array(
+        [
+            blk("text", [0, 0, 500, 100], "intro"),
+            blk("image", [10, 20, 310, 340], ""),
+            blk("image", [10, 20, 310, 340], "overhang"),
+        ],
+        BLOCK_TYPE,
+    )
+    blocks = pa.ListArray.from_arrays(pa.array([0, 2], pa.int32()), child)
+    md = "x ![](img_in_image_box_10_20_310_340.jpg) y"
+    batch = pa.table({"markdown": pa.array([md]), "blocks": blocks})
+    out = Captioner(ExtractConfig())(batch)
+    rows = out["blocks"].to_pylist()
+    assert len(rows) == 1 and len(rows[0]) == 2
+    assert rows[0][1]["content"]  # in-window image captioned
+    assert "overhang" not in str(rows)  # overhang never leaks into a row
+
+    # sliced two-row table: row 0 has the image, slice keeps only row 1
+    child2 = pa.array(
+        [blk("image", [10, 20, 310, 340], ""), blk("text", [0, 0, 9, 9], "tail")],
+        BLOCK_TYPE,
+    )
+    blocks2 = pa.ListArray.from_arrays(pa.array([0, 1, 2], pa.int32()), child2)
+    t2 = pa.table({"markdown": pa.array([md, md]), "blocks": blocks2}).slice(1, 1)
+    out2 = Captioner(ExtractConfig())(t2)
+    rows2 = out2["blocks"].to_pylist()
+    # the sliced-away image block must NOT leak a caption into row 1
+    assert len(rows2) == 1 and rows2[0][0]["content"] == "tail"
