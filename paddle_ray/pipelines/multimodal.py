@@ -35,7 +35,10 @@ def decoded_media(n: int = N_MEDIA, seed: int = 42) -> rd.Dataset:
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Per-kind rollup of the full decode/resize/frame-sample pipeline.
     sf_dir is unused (media is synthesized deterministically — the driver
-    contract passes it to every query)."""
+    contract passes it to every query). Value-oracled by
+    MEDIA_FEATURES_SQL: the corpus and fake codecs are deterministic, so
+    the rollup is a fixed table — the oracle pins those golden values
+    (same contract as the pytest golden hashes, enforced by the driver)."""
     # materialize the decoded/resized blocks once — both consumers (feature
     # rollup + frame explode) read the same blocks instead of re-running the
     # decode/resize actor pools; the decoded projection is slim (features +
@@ -60,3 +63,20 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     out["mean_target_width"] = out.mean_target_width.round(4)
     out["sum_duration_s"] = out.sum_duration_s.round(4)
     return out.astype({"n_items": "int64", "n_decoded": "int64", "n_frame_rows": "int64"})
+
+
+# Golden-constant oracle: media_dataset(600, seed=42) + the deterministic
+# fake codecs make this rollup a fixed table independent of sf_dir. A
+# VALUES oracle upgrades the driver check from rows-only to value-bearing
+# (rowcount + schema + value hash); any drift in synth, decode, resize or
+# frame-sample semantics now FAILS the gate instead of passing silently.
+# Regenerate by running media_features() after an INTENTIONAL change.
+MEDIA_FEATURES_SQL = """
+SELECT * FROM (VALUES
+  ('audio', 200, 200, 0.0,   0.0,     313.7337, 200),
+  ('image', 200, 200, 852.5, 1261.96, 0.0,      200),
+  ('video', 200, 200, 320.0, 320.0,   140.0,    780)
+) AS t(kind, n_items, n_decoded, mean_width, mean_target_width,
+       sum_duration_s, n_frame_rows)
+ORDER BY kind
+"""
