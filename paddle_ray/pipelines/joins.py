@@ -89,8 +89,12 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     lineitem(R) is pre-aggregated per orderkey (the shuffle then moves one
     row per order, not per lineitem), hash-joined with orders via the
-    native `Dataset.join`, re-aggregated per customer; the tiny customer
-    name column attaches driver-side (broadcast dim)."""
+    native `Dataset.join`, re-aggregated per customer. Top-k is a
+    per-block partial top-k under the total order (revenue DESC, custkey
+    ASC) merged on the driver (<= k rows per block — the per-customer
+    aggregate itself never lands on the driver; at crawl scale that frame
+    is 10^8 rows), and only the <= k winning customers' names are read
+    back for the attach."""
 
     def partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
@@ -114,16 +118,37 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    agg = (
+    def topk_part(batch: pa.Table) -> pa.Table:
+        # round BEFORE ranking so boundary ties match the rounded-value
+        # order the final sort (and the SQL oracle) uses
+        df = batch.to_pandas()
+        df["revenue"] = df.revenue.round(4)
+        if len(df) > k:
+            df = df.sort_values(
+                ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
         joined.select_columns(["o_custkey", "revenue"])
         .groupby("o_custkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(topk_part, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    agg = agg.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
-    agg["revenue"] = agg.revenue.round(4)
-    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    top = cand.sort_values(["revenue", "o_custkey"], ascending=[False, True], kind="mergesort").head(k)
+    keep = pa.array(sorted(top.o_custkey.astype("int64")), pa.int64())
+
+    def name_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(pc.cast(batch["c_custkey"], pa.int64()), value_set=keep))
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(name_rows, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort")
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
