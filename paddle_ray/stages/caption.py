@@ -177,9 +177,10 @@ class Captioner:
             w * h >= self.cfg.min_caption_area
         )
         cand_idx = np.flatnonzero(img_np & gate)
-        # trailing child elements past the last list window belong to no
-        # row — drop them before searchsorted maps them to row == n_rows
-        cand_idx = cand_idx[cand_idx < offsets[-1]]
+        # child elements outside [offsets[0], offsets[-1]) belong to no row
+        # (shifted-offsets layouts are legal Arrow even at array offset 0) —
+        # drop them before searchsorted maps them to row -1 / n_rows
+        cand_idx = cand_idx[(cand_idx >= offsets[0]) & (cand_idx < offsets[-1])]
 
         if cand_idx.size == 0:
             return batch

@@ -242,3 +242,25 @@ def test_captioner_sliced_and_overhanging_blocks():
     rows2 = out2["blocks"].to_pylist()
     # the sliced-away image block must NOT leak a caption into row 1
     assert len(rows2) == 1 and rows2[0][0]["content"] == "tail"
+
+    # (c) shifted offsets at array offset 0: a LEADING orphan child element
+    # before offsets[0] belongs to no row — without the lower-bound filter
+    # searchsorted maps it to row -1 (python-wraps to the LAST row) and
+    # corrupts its captions
+    child3 = pa.array(
+        [
+            blk("image", [10, 20, 310, 340], "lead_orphan"),
+            blk("text", [0, 0, 9, 9], "only"),
+            blk("image", [10, 20, 310, 340], ""),
+        ],
+        BLOCK_TYPE,
+    )
+    blocks3 = pa.ListArray.from_arrays(pa.array([1, 3], pa.int32()), child3)
+    assert blocks3.offset == 0  # shifted offsets, NOT a sliced array
+    t3 = pa.table({"markdown": pa.array([md]), "blocks": blocks3})
+    out3 = Captioner(ExtractConfig())(t3)
+    rows3 = out3["blocks"].to_pylist()
+    assert len(rows3) == 1 and len(rows3[0]) == 2
+    assert rows3[0][1]["content"]  # the IN-row image still gets a caption
+    assert rows3[0][0]["content"] == "only"
+    assert "lead_orphan" not in str(rows3)
