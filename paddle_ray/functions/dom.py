@@ -57,28 +57,39 @@ _RAWTEXT = frozenset(("script", "style"))
 class Node:
     """One element. ``children`` holds Node or str (text) in document order."""
 
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_sib_cache")
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
         self.attrs = attrs or {}
         self.children: list = []
         self.parent = parent
+        self._sib_cache = None  # (len(children) at build, {id(child): idx})
 
     @property
     def index(self) -> int:
         """1-based position among same-tag siblings, computed lazily —
         paid only by the few emitted blocks whose path() is rendered, not
-        by every node at parse time (was ~10% of the parse)."""
-        if self.parent is None:
+        by every node at parse time. The sibling map is memoized per
+        PARENT (one pass over its children), so rendering path() for
+        every block of a flat 10^4-sibling document is O(n) aggregate —
+        the per-call linear scan was O(n^2) and cost seconds on MB-scale
+        outlier pages."""
+        parent = self.parent
+        if parent is None:
             return 0
-        i = 0
-        for c in self.parent.children:
-            if isinstance(c, Node) and c.tag == self.tag:
-                i += 1
-                if c is self:
-                    return i
-        return 0
+        cache = parent._sib_cache
+        if cache is None or cache[0] != len(parent.children):
+            counts: dict[str, int] = {}
+            m: dict[int, int] = {}
+            for c in parent.children:
+                if isinstance(c, Node):
+                    k = counts.get(c.tag, 0) + 1
+                    counts[c.tag] = k
+                    m[id(c)] = k
+            cache = (len(parent.children), m)
+            parent._sib_cache = cache
+        return cache[1].get(id(self), 0)
 
     # -- convenience -------------------------------------------------------
     def attr(self, name: str, default: str = "") -> str:

@@ -81,3 +81,18 @@ def test_table_cell_autoclose():
 def test_decode_html_bytes_fallback():
     assert decode_html_bytes("héllo".encode("utf-8")) == "héllo"
     assert decode_html_bytes(b"h\xe9llo") == "héllo"  # latin-1 fallback
+
+
+def test_sibling_index_memo_survives_mutation():
+    """index memoizes a per-parent sibling map (O(n) aggregate for flat
+    docs); the cache must rebuild when children are appended afterwards."""
+    root = parse_html("<html><body><p>a</p><span>s</span><p>b</p></body></html>")
+    body = _first(root, "body")
+    ps = [n for n in body.children if isinstance(n, Node) and n.tag == "p"]
+    assert [p.index for p in ps] == [1, 2]  # builds + uses the memo
+    late = Node("p", parent=body)
+    body.children.append(late)
+    assert late.index == 3  # len(children) changed -> memo rebuilt
+    assert ps[0].index == 1 and ps[1].index == 2
+    assert _first(root, "span").index == 1
+    assert root.index == 0  # parentless
