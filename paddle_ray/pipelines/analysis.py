@@ -21,10 +21,11 @@ from ..functions.textstats import (
     token_count,
     winnow_fingerprint,
 )
+from .common import sized_read_parquet
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def token_counts(sf_dir: str) -> pd.DataFrame:
@@ -334,7 +335,7 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        sized_read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
@@ -373,7 +374,7 @@ def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     s = (
-        rd.read_parquet(
+        sized_read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
         )
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -425,7 +426,7 @@ def orders_by_year_status(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["yr", "o_orderstatus"])
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total"))

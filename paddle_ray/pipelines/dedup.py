@@ -38,7 +38,9 @@ from ..functions.hashes import (
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from .common import sized_read_parquet
+
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # --------------------------------------------------------------------------

@@ -16,7 +16,9 @@ import ray.data as rd
 
 
 def _events(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from .common import sized_read_parquet
+
+    return sized_read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def events_tumbling(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:

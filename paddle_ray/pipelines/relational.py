@@ -328,7 +328,9 @@ def filter_project_documents(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pads
 
     expr = (pads.field("lang") == "en") & (pads.field("n_chars") > 300)
-    ds = rd.read_parquet(
+    from .common import sized_read_parquet
+
+    ds = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"], filter=expr
     )
     return ds.sort("doc_id").to_pandas()
