@@ -268,11 +268,21 @@ kept AS (
     SELECT doc_id, j, mv,
            LAG(mv) OVER (PARTITION BY doc_id ORDER BY j) AS prev
     FROM mins WHERE j <= n - 7 - 15
+),
+guard AS (
+    -- the pows CTE stops at i = 5000 (a recursive CTE iterates once per
+    -- row: 32k rows cost ~4.5 s, too slow for the gate), and the INNER
+    -- join in `terms` would SILENTLY drop characters past that bound.
+    -- Fail loudly instead of wrong-hashing the tail.
+    SELECT CASE WHEN max(length(text)) > 5000 THEN error(
+        'fingerprints oracle: document exceeds the 5000-char pows bound; raise the recursive-CTE limit')
+        ELSE 1 END AS ok
+    FROM documents
 )
 SELECT doc_id,
        COUNT(*) FILTER (WHERE prev IS NULL OR mv != prev) AS n_fp,
        CAST(MIN(CASE WHEN j = 1 THEN mv END) - {shift} AS BIGINT) AS fp_head
-FROM kept GROUP BY doc_id ORDER BY doc_id
+FROM kept CROSS JOIN guard WHERE guard.ok = 1 GROUP BY doc_id ORDER BY doc_id
 """
 
 

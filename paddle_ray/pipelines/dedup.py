@@ -438,12 +438,17 @@ def shingle_jaccard_pairs(
     comprehensions.
 
     Hot-source guard: groups over ``max_group_rows`` prefilter candidates
-    with the SAME vectorized minhash/banded-LSH kernels the dedup pipeline
-    uses (functions/hashes — one implementation, no drift) and exact-verify
-    only bucket-colliding pairs; at threshold 0.9 the per-pair miss
-    probability is (1-0.9^8)^16 ~ 1e-4, traded for O(n x perms) instead of
-    one O(n^2) worker task. Test-scale groups never trigger it, keeping
-    the SQL oracle byte-exact."""
+    with a minhash/banded-LSH pass and exact-verify only bucket-colliding
+    pairs — O(n x perms) instead of one O(n^2) worker task. The prefilter
+    deliberately uses a DIFFERENT permutation seed and band structure
+    (seed 7, 64 bands x 2 rows) than the production dedup pipeline
+    (seed 1, 16 x 8): when this function serves as the ground truth for
+    ``minhash_missed_pairs``, identical kernels would make the audit
+    circular (a pair the pipeline's LSH misses would be missed here for
+    the identical reason and never surface). With independent hashes the
+    prefilter's own miss probability at s >= 0.9 is (1-0.9^2)^64 ~ 1e-46
+    — negligible rather than merely small. Test-scale groups never
+    trigger the guard, keeping the SQL oracle byte-exact."""
 
     def _pair_scan(ids, sets, pair_iter, a_out, b_out, sims):
         for i, j in pair_iter:
@@ -464,8 +469,9 @@ def shingle_jaccard_pairs(
         if max_group_rows and len(ids) > max_group_rows:
             buckets: dict[tuple, list[int]] = {}
             for i, t in enumerate(texts):
-                sig = minhash_signature(shingle_hashes(t, k=k), num_perm=128)
-                for band_id, bh in lsh_band_keys(sig, bands=16):
+                # independent hashes + aggressive banding: see docstring
+                sig = minhash_signature(shingle_hashes(t, k=k), num_perm=128, seed=7)
+                for band_id, bh in lsh_band_keys(sig, bands=64):
                     buckets.setdefault((band_id, bh), []).append(i)
             cand = set()
             for members in buckets.values():
@@ -540,7 +546,11 @@ def minhash_missed_pairs(
     expected difference (hashes are deterministic per dataset — verified
     non-flaky at every test sf). Returns exactly that difference; the
     oracle is the empty set (non-vacuous because shingle_jaccard_pairs is
-    non-empty at every test sf and is itself value-oracled)."""
+    non-empty at every test sf and is itself value-oracled). For hot
+    sources past shingle_jaccard_pairs' group cap, its ground truth is
+    LSH-prefiltered too — with an INDEPENDENT seed and a 64x2 band
+    structure (miss ~1e-46), so a production-LSH miss cannot hide by
+    construction (the audit is non-circular; see shingle_jaccard_pairs)."""
     exact = shingle_jaccard_pairs(sf_dir, threshold=exact_threshold)
     found = dedup_minhash_lsh(sf_dir, threshold=est_threshold)
     if exact.empty:

@@ -251,22 +251,17 @@ def knn_ivf(
     Same output schema as knn_bruteforce."""
 
     def local_sample(batch: pa.Table) -> pa.Table:
-        # keep each batch's train_size smallest splitmix-hashed vec_ids;
-        # the hash de-correlates the kept rows from row order inside the
-        # scanned prefix
+        # tag each row with a splitmix hash of vec_id; the driver keeps the
+        # train_size smallest over the limited scan prefix, so the sample
+        # is de-correlated from row order. (A per-batch top-k prune here
+        # was dead code — train_size exceeds the pinned batch_size, so the
+        # argsort provably kept every row; the limit() below is what
+        # bounds the scan and the driver frame.)
         ids, _ = _to_matrix(batch)
-        if len(ids) == 0:
-            return pa.table(
-                {
-                    "vec_id": pa.array([], pa.int64()),
-                    "embedding": pa.array([], batch.schema.field("embedding").type),
-                    "_h": pa.array([], pa.uint64()),
-                }
-            )
         h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16)
-        order = np.argsort(h, kind="stable")[:train_size]
-        t = batch.select(["vec_id", "embedding"]).take(pa.array(order))
-        return t.append_column("_h", pa.array(h[order].astype("uint64")))
+        return batch.select(["vec_id", "embedding"]).append_column(
+            "_h", pa.array(h.astype("uint64"))
+        )
 
     # limit() bounds driver memory AND early-stops the scan. Ray Data's
     # limit is order-preserving, so for a FIXED input layout and batch size

@@ -236,7 +236,9 @@ def reset_output_dir(out_dir: str) -> None:
     part_re = re.compile(r"^part-\d+$")
     for name in os.listdir(out_dir):
         path = os.path.join(out_dir, name)
-        if name == MANIFEST_DIR or part_re.match(name):
+        # _metrics is engine state too: a stale metrics.parquet from the
+        # previous run must not be attributed to the fresh run's output
+        if name == MANIFEST_DIR or name == "_metrics" or part_re.match(name):
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -157,16 +157,25 @@ def wrap_class_with_metrics(stage_name: str, cls):
 def metrics_snapshot_df() -> pd.DataFrame:
     """Reports are fire-and-forget from workers; instead of a fixed sleep
     (which both undercounted still-in-flight reports and taxed idle calls),
-    poll until two consecutive snapshots agree — an idle actor converges on
-    the first re-read, a draining one within a few 50 ms ticks."""
+    poll until THREE consecutive snapshots agree (~150 ms of quiet) — an
+    idle actor converges after the first few re-reads, a draining one keeps
+    resetting the stability counter. Still a heuristic (a report stuck in
+    transit for longer than the quiet window is missed — a hard barrier
+    would need sender-side sequence acks), but two equal reads 50 ms apart
+    proved too weak on this ±30-40%-noise host."""
     actor = get_metrics_actor()
     rows = ray.get(actor.snapshot.remote())
-    for _ in range(20):
+    stable = 0
+    for _ in range(40):
         time.sleep(0.05)
         again = ray.get(actor.snapshot.remote())
         if again == rows:
-            break
-        rows = again
+            stable += 1
+            if stable >= 3:
+                break
+        else:
+            stable = 0
+            rows = again
     cols = ["stage", "partition_id", "rows", "bytes_in", "blocks", "errors", "captions", "wall_s"]
     return pd.DataFrame(rows, columns=cols)
 
