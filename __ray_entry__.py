@@ -86,6 +86,25 @@ def _extract_synth_grammar(sf_dir: str):
     return ds.to_pandas()[["url", "content_hash", "n_blocks"]]
 
 
+def _extract_synth_digest(sf_dir: str):
+    """Golden-digest companion to extract_synth_grammar: per-n_blocks
+    rollup (doc count + sum of each content hash's first 48 bits) over the
+    deterministic, sf-independent 300-doc grammar corpus. Any change to
+    parsing, boilerplate election, caption merge, page assembly, output
+    ordering or hashing shifts at least one group's hash_sum, so the
+    driver value-checks the whole extraction grammar (same golden-constant
+    contract as media_features / extract_image_stats)."""
+    df = _extract_synth_grammar(sf_dir).copy()
+    df["h48"] = [int(h[:12], 16) for h in df.content_hash]
+    out = (
+        df.groupby("n_blocks", as_index=False)
+        .agg(n_docs=("url", "size"), hash_sum=("h48", "sum"))
+        .sort_values("n_blocks")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_blocks": "int64", "n_docs": "int64", "hash_sum": "int64"})
+
+
 def _extract_image_stats(sf_dir: str):
     """Per-doc-type stats over extracted-image payloads + dataInfo columns
     (VERDICT r1 #4/#8). Value-oracled by a golden-constant VALUES oracle:
@@ -135,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": _extract_roundtrip,
         "extract_block_stats": _extract_block_stats,
         "extract_synth_grammar": _extract_synth_grammar,
+        "extract_synth_digest": _extract_synth_digest,
         "extract_image_stats": _extract_image_stats,
         "curate_corpus": curate.curate_corpus,
         # --- relational operators ----------------------------------------
@@ -219,6 +239,24 @@ def oracle_sql() -> dict[str, str]:
         "extract_block_stats": (
             "SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS total_blocks, "
             "CAST(0 AS BIGINT) AS n_errors FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        # golden-constant oracle — the synth corpus + extractor are
+        # deterministic and sf-independent, so the per-n_blocks digest is
+        # a fixed table (see _extract_synth_digest docstring). Regenerate
+        # the constants by running the query after an INTENTIONAL change.
+        "extract_synth_digest": (
+            "SELECT * FROM (VALUES "
+            "(3, 1, 92147637879948), (4, 25, 3959895050875657), "
+            "(5, 10, 1376436193085636), (6, 11, 1526313189831954), "
+            "(7, 20, 3147599211497559), (8, 22, 3174916835864310), "
+            "(9, 27, 4300876057144773), (10, 16, 1696305606810363), "
+            "(11, 33, 4155082659796165), (12, 31, 4873044217622278), "
+            "(13, 35, 5005288936541455), (14, 8, 822094088998242), "
+            "(15, 13, 1865896415963590), (16, 8, 928492659859940), "
+            "(17, 20, 2468648724701725), (18, 8, 655404931654313), "
+            "(19, 6, 669642597242348), (20, 2, 467997949945316), "
+            "(21, 4, 690455720437663)) "
+            "AS t(n_blocks, n_docs, hash_sum) ORDER BY n_blocks"
         ),
         # golden-constant oracle — the synth corpus + extractor are
         # deterministic, so the per-doc-type rollup is a fixed table; the
