@@ -31,6 +31,7 @@ from paddle_ray.pipelines import (
     relational,
     relational_ext,
     similarity,
+    webtext,
 )
 from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
 
@@ -218,6 +219,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": analysis.corr_quantity_price,
         "orders_by_year_status": analysis.orders_by_year_status,
         "lang_source_list": analysis.lang_source_list,
+        # --- webtext curation (repetition / quality gate / LM / decontam) --
+        "repetition_metrics": webtext.repetition_metrics,
+        "quality_filter": webtext.quality_filter,
+        "lm_perplexity": webtext.lm_perplexity,
+        "decontaminate": webtext.decontaminate,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows --------------------------------------------
@@ -301,6 +307,10 @@ def oracle_sql() -> dict[str, str]:
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,
         "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
+        "repetition_metrics": webtext.REPETITION_SQL,
+        "quality_filter": webtext.QUALITY_FILTER_SQL,
+        "lm_perplexity": webtext.LM_PERPLEXITY_SQL,
+        "decontaminate": webtext.DECONTAMINATE_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,

@@ -1,0 +1,402 @@
+"""Webtext curation operators over `documents`: Gopher-style repetition
+metrics, a composed quality filter, CCNet-style unigram-LM scoring, and
+benchmark decontamination.
+
+These are the corpus-hygiene stages a large-scale training-data pipeline
+runs between extraction and dedup (public recipes: Gopher/MassiveText
+repetition filters, CCNet LM-perplexity bucketing, n-gram benchmark
+decontamination as in GPT-3/PaLM appendices). The reference
+(xynehq/paddle) stops at per-document extraction; these extend the
+engine downstream of it. All four are value-oracled in DuckDB.
+
+Scale contracts
+---------------
+- `repetition_metrics` / `quality_filter`: stateless per-batch kernels,
+  no shuffle at all — embarrassingly parallel at any scale.
+- `lm_perplexity`: pass 1 is a counts groupby whose shuffle moves one
+  (word, count) row per distinct word per block (partial Counter per
+  batch first); the model is broadcast once via `ray.put` and read once
+  per actor in `__init__`. At webtext scale the vocabulary must be
+  pruned to top-V words before broadcast (V ~ 1e6 => ~20 MB); the
+  smoothing already accounts for out-of-vocabulary mass.
+- `decontaminate`: the benchmark side is tiny by construction (held-out
+  eval sets); its shingle set is broadcast once, the corpus side streams
+  — no shuffle. Real deployments hash shingles into a set of int64 to
+  bound broadcast size; here the literal strings are broadcast so the
+  DuckDB oracle can reproduce membership exactly (no hash collisions).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .common import sized_read_parquet
+
+# Gopher-ish thresholds tuned to the synthetic word-soup corpus so the
+# filter is non-degenerate at every test sf (~1/3 of docs survive);
+# real-webtext values are n_words in [50, 100k], dup_frac < 0.3 etc.
+QF_MIN_WORDS = 25
+QF_MAX_DUP_FRAC = 0.55
+QF_MIN_STOP_RATIO = 0.02
+QF_MIN_MEAN_WL = 3.0
+QF_MAX_MEAN_WL = 8.0
+
+# decontamination shingle size: public recipes use 8-13-gram collisions;
+# the synthetic corpus has a ~40-word vocabulary, so k=3 is the size at
+# which cross-document collisions are rare-but-present (the same
+# signal-to-noise regime 13-grams give real webtext)
+DECON_K = 3
+DECON_BENCH_MOD = 97  # doc_id % mod == 0 -> held-out "benchmark" doc
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _words(text: str) -> list[str]:
+    """Whitespace tokens, oracle-identical to
+    regexp_split_to_array(trim(text), '\\s+') (empty text -> [])."""
+    return text.split()
+
+
+# --------------------------------------------------------------------------
+# repetition metrics (Gopher/MassiveText-style duplicate-fraction signals)
+# --------------------------------------------------------------------------
+
+def repetition_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition signals: duplicate-word fraction, most-frequent-
+    word fraction, duplicate word-2-gram fraction. Stateless map_batches,
+    no shuffle; oracled by REPETITION_SQL."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_words, dup_f, top_f, dup2_f = [], [], [], []
+        for t in batch["text"].to_pylist():
+            ws = _words(t)
+            n = len(ws)
+            n_words.append(n)
+            if n == 0:
+                dup_f.append(0.0)
+                top_f.append(0.0)
+                dup2_f.append(0.0)
+                continue
+            c = Counter(ws)
+            dup_f.append(round(1.0 - len(c) / n, 6))
+            top_f.append(round(max(c.values()) / n, 6))
+            n2 = n - 1
+            if n2 <= 0:
+                dup2_f.append(0.0)
+            else:
+                g2 = {(ws[i], ws[i + 1]) for i in range(n2)}
+                dup2_f.append(round(1.0 - len(g2) / n2, 6))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "dup_word_frac": pa.array(dup_f, pa.float64()),
+                "top_word_frac": pa.array(top_f, pa.float64()),
+                "dup_2gram_frac": pa.array(dup2_f, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY doc_id, w
+),
+tops AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n FROM wc GROUP BY doc_id),
+g2 AS (
+  SELECT t.doc_id, COUNT(DISTINCT ts[i] || chr(10) || ts[i + 1]) AS d2,
+         COUNT(*) AS n2
+  FROM toks t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS gs(i)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       len(t.ts) AS n_words,
+       ROUND(CASE WHEN len(t.ts) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(t.ts)) * 1.0 / len(t.ts) END, 6) AS dup_word_frac,
+       ROUND(COALESCE(tp.max_c * 1.0 / tp.n, 0.0), 6) AS top_word_frac,
+       ROUND(COALESCE(1.0 - g2.d2 * 1.0 / g2.n2, 0.0), 6) AS dup_2gram_frac
+FROM toks t
+LEFT JOIN tops tp USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# composed quality filter (Gopher rules over the repetition + stop signals)
+# --------------------------------------------------------------------------
+
+def quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Docs surviving the composed Gopher-style gate (word count, dup
+    fraction, stopword ratio, mean word length). One stateless pass
+    computing all four signals per batch; survivors stream out — the
+    filter itself never materializes the corpus. Oracle: QUALITY_FILTER_SQL."""
+    from ..functions.textstats import STOPWORDS
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep_ids, n_words_o, dup_o, stop_o, mwl_o = [], [], [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            ws = _words(t)
+            n = len(ws)
+            if n < QF_MIN_WORDS:
+                continue
+            c = Counter(ws)
+            dup = 1.0 - len(c) / n
+            stop = sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
+            mwl = sum(len(w) for w in ws) / n
+            if dup <= QF_MAX_DUP_FRAC and stop >= QF_MIN_STOP_RATIO and QF_MIN_MEAN_WL <= mwl <= QF_MAX_MEAN_WL:
+                keep_ids.append(did)
+                n_words_o.append(n)
+                dup_o.append(round(dup, 6))
+                stop_o.append(round(stop, 6))
+                mwl_o.append(round(mwl, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "n_words": pa.array(n_words_o, pa.int64()),
+                "dup_word_frac": pa.array(dup_o, pa.float64()),
+                "stop_ratio": pa.array(stop_o, pa.float64()),
+                "mean_word_len": pa.array(mwl_o, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+QUALITY_FILTER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts) AS n_words,
+         1.0 - len(list_distinct(ts)) * 1.0 / len(ts) AS dup,
+         len(list_filter(ts, t -> lower(t) IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+           * 1.0 / len(ts) AS stop,
+         list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) AS mwl
+  FROM toks WHERE len(ts) >= {QF_MIN_WORDS}
+)
+SELECT doc_id, n_words, ROUND(dup, 6) AS dup_word_frac,
+       ROUND(stop, 6) AS stop_ratio, ROUND(mwl, 6) AS mean_word_len
+FROM m
+WHERE dup <= {QF_MAX_DUP_FRAC} AND stop >= {QF_MIN_STOP_RATIO}
+  AND mwl BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet-style unigram LM scoring (two-pass: counts shuffle -> broadcast model
+# -> stateless scoring)
+# --------------------------------------------------------------------------
+
+class _LMScorer:
+    """Actor-pool scorer: fetches the broadcast model ONCE per actor in
+    __init__ (not per batch), then scores batches vectorized over the
+    doc's distinct-word counts."""
+
+    def __init__(self, model_ref):
+        logp, self.n_total, self.vocab = ray.get(model_ref)
+        self.logp = logp  # dict word -> ln p(word), add-one smoothed
+        self.default = float(np.log(1.0 / (self.n_total + self.vocab + 1)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xents = []
+        lp = self.logp
+        d = self.default
+        for t in batch["text"].to_pylist():
+            ws = _words(t)
+            if not ws:
+                xents.append(0.0)
+                continue
+            s = 0.0
+            for w, c in sorted(Counter(ws).items()):
+                s += c * lp.get(w, d)
+            xents.append(round(-s / len(ws), 6))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "xent": pa.array(xents, pa.float64())}
+        )
+
+
+def lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Per-doc cross-entropy (nats/word) under an add-one-smoothed unigram
+    LM trained on the SAME corpus — the CCNet perplexity-bucketing signal.
+
+    Pass 1 (model): per-batch Counter partials -> groupby(word).sum —
+    the shuffle moves one row per distinct word per block, never tokens.
+    The fitted model is a dict broadcast once via ray.put. Pass 2
+    (score): stateless actor-pool map_batches reading the model ref in
+    __init__. Oracled by LM_PERPLEXITY_SQL (identical smoothing)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_words(t))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-sized (tiny); prune to top-V at webtext scale
+    )
+    n_total = int(counts.c.sum())
+    vocab = len(counts)
+    denom = float(n_total + vocab + 1)
+    logp = {
+        w: float(np.log((c + 1.0) / denom)) for w, c in zip(counts.word, counts.c)
+    }
+    model_ref = ray.put((logp, n_total, vocab))
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(
+            _LMScorer,
+            batch_format="pyarrow",
+            concurrency=4,
+            fn_constructor_kwargs={"model_ref": model_ref},
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    return out
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) != ''
+),
+model AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM model),
+dw AS (SELECT doc_id, w, COUNT(*) AS cw FROM toks GROUP BY doc_id, w)
+SELECT d.doc_id,
+       COALESCE(x.xent, 0.0) AS xent
+FROM documents d LEFT JOIN (
+  SELECT dw.doc_id,
+         ROUND(-SUM(dw.cw * ln((m.c + 1.0) / (t.n + t.v + 1))) / SUM(dw.cw), 6) AS xent
+  FROM dw JOIN model m USING (w) CROSS JOIN tot t
+  GROUP BY dw.doc_id
+) x USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (broadcast benchmark shingles, flag corpus hits)
+# --------------------------------------------------------------------------
+
+class _ContaminationFlagger:
+    """Actor-pool stage holding the broadcast benchmark shingle set
+    (fetched once per actor)."""
+
+    def __init__(self, bench_ref, k: int):
+        self.bench: frozenset = ray.get(bench_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, hits_out = [], []
+        k = self.k
+        bench = self.bench
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if did % DECON_BENCH_MOD == 0:
+                continue  # benchmark docs are not corpus candidates
+            ws = _words(t)
+            if len(ws) < k:
+                continue
+            grams = {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+            n_hits = len(grams & bench)
+            if n_hits:
+                ids_out.append(did)
+                hits_out.append(n_hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_hits": pa.array(hits_out, pa.int64()),
+            }
+        )
+
+
+def decontaminate(sf_dir: str, k: int = DECON_K) -> pd.DataFrame:
+    """Flag corpus docs sharing any word k-gram with the held-out
+    benchmark slice (doc_id % 97 == 0) — the GPT-3/PaLM-style n-gram
+    decontamination pass. The benchmark shingle set is built driver-side
+    from the (tiny, filtered at the read) benchmark slice and broadcast
+    once; the corpus streams through a stateless actor pool. Returns
+    (doc_id, n_hits = distinct contaminated shingles) for contaminated
+    docs. Oracled by DECONTAMINATE_SQL."""
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if did % DECON_BENCH_MOD != 0:
+                continue
+            ws = _words(t)
+            grams.update(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
+        return pa.table({"s": pa.array(sorted(grams), pa.string())})
+
+    # the benchmark side is tiny by construction — its per-batch distinct
+    # shingles collapse to a driver set (benchmark size, not corpus size)
+    bench_parts = (
+        _docs(sf_dir).map_batches(bench_shingles, batch_format="pyarrow").to_pandas()
+    )
+    bench_ref = ray.put(frozenset(bench_parts.s))
+
+    return (
+        _docs(sf_dir)
+        .map_batches(
+            _ContaminationFlagger,
+            batch_format="pyarrow",
+            concurrency=4,
+            fn_constructor_kwargs={"bench_ref": bench_ref, "k": k},
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+def _gram_sql(k: int) -> str:
+    return " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) != ''
+),
+g AS (
+  SELECT doc_id, {_gram_sql(DECON_K)} AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {DECON_K - 1})) AS gs(i)
+),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+FROM g
+WHERE doc_id % {DECON_BENCH_MOD} != 0 AND s IN (SELECT s FROM bench)
+GROUP BY doc_id ORDER BY doc_id
+"""

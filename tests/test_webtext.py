@@ -1,0 +1,138 @@
+"""Tests for webtext curation ops (repetition metrics, quality filter,
+unigram-LM scoring, decontamination) at sf0.001, including planted-input
+properties the SQL oracle gate can't express."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddle_ray.pipelines import webtext
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir()
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["source"] = "s"
+    df["n_chars"] = df.text.str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+    return str(d)
+
+
+# --- repetition metrics ----------------------------------------------------
+
+def test_repetition_known_values(tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": "a a a a"},  # 1 word repeated
+            {"doc_id": 2, "text": "a b c d"},  # all distinct
+            {"doc_id": 3, "text": "a b a b a"},  # 2gram dup
+        ],
+    )
+    out = webtext.repetition_metrics(d).set_index("doc_id")
+    assert out.loc[1, "dup_word_frac"] == 0.75
+    assert out.loc[1, "top_word_frac"] == 1.0
+    assert out.loc[1, "dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[2, "top_word_frac"] == 0.25
+    assert out.loc[2, "dup_2gram_frac"] == 0.0
+    # doc 3: 4 bigrams (ab, ba, ab, ba) -> 2 distinct -> dup frac 0.5
+    assert out.loc[3, "dup_2gram_frac"] == 0.5
+
+
+def test_repetition_full_corpus_bounds():
+    out = webtext.repetition_metrics(SF)
+    assert len(out) == 500
+    for c in ("dup_word_frac", "top_word_frac", "dup_2gram_frac"):
+        assert out[c].between(0, 1).all()
+    # word-soup corpus: repetition is present but not total
+    assert 0.2 < out.dup_word_frac.mean() < 0.8
+
+
+# --- quality filter --------------------------------------------------------
+
+def test_quality_filter_nondegenerate_and_consistent():
+    out = webtext.quality_filter(SF)
+    assert 0 < len(out) < 500  # filter actually separates
+    assert (out.n_words >= webtext.QF_MIN_WORDS).all()
+    assert (out.dup_word_frac <= webtext.QF_MAX_DUP_FRAC).all()
+    assert (out.stop_ratio >= webtext.QF_MIN_STOP_RATIO).all()
+    assert out.mean_word_len.between(webtext.QF_MIN_MEAN_WL, webtext.QF_MAX_MEAN_WL).all()
+
+
+def test_quality_filter_rejects_planted_junk(tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [
+            # passes every gate: 28 distinct words incl. stopwords
+            {
+                "doc_id": 1,
+                "text": "the quick brown fox jumps over a lazy dog and every cat "
+                "runs far to chase it in this park with many trees by old walls from dawn",
+            },
+            {"doc_id": 2, "text": "spam " * 50},  # dup_frac ~ 1
+            {"doc_id": 3, "text": "too short"},  # n_words < min
+            {"doc_id": 4, "text": "xx " * 30},  # mean word len 2 < 3
+        ],
+    )
+    out = webtext.quality_filter(d)
+    assert list(out.doc_id) == [1]
+
+
+# --- unigram LM ------------------------------------------------------------
+
+def test_lm_perplexity_orders_rare_docs_higher(tmp_path):
+    common = "alpha beta gamma delta " * 10
+    d = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": i, "text": common} for i in range(10)
+        ]
+        + [{"doc_id": 99, "text": "zeta eta theta iota kappa " * 8}],
+    )
+    out = webtext.lm_perplexity(d).set_index("doc_id")
+    # the lone doc made of rare words must score strictly higher xent
+    assert out.loc[99, "xent"] > out.loc[0, "xent"] + 0.5
+    # identical docs score identically
+    assert out.loc[0, "xent"] == out.loc[5, "xent"]
+
+
+def test_lm_perplexity_matches_closed_form(tmp_path):
+    # corpus = one doc "a a b": N=3, V=2; p(a)=(2+1)/6, p(b)=(1+1)/6
+    d = _write_docs(tmp_path, [{"doc_id": 1, "text": "a a b"}])
+    out = webtext.lm_perplexity(d)
+    expect = -(2 * np.log(3 / 6) + 1 * np.log(2 / 6)) / 3
+    assert out.xent.iloc[0] == pytest.approx(expect, abs=1e-6)
+
+
+# --- decontamination -------------------------------------------------------
+
+def test_decontaminate_flags_planted_overlap(tmp_path):
+    bench_text = "one two three four five six"
+    rows = [
+        {"doc_id": 0, "text": bench_text},  # benchmark doc (0 % 97 == 0)
+        {"doc_id": 1, "text": "zz one two three yy"},  # shares 3-gram
+        {"doc_id": 2, "text": "totally clean words here now"},  # no overlap
+        {"doc_id": 97 * 2, "text": "one two three"},  # benchmark, never output
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = webtext.decontaminate(d).set_index("doc_id")
+    assert list(out.index) == [1]
+    assert out.loc[1, "n_hits"] == 1
+
+
+def test_decontaminate_hit_count_distinct(tmp_path):
+    rows = [
+        {"doc_id": 0, "text": "p q r s t"},  # bench 3-grams: pqr qrs rst
+        # contains pqr twice (distinct count = 1) and qrs once -> 2 hits
+        {"doc_id": 5, "text": "p q r x p q r s"},
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = webtext.decontaminate(d)
+    assert out.n_hits.iloc[0] == 2
