@@ -30,6 +30,7 @@ from paddle_ray.pipelines import (
     curate,
     relational,
     relational_ext,
+    relational_more,
     similarity,
     webtext,
 )
@@ -182,6 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": relational_ext.q18_large_orders,
         "lang_quantile_chars": relational_ext.lang_quantile_chars,
         "word_topk": relational_ext.word_topk,
+        # --- native left-outer / left-anti / distinct-count shapes ---------
+        "q13_customer_distribution": relational_more.q13_customer_distribution,
+        "q16_supplier_cnt": relational_more.q16_supplier_cnt,
+        "q22_sales_opportunity": relational_more.q22_sales_opportunity,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -325,4 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": relational_ext.Q18_SQL,
         "lang_quantile_chars": relational_ext.LANG_QUANTILE_SQL,
         "word_topk": relational_ext.WORD_TOPK_SQL,
+        "q13_customer_distribution": relational_more.Q13_SQL,
+        "q16_supplier_cnt": relational_more.Q16_SQL,
+        "q22_sales_opportunity": relational_more.Q22_SQL,
     }

@@ -1,0 +1,280 @@
+"""TPC-H-shape extensions round 2: left-outer distribution (q13), distinct-
+supplier rollup (q16 shape), scalar-subquery + native anti join (q22 shape).
+
+These add the remaining classic join/aggregate SHAPES the engine had not
+yet exercised: the native shuffle LEFT OUTER and LEFT ANTI joins
+(`Dataset.join(join_type=...)`), a COUNT(DISTINCT) over a joined fact
+table, and a scalar aggregate feeding a downstream filter. Scale
+contracts:
+
+- **q13**: orders pre-counts per custkey inside map_batches (the shuffle
+  join moves one row per customer, never raw orders); customer LEFT OUTER
+  joins the counts so zero-order customers survive with count 0; the
+  final distribution groupby is over #distinct-counts rows (tiny).
+- **q16 shape**: lineitem's (partkey, suppkey) pairs are locally
+  deduplicated per batch before the global distinct so the shuffle moves
+  distinct pairs per block, not raw lineitems; part is a dimension table
+  broadcast once via ray.put as sorted probe arrays.
+- **q22 shape**: the global average is a distributive (sum, count)
+  partial pass; the anti side (urgent orders' custkeys) is locally
+  deduplicated per batch, then the native LEFT ANTI shuffle join drops
+  customers having any urgent order; the survivors aggregate per
+  nationkey with per-batch partials.
+
+Column names match the paired oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import read_table as _read
+
+# native shuffle-join aggregator pool size; 8 measured best at test scale
+# (16 aggregators spin up 7x slower on a 32-cpu host, see joins.py:108)
+N_JOIN_PARTS = 8
+
+
+def _ensure_nonempty(ds, sentinel: pa.Table):
+    """Union a single never-matching sentinel row onto a join input.
+
+    Ray's hash-shuffle join finalizes a partition by joining whatever
+    shards arrived; an input sequence that delivers ZERO non-empty
+    blocks (a legitimately-empty filter result) leaves its partitions
+    schemaless and `pa.Table.join` fails (see paddle_ray/compat.py for
+    the companion upstream-bug patches). A sentinel keyed -1 (all real
+    keys are positive) guarantees each side ships at least one
+    schema-bearing block; downstream projections mask the sentinel out.
+    """
+    import ray.data as rd
+
+    return ds.union(rd.from_arrow(sentinel))
+
+
+# --------------------------------------------------------------------------
+# q13: customer order-count distribution (native LEFT OUTER join)
+# --------------------------------------------------------------------------
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """How many customers placed exactly N non-urgent orders, including
+    N=0 — TPC-H q13's left-outer + double-groupby shape."""
+    from ray.data.aggregate import Count, Sum
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["o_orderpriority"], pa.scalar("1-URGENT"))
+        t = batch.filter(keep)
+        return t.group_by("o_custkey").aggregate([("o_custkey", "count")]).rename_columns(
+            ["o_custkey", "n"]
+        )
+
+    counts = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(order_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    counts = _ensure_nonempty(
+        counts,
+        pa.table({"o_custkey": pa.array([-1], pa.int64()), "c_count": pa.array([0], pa.int64())}),
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=N_JOIN_PARTS,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["c_custkey"], pa.scalar(-1)))
+        c = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
+        return pa.table({"c_count": c})
+
+    out = (
+        joined.map_batches(fill_zero, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+    return out.astype({"c_count": "int64", "custdist": "int64"})
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 shape: distinct suppliers per (brand, type, size) via lineitem
+# --------------------------------------------------------------------------
+
+def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT suppkey) per surviving (brand, type, size) — q16's
+    shape with supplier-part pairs derived from lineitem (the test corpus
+    has no partsupp table)."""
+    from ray.data.aggregate import Count
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    keep = (
+        (part.p_brand != "Brand#1")
+        & ~part.p_type.str.startswith("SMALL")
+        & part.p_size.isin([1, 2, 3, 4, 5, 6, 7, 8])
+    )
+    part = part[keep]
+    order = np.argsort(part.p_partkey.to_numpy())
+    lookup_ref = ray.put(
+        (
+            part.p_partkey.to_numpy()[order],
+            part.p_brand.to_numpy()[order],
+            part.p_type.to_numpy()[order],
+            part.p_size.to_numpy()[order].astype(np.int64),
+        )
+    )
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        # local distinct + dim attach: shuffle carries distinct
+        # (brand, type, size, suppkey) per block only
+        keys, brand, ptype, psize = ray.get(lookup_ref)
+        t = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        pk = t["l_partkey"].to_numpy()
+        pos = np.searchsorted(keys, pk)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = (len(keys) > 0) & (keys[pos_c] == pk)
+        return pa.table(
+            {
+                "p_brand": pa.array(brand[pos_c[hit]], pa.string()),
+                "p_type": pa.array(ptype[pos_c[hit]], pa.string()),
+                "p_size": pa.array(psize[pos_c[hit]], pa.int64()),
+                "suppkey": pa.array(t["l_suppkey"].to_numpy()[hit], pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(local_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["p_brand", "p_type", "p_size", "suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .reset_index(drop=True)
+    )
+    return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 shape: scalar-subquery filter + native LEFT ANTI join
+# --------------------------------------------------------------------------
+
+def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """Rich customers (acctbal above the positive-balance average) with no
+    URGENT orders, rolled up per nation — q22's anti-join + scalar
+    subquery shape using the native LEFT ANTI shuffle join."""
+    from ray.data.aggregate import Sum
+
+    # pass 1: distributive global average over positive balances
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        pos = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(0.0)))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(pos["c_acctbal"]).as_py() or 0.0], pa.float64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    avg_bal = float(parts.s.sum() / parts.n.sum())
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT")))
+        return t.group_by("o_custkey").aggregate([]).select(["o_custkey"])
+
+    urgent = _ensure_nonempty(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+            urgent_keys, batch_format="pyarrow", batch_size=None
+        ),
+        pa.table({"o_custkey": pa.array([-1], pa.int64())}),
+    )
+
+    rich = _ensure_nonempty(
+        _read(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        ).filter(expr=f"c_acctbal > {avg_bal!r}"),
+        pa.table(
+            {
+                "c_custkey": pa.array([-1], pa.int64()),
+                "c_nationkey": pa.array([-1], pa.int64()),
+                "c_acctbal": pa.array([0.0], pa.float64()),
+            }
+        ),
+    )
+
+    anti = rich.join(
+        urgent,
+        join_type="left_anti",
+        num_partitions=N_JOIN_PARTS,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["c_custkey"], pa.scalar(-1)))
+        t = t.group_by("c_nationkey").aggregate(
+            [("c_custkey", "count"), ("c_acctbal", "sum")]
+        )
+        return t.rename_columns(["c_nationkey", "numcust", "totacctbal"])
+
+    out = (
+        anti.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("totacctbal", alias_name="totacctbal"))
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    out["totacctbal"] = out.totacctbal.round(4)
+    return out.astype({"c_nationkey": "int64", "numcust": "int64"})
+
+
+Q22_SQL = """
+WITH a AS (SELECT AVG(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > a.v
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -1,0 +1,124 @@
+"""Edge tests for the native left-outer / left-anti shapes (q13/q16/q22)
+with planted inputs the SQL oracle gate can't isolate."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from paddle_ray.pipelines import relational_more
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(tmp_path, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / f"{name}.parquet")
+
+
+def test_q13_zero_order_customers_counted(tmp_path):
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame({"c_custkey": [1, 2, 3], "c_name": "x", "c_nationkey": 0,
+                      "c_acctbal": 0.0, "c_mktsegment": "s"}),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [10, 11, 12],
+                "o_custkey": [1, 1, 2],
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("1996-01-01"),
+                # customer 2's only order is URGENT -> excluded -> c_count 0
+                "o_orderpriority": ["2-HIGH", "2-HIGH", "1-URGENT"],
+            }
+        ),
+    )
+    out = relational_more.q13_customer_distribution(str(tmp_path)).set_index("c_count")
+    # customers 2 and 3 both have zero qualifying orders; customer 1 has 2
+    assert out.loc[0, "custdist"] == 2
+    assert out.loc[2, "custdist"] == 1
+
+
+def test_q22_anti_join_drops_urgent_customers(tmp_path):
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4],
+                "c_name": "x",
+                "c_nationkey": [7, 7, 8, 8],
+                # avg positive balance = 400; only 500-balance rows qualify
+                "c_acctbal": [500.0, 500.0, 500.0, 100.0],
+                "c_mktsegment": "s",
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [10, 11],
+                "o_custkey": [1, 3],
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("1996-01-01"),
+                "o_orderpriority": ["1-URGENT", "5-LOW"],
+            }
+        ),
+    )
+    out = relational_more.q22_sales_opportunity(str(tmp_path))
+    # cust 1 dropped (urgent), cust 4 dropped (below avg); 2 and 3 survive
+    assert list(out.c_nationkey) == [7, 8]
+    assert list(out.numcust) == [1, 1]
+
+
+def test_q22_empty_anti_side(tmp_path):
+    """No urgent orders at all: the anti side is legitimately empty and
+    the sentinel guard must keep the native join from crashing."""
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2],
+                "c_name": "x",
+                "c_nationkey": [3, 3],
+                "c_acctbal": [500.0, 100.0],
+                "c_mktsegment": "s",
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [10],
+                "o_custkey": [1],
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("1996-01-01"),
+                "o_orderpriority": ["5-LOW"],
+            }
+        ),
+    )
+    out = relational_more.q22_sales_opportunity(str(tmp_path))
+    # avg positive = 300 -> only cust 1 is rich; no urgent orders drop it
+    assert list(out.c_nationkey) == [3]
+    assert list(out.numcust) == [1]
+    assert list(out.totacctbal) == [500.0]
+
+
+def test_q16_distinct_suppliers_full_sf():
+    out = relational_more.q16_supplier_cnt(SF)
+    assert len(out) > 0
+    assert (out.supplier_cnt >= 1).all()
+    # survivors respect the predicate gates
+    assert (out.p_brand != "Brand#1").all()
+    assert (~out.p_type.str.startswith("SMALL")).all()
+    assert out.p_size.between(1, 8).all()
