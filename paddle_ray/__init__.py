@@ -21,10 +21,6 @@ No module here calls ``ray.init()``/``ray.shutdown()`` — the driver,
 
 __version__ = "0.1.0"
 
-# upstream-bug workarounds (see compat.py docstring) — must be applied in
-# the driver before any Dataset with a hash-shuffle stage executes
-from . import compat as _compat  # noqa: E402,F401
-
 # public convenience surface (lazy — keep package import light for workers)
 def extract_pipeline(*args, **kwargs):
     from .pipelines.extract import extract_pipeline as _ep

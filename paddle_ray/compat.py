@@ -73,10 +73,10 @@ def _apply_shuffle_block_schema_patch() -> None:
             # broadcast; replicate the fan-out it performs for non-empty
             # first blocks so no aggregator partition stays schemaless
             shard = _create_empty_table(block.schema)
+            shard_ref = ray.put(shard)  # identical shard: put once, fan the ref
             pending = []
             for partition_id in range(pool.num_partitions):
                 aggregator = pool.get_aggregator_for_partition(partition_id)
-                shard_ref = ray.put(shard)
                 pending.append(
                     aggregator.submit.remote(input_index, partition_id, shard_ref)
                 )
@@ -119,10 +119,17 @@ def _apply_empty_block_filter_patch() -> None:
     orig = HashShufflingOperatorBase._do_add_input_inner
 
     def _do_add_input_inner_nonempty(self, input_bundle, input_index):
-        # Empty blocks carry no data but can consume (or poison, when
-        # their schema is zero-column) the operator's one-shot schema
-        # broadcast — see module docstring. Dropping them here means the
-        # broadcast always rides a real block.
+        # Empty blocks carrying a real schema are legitimate broadcast
+        # vehicles (Patch B fans their schema out), so a bundle whose
+        # schema is known and non-trivial passes through untouched — a
+        # legitimately-empty join side then still distributes its schema.
+        # Only when the bundle's schema is unknown/zero-column (the
+        # sort-aggregate's poison empties) are its empty blocks dropped,
+        # so the one-shot broadcast waits for a real block instead.
+        schema = input_bundle.schema
+        names = getattr(schema, "names", None) if schema is not None else None
+        if names:
+            return orig(self, input_bundle, input_index)
         keep = [
             (ref, meta)
             for ref, meta in zip(input_bundle.block_refs, input_bundle.metadata)

@@ -67,9 +67,10 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     def order_partials(batch: pa.Table) -> pa.Table:
         keep = pc.not_equal(batch["o_orderpriority"], pa.scalar("1-URGENT"))
         t = batch.filter(keep)
-        return t.group_by("o_custkey").aggregate([("o_custkey", "count")]).rename_columns(
-            ["o_custkey", "n"]
-        )
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        # select by NAME — pyarrow's key/aggregate column order has
+        # changed across major versions and both columns are int64
+        return pa.table({"o_custkey": g["o_custkey"], "n": g["o_custkey_count"]})
 
     counts = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
@@ -151,11 +152,21 @@ def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
         # local distinct + dim attach: shuffle carries distinct
         # (brand, type, size, suppkey) per block only
         keys, brand, ptype, psize = ray.get(lookup_ref)
+        empty = pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "suppkey": pa.array([], pa.int64()),
+            }
+        )
+        if len(keys) == 0:
+            return empty  # every part filtered out: nothing can match
         t = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
         pk = t["l_partkey"].to_numpy()
         pos = np.searchsorted(keys, pk)
         pos_c = np.clip(pos, 0, len(keys) - 1)
-        hit = (len(keys) > 0) & (keys[pos_c] == pk)
+        hit = keys[pos_c] == pk
         return pa.table(
             {
                 "p_brand": pa.array(brand[pos_c[hit]], pa.string()),
@@ -217,7 +228,18 @@ def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         .map_batches(bal_partial, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    avg_bal = float(parts.s.sum() / parts.n.sum())
+    n_pos = int(parts.n.sum())
+    if n_pos == 0:
+        # no positive balance anywhere: the scalar subquery is NULL and
+        # `c_acctbal > NULL` selects nothing (matches the SQL oracle)
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    avg_bal = float(parts.s.sum() / n_pos)
 
     def urgent_keys(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT")))
@@ -253,10 +275,17 @@ def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
 
     def nation_partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["c_custkey"], pa.scalar(-1)))
-        t = t.group_by("c_nationkey").aggregate(
+        g = t.group_by("c_nationkey").aggregate(
             [("c_custkey", "count"), ("c_acctbal", "sum")]
         )
-        return t.rename_columns(["c_nationkey", "numcust", "totacctbal"])
+        # select by NAME, not positional rename (see order_partials)
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "numcust": g["c_custkey_count"],
+                "totacctbal": g["c_acctbal_sum"],
+            }
+        )
 
     out = (
         anti.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)

@@ -19,11 +19,14 @@ Scale contracts
   per actor in `__init__`. At webtext scale the vocabulary must be
   pruned to top-V words before broadcast (V ~ 1e6 => ~20 MB); the
   smoothing already accounts for out-of-vocabulary mass.
-- `decontaminate`: the benchmark side is tiny by construction (held-out
-  eval sets); its shingle set is broadcast once, the corpus side streams
-  — no shuffle. Real deployments hash shingles into a set of int64 to
-  bound broadcast size; here the literal strings are broadcast so the
-  DuckDB oracle can reproduce membership exactly (no hash collisions).
+- `decontaminate`: the benchmark is a deterministic 1/97 corpus slice
+  (a stand-in for a separate held-out eval table); extracting it costs
+  one streaming pass with an Arrow-level mask, then its shingle set is
+  broadcast once and the corpus side streams through the flagger — no
+  shuffle. Real deployments read the benchmark table directly and hash
+  shingles into int64s to bound broadcast size; here the literal
+  strings are broadcast so the DuckDB oracle can reproduce membership
+  exactly (no hash collisions).
 """
 
 from __future__ import annotations
@@ -59,8 +62,12 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 
 
 def _words(text: str) -> list[str]:
-    """Whitespace tokens, oracle-identical to
-    regexp_split_to_array(trim(text), '\\s+') (empty text -> [])."""
+    """Whitespace tokens. Matches regexp_split_to_array(trim(text),
+    '\\s+') on ASCII whitespace; Python's str.split additionally treats
+    Unicode whitespace (NBSP etc.) as separators where DuckDB's \\s does
+    not. The test corpus is ASCII (the fingerprints oracle fails loudly
+    otherwise), so the kernels and oracles agree; document-processing at
+    webtext scale should normalize Unicode spaces upstream."""
     return text.split()
 
 
@@ -353,10 +360,14 @@ def decontaminate(sf_dir: str, k: int = DECON_K) -> pd.DataFrame:
     docs. Oracled by DECONTAMINATE_SQL."""
 
     def bench_shingles(batch: pa.Table) -> pa.Table:
+        # Arrow-level mask first: 96/97 of rows drop without touching
+        # Python. (A real deployment's benchmark is a separate small
+        # table read directly; here it is a deterministic corpus slice,
+        # so the slice scan doubles as the "benchmark read".)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % DECON_BENCH_MOD == 0)
         grams: set[str] = set()
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if did % DECON_BENCH_MOD != 0:
-                continue
+        for t in batch.filter(mask)["text"].to_pylist():
             ws = _words(t)
             grams.update(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
         return pa.table({"s": pa.array(sorted(grams), pa.string())})

@@ -1,0 +1,64 @@
+"""Regression tests for the hash-shuffle schema-broadcast workarounds in
+paddle_ray/compat.py (upstream ray 2.49.2 defect — see module docstring).
+Both scenarios crash with ArrowInvalid ("No match or multiple matches for
+key field reference ...") without the patches."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+import paddle_ray.pipelines  # noqa: F401  (applies the compat patches)
+
+
+def test_join_right_side_aggregate_of_parquet(tmp_path):
+    """Sort-aggregates emit zero-column empty blocks; one arriving first
+    used to consume the join's one-shot schema broadcast."""
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1, 2, 3]}), preserve_index=False),
+        tmp_path / "l.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"k2": [1, 1, 2], "n": [1, 1, 1]}), preserve_index=False
+        ),
+        tmp_path / "r.parquet",
+    )
+    left = rd.read_parquet(str(tmp_path / "l.parquet"))
+    counts = (
+        rd.read_parquet(str(tmp_path / "r.parquet"))
+        .groupby("k2")
+        .aggregate(Sum("n", alias_name="c"))
+    )
+    out = (
+        left.join(counts, join_type="left_outer", num_partitions=8, on=("k",), right_on=("k2",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == [1, 2, 3]
+    assert out.c.fillna(0).astype(int).tolist() == [2, 1, 0]
+
+
+def test_join_with_legitimately_empty_side(tmp_path):
+    """A filter matching nothing leaves one side all-empty-but-schema'd;
+    the patches must still distribute that schema so the join finalizes."""
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1, 2]}), preserve_index=False),
+        tmp_path / "l.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k2": [1, 2], "v": [5, 6]}), preserve_index=False),
+        tmp_path / "r.parquet",
+    )
+    left = rd.read_parquet(str(tmp_path / "l.parquet"))
+    right = rd.read_parquet(str(tmp_path / "r.parquet")).filter(expr="v > 100")
+    out = (
+        left.join(right, join_type="left_outer", num_partitions=4, on=("k",), right_on=("k2",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == [1, 2]
+    assert out.v.isna().all()
