@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": webtext.quality_filter,
         "lm_perplexity": webtext.lm_perplexity,
         "decontaminate": webtext.decontaminate,
+        "stratified_sample": webtext.stratified_sample,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows --------------------------------------------
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,
         "decontaminate": webtext.DECONTAMINATE_SQL,
+        "stratified_sample": webtext.STRATIFIED_SAMPLE_SQL_T.format(k=webtext.SAMPLE_PER_LANG),
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,

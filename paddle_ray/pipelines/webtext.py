@@ -392,6 +392,66 @@ def decontaminate(sf_dir: str, k: int = DECON_K) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# stratified deterministic downsampling (corpus rebalancing / data mixing)
+# --------------------------------------------------------------------------
+
+SAMPLE_PER_LANG = 25
+
+
+def stratified_sample(sf_dir: str, k: int = SAMPLE_PER_LANG) -> pd.DataFrame:
+    """Keep the k hash-smallest docs per language — the deterministic
+    per-group downsampling used to rebalance over-represented slices when
+    mixing training corpora. Rank = md5(doc_id) (shared verbatim with the
+    DuckDB oracle; no RNG, so reruns and retries pick identical docs).
+
+    Scale contract: each batch pre-selects its LOCAL k-smallest per lang
+    (vectorized argsort on the hash), so the groupby shuffle moves at
+    most k rows per (lang, block) — never the corpus. The global
+    k-of-union step runs once per language group on ≤ k×#blocks rows."""
+    import hashlib
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rank"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df.doc_id
+        ]
+        keep = (
+            df.sort_values(["rank", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(
+            keep[["lang", "doc_id", "rank"]], preserve_index=False
+        )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(["rank", "doc_id"], kind="mergesort").head(k)
+        return keep[["lang", "doc_id"]]
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(global_topk)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64"})
+
+
+STRATIFIED_SAMPLE_SQL_T = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {k} ORDER BY lang, doc_id
+"""
+
+
 def _gram_sql(k: int) -> str:
     return " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
 

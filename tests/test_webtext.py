@@ -111,6 +111,24 @@ def test_lm_perplexity_matches_closed_form(tmp_path):
     assert out.xent.iloc[0] == pytest.approx(expect, abs=1e-6)
 
 
+# --- stratified sampling ---------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism():
+    a = webtext.stratified_sample(SF, k=10)
+    b = webtext.stratified_sample(SF, k=10)
+    pd.testing.assert_frame_equal(a, b)  # no RNG: reruns identical
+    assert (a.groupby("lang").size() <= 10).all()
+    # the sf0.001 corpus has >10 docs per lang, so every quota is filled
+    assert (a.groupby("lang").size() == 10).all()
+
+
+def test_stratified_sample_small_group_kept_whole(tmp_path):
+    rows = [{"doc_id": i, "text": "x y z"} for i in range(3)]
+    d = _write_docs(tmp_path, rows)  # 3 docs, single lang "en"
+    out = webtext.stratified_sample(d, k=10)
+    assert len(out) == 3  # quota larger than group -> group kept whole
+
+
 # --- decontamination -------------------------------------------------------
 
 def test_decontaminate_flags_planted_overlap(tmp_path):
