@@ -25,6 +25,7 @@ from paddle_ray.pipelines import (
     analysis,
     dedup,
     events,
+    io_roundtrip,
     joins,
     multimodal,
     curate,
@@ -230,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": webtext.lm_perplexity,
         "decontaminate": webtext.decontaminate,
         "stratified_sample": webtext.stratified_sample,
+        # --- source/sink format roundtrips (jsonl / csv) -------------------
+        "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
+        "csv_roundtrip": io_roundtrip.csv_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows --------------------------------------------
@@ -318,6 +322,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,
         "decontaminate": webtext.DECONTAMINATE_SQL,
         "stratified_sample": webtext.STRATIFIED_SAMPLE_SQL_T.format(k=webtext.SAMPLE_PER_LANG),
+        "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
+        "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,
