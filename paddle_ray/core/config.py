@@ -50,8 +50,13 @@ class ExtractConfig:
     # min pool size 1: a min of 2+ can deadlock small CPU budgets (both
     # pools reserve every CPU and the read/sort stages starve); pinned
     # pools (min==max) must likewise leave >=1 CPU unreserved on the node
-    # or ReadParquet/shuffle tasks never schedule (bench._flagship_cfg)
-    layout_pool_size: tuple = (1, 6)
+    # or ReadParquet/shuffle tasks never schedule (bench._flagship_cfg).
+    # None (default) sizes the max to 3/4 of the session's CPUs at
+    # pipeline-build time (extract.py::resolve_layout_pool): the fixed
+    # (1, 6) default left a 32-CPU host 2.5x slower than the same host
+    # with a right-sized pool (measured 8.1s -> 3.3s at sf0.1), while 6
+    # remains the floor so small hosts/test sessions are unchanged.
+    layout_pool_size: tuple | None = None
     layout_batch_size: int = 16
     # caption pool mirrors the reference's 4 instances but may scale wider
     # (the mock captioner is CPU-cheap; a fixed 4 bottlenecked the stream);

@@ -29,6 +29,24 @@ from ..state import checkpoint as ckpt
 from ..state.metrics import wrap_with_metrics
 
 
+def resolve_layout_pool(cfg: ExtractConfig) -> tuple:
+    """Size the extractor actor pool to the session unless pinned in cfg.
+
+    Max = 3/4 of the session's CPUs (floor 6, cap 32): the extractor is
+    the pipeline's dominant CPU consumer, and the remaining quarter keeps
+    the captioner pool + stateless read/sort tasks schedulable (a pool
+    reserving every CPU deadlocks the stream — see ExtractConfig note).
+    Min stays 1 so tiny inputs/small hosts never over-reserve."""
+    if cfg.layout_pool_size is not None:
+        return cfg.layout_pool_size
+    import ray
+
+    n = 8
+    if ray.is_initialized():
+        n = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(6, min(32, (n * 3) // 4)))
+
+
 def read_pages(source, columns=None) -> rd.Dataset:
     """source: parquet path(s) | pyarrow Table | Dataset.
 
@@ -130,7 +148,7 @@ def extract_pipeline(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
-        concurrency=cfg.layout_pool_size,
+        concurrency=resolve_layout_pool(cfg),
         num_cpus=1,
     )
     if cfg.captioning_enabled:
