@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_synth_digest": _extract_synth_digest,
         "extract_image_stats": _extract_image_stats,
         "curate_corpus": curate.curate_corpus,
+        "curate_corpus_v2": curate.curate_corpus_v2,
         # --- relational operators ----------------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_type"
         ),
         "curate_corpus": curate.CURATE_SQL,
+        "curate_corpus_v2": curate.CURATE_V2_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -68,3 +68,221 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_ext) AS BIGINT) AS sum_chars
 FROM kept WHERE rn = 1
 GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# curation v2: extraction -> Gopher gate -> decontaminate -> stratified
+# sample -> per-lang stats (the full webtext-hygiene composition, one oracle)
+# --------------------------------------------------------------------------
+
+V2_SAMPLE_K = 10
+
+
+def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
+    """The full training-data curation chain over EXTRACTED text:
+
+        pages -> extraction (actor pool)
+              -> Gopher quality gate (word count / dup fraction /
+                 stopword ratio / mean word length, webtext.py thresholds)
+              -> benchmark decontamination (broadcast 3-gram set,
+                 benchmark slice doc_id % 97 == 0 excluded + any doc
+                 sharing a shingle with it dropped)
+              -> stratified md5-rank sample (k per lang)
+              -> per-lang rollup
+
+    Extraction is byte-identical per url (extract_roundtrip oracle), so
+    the whole five-stage composition is value-checked by one SQL oracle
+    over `documents`. Scale notes: the quality gate + flagger are
+    stateless per-batch kernels on the extraction stream (no shuffle);
+    the benchmark shingle set is built from a masked slim read and
+    broadcast once; the only shuffle after extraction carries <= k rows
+    per (lang, block) (the sample's local top-k partials)."""
+    import hashlib
+
+    import ray
+
+    from ..functions.textstats import STOPWORDS
+    from .webtext import DECON_BENCH_MOD, DECON_K, _words
+    from .common import sized_read_parquet
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    ds = extract_pipeline(pages_from_documents(sf_dir), cfg=cfg)
+
+    from .webtext import (
+        QF_MAX_DUP_FRAC,
+        QF_MIN_MEAN_WL,
+        QF_MAX_MEAN_WL,
+        QF_MIN_STOP_RATIO,
+        QF_MIN_WORDS,
+    )
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, langs, texts, chars = [], [], [], []
+        for url, lang, text in zip(
+            batch["url"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            doc_id = int(url.rsplit("/", 1)[1])
+            if doc_id % DECON_BENCH_MOD == 0:
+                continue  # benchmark slice never enters the corpus
+            ws = _words(text)
+            n = len(ws)
+            if n < QF_MIN_WORDS:
+                continue
+            c = Counter(ws)
+            dup = 1.0 - len(c) / n
+            stop = sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
+            mwl = sum(len(w) for w in ws) / n
+            if dup > QF_MAX_DUP_FRAC or stop < QF_MIN_STOP_RATIO or not (
+                QF_MIN_MEAN_WL <= mwl <= QF_MAX_MEAN_WL
+            ):
+                continue
+            ids.append(doc_id)
+            langs.append(lang)
+            texts.append(text)
+            chars.append(len(text))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars_ext": pa.array(chars, pa.int64()),
+            }
+        )
+
+    qualified = ds.map_batches(qualify, batch_format="pyarrow", batch_size=None)
+
+    # benchmark shingles from a slim masked read of the source table
+    # (extraction is byte-identical, so this equals shingling the
+    # benchmark docs' extracted text without a second extraction pass)
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = batch["doc_id"].to_numpy(zero_copy_only=False) % DECON_BENCH_MOD == 0
+        grams: set[str] = set()
+        for t in batch.filter(pa.array(m))["text"].to_pylist():
+            ws = _words(t)
+            grams.update(
+                " ".join(ws[i : i + DECON_K]) for i in range(len(ws) - DECON_K + 1)
+            )
+        return pa.table({"s": pa.array(sorted(grams), pa.string())})
+
+    bench_parts = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_shingles, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bench_ref = ray.put(frozenset(bench_parts.s))
+
+    def clean_and_rank(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        rows = []
+        for doc_id, lang, text, n_chars in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["n_chars_ext"].to_pylist(),
+        ):
+            ws = _words(text)
+            grams = {
+                " ".join(ws[i : i + DECON_K]) for i in range(len(ws) - DECON_K + 1)
+            }
+            if grams & bench:
+                continue
+            rows.append(
+                (doc_id, lang, n_chars, hashlib.md5(str(doc_id).encode()).hexdigest())
+            )
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars_ext", "rank"])
+        # local per-lang top-k: the shuffle moves <= k rows per (lang, block)
+        local = (
+            df.sort_values(["rank", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(local.doc_id, pa.int64()),
+                "lang": pa.array(local.lang, pa.string()),
+                "n_chars_ext": pa.array(local.n_chars_ext, pa.int64()),
+                "rank": pa.array(local["rank"], pa.string()),
+            }
+        )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["rank", "doc_id"], kind="mergesort").head(k)[
+            ["doc_id", "lang", "n_chars_ext"]
+        ]
+
+    sampled = (
+        qualified.map_batches(clean_and_rank, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(global_topk)
+        .to_pandas()
+    )
+    out = (
+        sampled.groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars_ext", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+def _curate_v2_sql() -> str:
+    from .webtext import (
+        DECON_BENCH_MOD,
+        DECON_K,
+        QF_MAX_DUP_FRAC,
+        QF_MIN_MEAN_WL,
+        QF_MAX_MEAN_WL,
+        QF_MIN_STOP_RATIO,
+        QF_MIN_WORDS,
+        _gram_sql,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, length(text) AS n_chars_ext,
+         regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) != ''
+),
+qual AS (
+  SELECT doc_id, lang, n_chars_ext FROM toks
+  WHERE len(ts) >= {QF_MIN_WORDS}
+    AND 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) <= {QF_MAX_DUP_FRAC}
+    AND len(list_filter(ts, t -> lower(t) IN
+      ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+      * 1.0 / len(ts) >= {QF_MIN_STOP_RATIO}
+    AND list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts)
+        BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+    AND doc_id % {DECON_BENCH_MOD} != 0
+),
+g AS (
+  SELECT doc_id, {_gram_sql(DECON_K)} AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {DECON_K - 1})) AS gs(i)
+),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % {DECON_BENCH_MOD} != 0 AND s IN (SELECT s FROM bench)
+),
+clean AS (
+  SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT lang, n_chars_ext,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM clean
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_ext) AS BIGINT) AS sum_chars
+FROM sampled WHERE rn <= {V2_SAMPLE_K}
+GROUP BY lang ORDER BY lang
+"""
+
+
+CURATE_V2_SQL = _curate_v2_sql()

@@ -129,6 +129,25 @@ def test_stratified_sample_small_group_kept_whole(tmp_path):
     assert len(out) == 3  # quota larger than group -> group kept whole
 
 
+# --- curation v2 composition ----------------------------------------------
+
+def test_curate_v2_composition_properties():
+    from paddle_ray.pipelines import curate
+
+    out = curate.curate_corpus_v2(SF, k=8)
+    assert len(out) >= 1
+    assert (out.n_docs <= 8).all()  # quota enforced
+    assert (out.n_docs >= 1).all()
+    # sampled docs must be a subset of the standalone quality_filter
+    # survivors minus the decontaminated/benchmark docs
+    qf = set(webtext.quality_filter(SF).doc_id)
+    contaminated = set(webtext.decontaminate(SF).doc_id)
+    allowed = {
+        d for d in qf if d % webtext.DECON_BENCH_MOD != 0 and d not in contaminated
+    }
+    assert out.n_docs.sum() <= len(allowed)
+
+
 # --- decontamination -------------------------------------------------------
 
 def test_decontaminate_flags_planted_overlap(tmp_path):
