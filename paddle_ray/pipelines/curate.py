@@ -78,6 +78,55 @@ GROUP BY lang ORDER BY lang
 V2_SAMPLE_K = 10
 
 
+class _CleanRanker:
+    """Actor-pool stage: drop contaminated docs (any word-k-gram shared
+    with the broadcast benchmark set, fetched ONCE per actor in
+    __init__) and emit the local per-lang k-smallest md5 ranks — the
+    shuffle then moves <= k rows per (lang, block)."""
+
+    def __init__(self, bench_ref, k: int):
+        import ray
+
+        self.bench: frozenset = ray.get(bench_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from .webtext import DECON_K, _words
+
+        rows = []
+        for doc_id, lang, text, n_chars in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["n_chars_ext"].to_pylist(),
+        ):
+            ws = _words(text)
+            grams = {
+                " ".join(ws[i : i + DECON_K]) for i in range(len(ws) - DECON_K + 1)
+            }
+            if grams & self.bench:
+                continue
+            rows.append(
+                (doc_id, lang, n_chars, hashlib.md5(str(doc_id).encode()).hexdigest())
+            )
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars_ext", "rank"])
+        local = (
+            df.sort_values(["rank", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(self.k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(local.doc_id, pa.int64()),
+                "lang": pa.array(local.lang, pa.string()),
+                "n_chars_ext": pa.array(local.n_chars_ext, pa.int64()),
+                "rank": pa.array(local["rank"], pa.string()),
+            }
+        )
+
+
 def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
     """The full training-data curation chain over EXTRACTED text:
 
@@ -97,28 +146,12 @@ def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
     the benchmark shingle set is built from a masked slim read and
     broadcast once; the only shuffle after extraction carries <= k rows
     per (lang, block) (the sample's local top-k partials)."""
-    import hashlib
-
-    import ray
-
-    from ..functions.textstats import STOPWORDS
-    from .webtext import DECON_BENCH_MOD, DECON_K, _words
-    from .common import sized_read_parquet
+    from .webtext import DECON_BENCH_MOD, _words, build_bench_shingles, quality_gate
 
     cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
     ds = extract_pipeline(pages_from_documents(sf_dir), cfg=cfg)
 
-    from .webtext import (
-        QF_MAX_DUP_FRAC,
-        QF_MIN_MEAN_WL,
-        QF_MAX_MEAN_WL,
-        QF_MIN_STOP_RATIO,
-        QF_MIN_WORDS,
-    )
-
     def qualify(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
         ids, langs, texts, chars = [], [], [], []
         for url, lang, text in zip(
             batch["url"].to_pylist(),
@@ -128,17 +161,7 @@ def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
             doc_id = int(url.rsplit("/", 1)[1])
             if doc_id % DECON_BENCH_MOD == 0:
                 continue  # benchmark slice never enters the corpus
-            ws = _words(text)
-            n = len(ws)
-            if n < QF_MIN_WORDS:
-                continue
-            c = Counter(ws)
-            dup = 1.0 - len(c) / n
-            stop = sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
-            mwl = sum(len(w) for w in ws) / n
-            if dup > QF_MAX_DUP_FRAC or stop < QF_MIN_STOP_RATIO or not (
-                QF_MIN_MEAN_WL <= mwl <= QF_MAX_MEAN_WL
-            ):
+            if not quality_gate(_words(text))[0]:
                 continue
             ids.append(doc_id)
             langs.append(lang)
@@ -158,58 +181,7 @@ def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
     # benchmark shingles from a slim masked read of the source table
     # (extraction is byte-identical, so this equals shingling the
     # benchmark docs' extracted text without a second extraction pass)
-    def bench_shingles(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        m = batch["doc_id"].to_numpy(zero_copy_only=False) % DECON_BENCH_MOD == 0
-        grams: set[str] = set()
-        for t in batch.filter(pa.array(m))["text"].to_pylist():
-            ws = _words(t)
-            grams.update(
-                " ".join(ws[i : i + DECON_K]) for i in range(len(ws) - DECON_K + 1)
-            )
-        return pa.table({"s": pa.array(sorted(grams), pa.string())})
-
-    bench_parts = (
-        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(bench_shingles, batch_format="pyarrow")
-        .to_pandas()
-    )
-    bench_ref = ray.put(frozenset(bench_parts.s))
-
-    def clean_and_rank(batch: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)
-        rows = []
-        for doc_id, lang, text, n_chars in zip(
-            batch["doc_id"].to_pylist(),
-            batch["lang"].to_pylist(),
-            batch["text"].to_pylist(),
-            batch["n_chars_ext"].to_pylist(),
-        ):
-            ws = _words(text)
-            grams = {
-                " ".join(ws[i : i + DECON_K]) for i in range(len(ws) - DECON_K + 1)
-            }
-            if grams & bench:
-                continue
-            rows.append(
-                (doc_id, lang, n_chars, hashlib.md5(str(doc_id).encode()).hexdigest())
-            )
-        df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars_ext", "rank"])
-        # local per-lang top-k: the shuffle moves <= k rows per (lang, block)
-        local = (
-            df.sort_values(["rank", "doc_id"], kind="mergesort")
-            .groupby("lang", as_index=False, sort=False)
-            .head(k)
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(local.doc_id, pa.int64()),
-                "lang": pa.array(local.lang, pa.string()),
-                "n_chars_ext": pa.array(local.n_chars_ext, pa.int64()),
-                "rank": pa.array(local["rank"], pa.string()),
-            }
-        )
+    bench_ref = build_bench_shingles(sf_dir)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["rank", "doc_id"], kind="mergesort").head(k)[
@@ -217,7 +189,12 @@ def curate_corpus_v2(sf_dir: str, k: int = V2_SAMPLE_K) -> pd.DataFrame:
         ]
 
     sampled = (
-        qualified.map_batches(clean_and_rank, batch_format="pyarrow")
+        qualified.map_batches(
+            _CleanRanker,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"bench_ref": bench_ref, "k": k},
+        )
         .groupby("lang")
         .map_groups(global_topk)
         .to_pandas()

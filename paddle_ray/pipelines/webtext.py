@@ -148,28 +148,43 @@ ORDER BY t.doc_id
 # composed quality filter (Gopher rules over the repetition + stop signals)
 # --------------------------------------------------------------------------
 
+def quality_gate(ws: list[str]) -> tuple[bool, float, float, float]:
+    """The shared Gopher-gate predicate over a token list: returns
+    (passes, dup_word_frac, stop_ratio, mean_word_len). Single source of
+    truth for quality_filter AND curate.curate_corpus_v2 so the two
+    Python sides cannot drift from each other or their SQL oracles."""
+    from ..functions.textstats import STOPWORDS
+
+    n = len(ws)
+    if n < QF_MIN_WORDS:
+        return (False, 0.0, 0.0, 0.0)
+    c = Counter(ws)
+    dup = 1.0 - len(c) / n
+    stop = sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
+    mwl = sum(len(w) for w in ws) / n
+    ok = (
+        dup <= QF_MAX_DUP_FRAC
+        and stop >= QF_MIN_STOP_RATIO
+        and QF_MIN_MEAN_WL <= mwl <= QF_MAX_MEAN_WL
+    )
+    return (ok, dup, stop, mwl)
+
+
 def quality_filter(sf_dir: str) -> pd.DataFrame:
     """Docs surviving the composed Gopher-style gate (word count, dup
     fraction, stopword ratio, mean word length). One stateless pass
     computing all four signals per batch; survivors stream out — the
     filter itself never materializes the corpus. Oracle: QUALITY_FILTER_SQL."""
-    from ..functions.textstats import STOPWORDS
 
     def f(batch: pa.Table) -> pa.Table:
         keep_ids, n_words_o, dup_o, stop_o, mwl_o = [], [], [], [], []
         ids = batch["doc_id"].to_pylist()
         for did, t in zip(ids, batch["text"].to_pylist()):
             ws = _words(t)
-            n = len(ws)
-            if n < QF_MIN_WORDS:
-                continue
-            c = Counter(ws)
-            dup = 1.0 - len(c) / n
-            stop = sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
-            mwl = sum(len(w) for w in ws) / n
-            if dup <= QF_MAX_DUP_FRAC and stop >= QF_MIN_STOP_RATIO and QF_MIN_MEAN_WL <= mwl <= QF_MAX_MEAN_WL:
+            ok, dup, stop, mwl = quality_gate(ws)
+            if ok:
                 keep_ids.append(did)
-                n_words_o.append(n)
+                n_words_o.append(len(ws))
                 dup_o.append(round(dup, 6))
                 stop_o.append(round(stop, 6))
                 mwl_o.append(round(mwl, 6))
@@ -319,6 +334,33 @@ ORDER BY d.doc_id
 # benchmark decontamination (broadcast benchmark shingles, flag corpus hits)
 # --------------------------------------------------------------------------
 
+def build_bench_shingles(sf_dir: str, k: int = DECON_K):
+    """Distributed benchmark-shingle extraction: slim (doc_id, text)
+    read, Arrow-level mask (96/97 of rows drop without touching Python),
+    word-k-gram shingles of the benchmark slice, driver set union of the
+    per-batch distincts (benchmark-sized, not corpus-sized), broadcast
+    once via ray.put. Shared by `decontaminate` and
+    `curate.curate_corpus_v2` so the contamination measure cannot drift
+    between them. (A real deployment's benchmark is a separate small
+    table read directly; here it is a deterministic corpus slice, so the
+    slice scan doubles as the "benchmark read".) Returns the ObjectRef
+    of a frozenset of shingle strings."""
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % DECON_BENCH_MOD == 0)
+        grams: set[str] = set()
+        for t in batch.filter(mask)["text"].to_pylist():
+            ws = _words(t)
+            grams.update(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
+        return pa.table({"s": pa.array(sorted(grams), pa.string())})
+
+    bench_parts = (
+        _docs(sf_dir).map_batches(bench_shingles, batch_format="pyarrow").to_pandas()
+    )
+    return ray.put(frozenset(bench_parts.s))
+
+
 class _ContaminationFlagger:
     """Actor-pool stage holding the broadcast benchmark shingle set
     (fetched once per actor)."""
@@ -358,26 +400,7 @@ def decontaminate(sf_dir: str, k: int = DECON_K) -> pd.DataFrame:
     once; the corpus streams through a stateless actor pool. Returns
     (doc_id, n_hits = distinct contaminated shingles) for contaminated
     docs. Oracled by DECONTAMINATE_SQL."""
-
-    def bench_shingles(batch: pa.Table) -> pa.Table:
-        # Arrow-level mask first: 96/97 of rows drop without touching
-        # Python. (A real deployment's benchmark is a separate small
-        # table read directly; here it is a deterministic corpus slice,
-        # so the slice scan doubles as the "benchmark read".)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = pa.array(ids % DECON_BENCH_MOD == 0)
-        grams: set[str] = set()
-        for t in batch.filter(mask)["text"].to_pylist():
-            ws = _words(t)
-            grams.update(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
-        return pa.table({"s": pa.array(sorted(grams), pa.string())})
-
-    # the benchmark side is tiny by construction — its per-batch distinct
-    # shingles collapse to a driver set (benchmark size, not corpus size)
-    bench_parts = (
-        _docs(sf_dir).map_batches(bench_shingles, batch_format="pyarrow").to_pandas()
-    )
-    bench_ref = ray.put(frozenset(bench_parts.s))
+    bench_ref = build_bench_shingles(sf_dir, k)
 
     return (
         _docs(sf_dir)
@@ -406,9 +429,10 @@ def stratified_sample(sf_dir: str, k: int = SAMPLE_PER_LANG) -> pd.DataFrame:
     DuckDB oracle; no RNG, so reruns and retries pick identical docs).
 
     Scale contract: each batch pre-selects its LOCAL k-smallest per lang
-    (vectorized argsort on the hash), so the groupby shuffle moves at
-    most k rows per (lang, block) — never the corpus. The global
-    k-of-union step runs once per language group on ≤ k×#blocks rows."""
+    (one C-speed md5 digest per row + a pandas sort), so the groupby
+    shuffle moves at most k rows per (lang, block) — never the corpus.
+    The global k-of-union step runs once per language group on
+    ≤ k×#blocks rows."""
     import hashlib
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -421,8 +445,14 @@ def stratified_sample(sf_dir: str, k: int = SAMPLE_PER_LANG) -> pd.DataFrame:
             .groupby("lang", as_index=False, sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(
-            keep[["lang", "doc_id", "rank"]], preserve_index=False
+        # explicit types: an empty pandas frame would otherwise infer
+        # (lang: null, rank: double) and diverge from non-empty blocks
+        return pa.table(
+            {
+                "lang": pa.array(keep.lang, pa.string()),
+                "doc_id": pa.array(keep.doc_id, pa.int64()),
+                "rank": pa.array(keep["rank"], pa.string()),
+            }
         )
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
