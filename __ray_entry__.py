@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
         ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
+        "embedding_centroids": similarity.embedding_centroids,
         # --- text analysis ------------------------------------------------
         "token_counts": analysis.token_counts,
         "quality_scores": analysis.quality_scores,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
+        "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,

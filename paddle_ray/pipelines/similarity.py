@@ -382,3 +382,56 @@ WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE))
                              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (the vector-aggregate shape: k-means
+    update step / class prototypes). Distributive partials: each batch
+    emits one (label, float64 sum-vector, count) row, so the collect is
+    O(#labels x #blocks) regardless of corpus size; exact merge
+    driver-side. Output one row per (label, dim) so the driver
+    value-checks every centroid coordinate. Oracled by EMB_CENTROIDS_SQL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        labels, sums, ns = [], [], []
+        for lab, g in df.groupby("label"):
+            m = np.stack(g.embedding.to_numpy()).astype(np.float64)
+            labels.append(int(lab))
+            sums.append(m.sum(axis=0).tolist())
+            ns.append(len(g))
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "sums": pa.array(sums, pa.list_(pa.float64())),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    parts = (
+        read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows = []
+    for lab, g in parts.groupby("label"):
+        s = np.sum(np.stack([np.asarray(v, dtype=np.float64) for v in g.sums]), axis=0)
+        c = s / g.n.sum()
+        rows.extend(
+            {"label": int(lab), "dim": d, "centroid": round(float(v), 6)}
+            for d, v in enumerate(c)
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+        .astype({"label": "int64", "dim": "int64"})
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(gs.i - 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(e.embedding[gs.i] AS DOUBLE)), 6) AS centroid
+FROM embeddings e, LATERAL unnest(generate_series(1, len(embedding))) AS gs(i)
+GROUP BY label, gs.i ORDER BY label, dim
+"""
