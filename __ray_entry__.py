@@ -13,7 +13,8 @@ here (nor in paddle_ray) calls ``ray.init()`` / ``ray.shutdown()``.
                    stub-codec media) are intentionally omitted there —
                    each such family also carries a value-oracled exact
                    companion (shingle_jaccard_pairs/minhash_missed_pairs,
-                   knn_ivf/lsh_exhaustive, events_distinct_users).
+                   knn_ivf/lsh_exhaustive, events_distinct_users,
+                   lang_quantile_chars for approx_quantile_chars).
 """
 
 from __future__ import annotations
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "lang_doc_stats": analysis.lang_doc_stats,
         "hll_distinct_users": analysis.hll_distinct_users,
+        "approx_quantile_chars": analysis.approx_quantile_chars,
         "corr_quantity_price": analysis.corr_quantity_price,
         "orders_by_year_status": analysis.orders_by_year_status,
         "lang_source_list": analysis.lang_source_list,

@@ -96,3 +96,40 @@ def hll_estimate(regs: np.ndarray) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(1 << 64) * np.log1p(-est / (1 << 64))
     return float(est)
+
+
+# --- log-histogram quantile sketch -----------------------------------------
+# Mergeable approximate quantiles for positive integer measures (doc
+# lengths, payload bytes): fixed log-spaced bin edges, one int64 count
+# vector per partial (elementwise-add merge, like the HLL registers).
+# Relative error is bounded by the bin ratio (~7% at 240 bins over
+# [1, 1e7]); intra-bin linear interpolation does better in practice.
+
+HIST_BINS = 240
+HIST_LO, HIST_HI = 1.0, 1e7
+_HIST_EDGES = np.logspace(np.log10(HIST_LO), np.log10(HIST_HI), HIST_BINS + 1)
+
+
+def hist_partial(values: np.ndarray) -> np.ndarray:
+    """int64 count vector (HIST_BINS+2: underflow bin 0, overflow last)."""
+    idx = np.searchsorted(_HIST_EDGES, np.asarray(values, dtype=np.float64), side="right")
+    return np.bincount(idx, minlength=HIST_BINS + 2).astype(np.int64)
+
+
+def hist_quantile(counts: np.ndarray, q: float) -> float:
+    """Quantile estimate: locate the target rank's bin, interpolate
+    linearly within it (geometric edges). Under/overflow clamp to edges."""
+    total = int(counts.sum())
+    if total == 0:
+        return 0.0
+    target = q * (total - 1)
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, target, side="right"))
+    if b == 0:
+        return float(HIST_LO)
+    if b >= HIST_BINS + 1:
+        return float(HIST_HI)
+    prev = cum[b - 1]
+    within = (target - prev) / max(counts[b], 1)
+    lo, hi = _HIST_EDGES[b - 1], _HIST_EDGES[b]
+    return float(lo + (hi - lo) * within)

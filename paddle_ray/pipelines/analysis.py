@@ -487,3 +487,49 @@ SELECT lang, string_agg(source, ',' ORDER BY source) AS sources
 FROM (SELECT DISTINCT lang, source FROM documents)
 GROUP BY lang ORDER BY lang
 """
+
+
+def approx_quantile_chars(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-lang n_chars quantiles via the mergeable
+    log-histogram sketch (functions/sketch.py) — the scale path beside
+    lang_quantile_chars' exact map_groups: the shuffle carries one
+    ~2 KB count vector per (lang, block) regardless of row count, where
+    the exact form moves every row of the group.
+
+    Rows-only driver check (the estimate is engine-defined); accuracy vs
+    the exact quantiles is locked by tests/test_sketch.py (<8% rel err,
+    the 240-bin log-spacing bound)."""
+    import numpy as np
+
+    from ..functions.sketch import HIST_BINS, hist_partial, hist_quantile
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        langs, counts = [], []
+        for lang, g in df.groupby("lang"):
+            langs.append(lang)
+            counts.append(hist_partial(g.n_chars.to_numpy()).tolist())
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "counts": pa.array(counts, pa.list_(pa.int64(), HIST_BINS + 2)),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, columns=("lang", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in parts.groupby("lang"):
+        merged = np.sum(np.stack([np.asarray(c, dtype=np.int64) for c in g.counts]), axis=0)
+        rows.append(
+            {
+                "lang": lang,
+                "p50_approx": round(hist_quantile(merged, 0.5), 4),
+                "p90_approx": round(hist_quantile(merged, 0.9), 4),
+                "p99_approx": round(hist_quantile(merged, 0.99), 4),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)

@@ -48,3 +48,31 @@ def test_hll_pipeline_close_to_exact(ray_session):
     m = approx.merge(exact, on="event_type")
     rel = (m.approx_users - m.n_users).abs() / m.n_users
     assert (rel < 0.03).all(), m
+
+
+def test_hist_quantile_accuracy_vs_exact():
+    import numpy as np
+
+    from paddle_ray.functions.sketch import hist_partial, hist_quantile
+
+    rng = np.random.default_rng(7)
+    # lognormal lengths spanning the interesting range
+    vals = np.exp(rng.normal(5.5, 1.2, size=20000)).astype(np.int64) + 1
+    merged = hist_partial(vals[:7000]) + hist_partial(vals[7000:15000]) + hist_partial(vals[15000:])
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        approx = hist_quantile(merged, q)
+        assert abs(approx - exact) / exact < 0.08, (q, exact, approx)
+
+
+def test_approx_quantile_chars_pipeline(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import approx_quantile_chars
+
+    out = approx_quantile_chars("/root/testdata/sf0.001").set_index("lang")
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    for lang, g in docs.groupby("lang"):
+        exact = float(np.quantile(g.n_chars, 0.5))
+        assert abs(out.loc[lang, "p50_approx"] - exact) / exact < 0.08
