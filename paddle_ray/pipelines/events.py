@@ -63,7 +63,9 @@ GROUP BY 1, 2 ORDER BY window_start, event_type
 
 def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k users by total value: partial per-batch user sums -> groupby
-    -> sort + limit."""
+    -> per-block top-k -> merge of <= k rows per block driver-side (q10's
+    pattern: the driver never sees the full per-user aggregate, which is
+    user-cardinality-sized at crawl scale)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -71,15 +73,26 @@ def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
         g = df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"), n_events=("event_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    def topk_part(batch: pa.Table) -> pa.Table:
+        # round BEFORE ranking so boundary ties match the rounded-value
+        # order the final merge (and the SQL oracle) uses
+        df = batch.to_pandas()
+        df["total_value"] = df.total_value.round(4)
+        if len(df) > k:
+            df = df.sort_values(
+                ["total_value", "user_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
         _events(sf_dir, columns=["event_id", "user_id", "value"])
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Sum("total_value", alias_name="total_value"), Sum("n_events", alias_name="n_events"))
+        .map_batches(topk_part, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    out["total_value"] = out.total_value.round(4)
-    out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
+    out = cand.sort_values(["total_value", "user_id"], ascending=[False, True], kind="mergesort").head(k)
     return out[["user_id", "total_value", "n_events"]].astype({"user_id": "int64", "n_events": "int64"}).reset_index(drop=True)
 
 
@@ -178,24 +191,31 @@ GROUP BY window_start ORDER BY window_start
 
 def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT user_id) per event_type: local distinct pairs
-    per batch, global distinct via groupby on the pair, then a tiny
-    driver-side count — the shuffle carries one row per distinct pair per
-    block, never raw events."""
-    from ray.data.aggregate import Count
+    per batch, global distinct via groupby on the pair, then a second
+    distributed rollup to one row per event_type — the shuffle carries
+    one row per distinct pair per block and the driver collect is
+    #event_types rows, never raw events or the pair set."""
+    from ray.data.aggregate import Count, Sum
 
     def local_distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(["event_type", "user_id"]).aggregate([])
 
-    pairs = (
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        # rows are globally-distinct pairs here: a plain count per type
+        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table({"event_type": g["event_type"], "n_users": g["user_id_count"]})
+
+    out = (
         _events(sf_dir, columns=["event_type", "user_id"])
         .map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="_n"))
+        # second distributed rollup: the driver sees one row per
+        # event_type, never the user-cardinality pair set
+        .map_batches(count_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
-    )
-    out = (
-        pairs.groupby("event_type", as_index=False)
-        .agg(n_users=("user_id", "nunique"))
         .sort_values("event_type")
         .reset_index(drop=True)
     )
@@ -270,18 +290,24 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
 
 EVENTS_SESSION_SQL_T = """
 WITH ordered AS (
-  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         epoch_us(ts) // 1000000 AS es,
          LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
   FROM events
 ),
 marked AS (
-  SELECT user_id, es, event_id,
+  SELECT user_id, tsu, event_id,
          CASE WHEN prev_es IS NULL OR es - prev_es > {gap_s} THEN 1 ELSE 0 END AS new_sess
   FROM ordered
 ),
 sess AS (
+  -- the running sum must replay the SAME total order the flags were
+  -- computed in: full-microsecond ts (tsu), not the floored second —
+  -- two same-user events sharing a floored second with event_id order
+  -- opposite to microsecond order would otherwise swap at a session
+  -- boundary and split sessions differently than the pipeline
   SELECT user_id,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM marked
 ),

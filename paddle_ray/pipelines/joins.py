@@ -313,7 +313,7 @@ PRICE_BANDS = [
 def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     """Band membership via broadcast range join: band edges are tiny, so the
     'join' is an np.searchsorted per batch — no shuffle of the fact side."""
-    names = [b[0] for b in PRICE_BANDS]
+    names = np.array([b[0] for b in PRICE_BANDS])
     los = np.array([b[1] for b in PRICE_BANDS])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -322,7 +322,7 @@ def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
         ok = (idx >= 0) & (price < PRICE_BANDS[-1][2])
         t = pa.table(
             {
-                "band": pa.array([names[i] for i in idx[ok]], pa.string()),
+                "band": pa.array(names[idx[ok]], pa.string()),
                 "n_parts": pa.array(np.ones(int(ok.sum()), dtype=np.int64), pa.int64()),
                 "sum_price": pa.array(price[ok], pa.float64()),
             }

@@ -182,13 +182,15 @@ def checkpointed_write(ds, out_dir: str, resume: bool = True):
 
 
 def read_output(out_dir: str):
-    """Read back a checkpointed output directory as one Dataset."""
+    """Read back a checkpointed output directory as one Dataset (block
+    count sized to the data — raw read_parquet's 200-block floor shatters
+    KB-scale outputs into micro-blocks, commit 1ea3812)."""
     import glob
 
-    import ray.data as rd
+    from ..pipelines.common import sized_read_parquet
 
     files = sorted(glob.glob(os.path.join(out_dir, "part-*", "data.parquet")))
-    return rd.read_parquet(files)
+    return sized_read_parquet(files)
 
 
 def verify_output(out_dir: str) -> tuple[list[int], list[int]]:
@@ -252,9 +254,25 @@ def write_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:
     filtering new ids against old manifests drops never-written rows."""
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     path = os.path.join(out_dir, MANIFEST_DIR, PARTITIONING_STAMP)
-    if os.path.exists(path):
-        return  # first writer wins; check_partitioning_stamp validates
-    _atomic_write_bytes(path, json.dumps(fingerprint, sort_keys=True).encode())
+    payload = json.dumps(fingerprint, sort_keys=True).encode()
+    # O_EXCL so exactly ONE writer wins even when two drivers race into
+    # the same empty out_dir (exists()-then-write left a window where
+    # both committed under incompatible partitionings); the loser
+    # re-validates against the surviving stamp and refuses on mismatch
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != fingerprint:
+            raise ValueError(
+                f"checkpoint dir {out_dir} is already stamped with "
+                f"partitioning {existing}, current config is {fingerprint}: "
+                "another run owns this directory"
+            )
+        return
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
 
 
 def check_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:

@@ -251,3 +251,42 @@ def test_shingle_jaccard_hot_source_guard(tmp_path, ray_session):
     guarded = shingle_jaccard_pairs(str(d), 0.8, max_group_rows=10)
     assert len(exact) > 0
     assert exact.reset_index(drop=True).equals(guarded.reset_index(drop=True))
+
+
+def test_sessionize_oracle_same_second_boundary(tmp_path):
+    """Regression: two same-user events in one floored second with
+    event_id order OPPOSITE to microsecond order at a session boundary.
+    The oracle's running sum must replay the pipeline's (ts, event_id)
+    total order, not the floored-second order."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import events as ev
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 3, 2, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00.000000",
+                    "2024-01-01 01:00:00.500000",  # id 3 EARLIER in the second
+                    "2024-01-01 01:00:00.900000",  # id 2 later microsecond
+                    "2024-01-01 01:01:40.000000",
+                ]
+            ),
+            "user_id": [7, 7, 7, 7],
+            "event_type": "click",
+            "value": 1.0,
+            "props": '{"k": 1}',
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), tmp_path / "events.parquet")
+    mine = ev.events_sessionize(str(tmp_path), gap_s=1800)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.sql(ev.EVENTS_SESSION_SQL_T.format(gap_s=1800)).df()
+    assert list(mine.n_sessions) == list(ora.n_sessions) == [2]
+    assert list(mine.max_session_events) == list(ora.max_session_events) == [3]
