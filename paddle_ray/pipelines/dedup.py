@@ -279,23 +279,36 @@ def dedup_minhash_lsh(
 # --------------------------------------------------------------------------
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of four 16-bit sub-keys
-    (pigeonhole: hamming<=3 over 64 bits => at least one exact 16-bit
-    quarter match), verify Hamming distance in-bucket."""
+    """Near-dup pairs by SimHash: bucket on each of (max_hamming + 1)
+    bit-segment sub-keys (pigeonhole: hamming <= h over 64 bits => at
+    least one of h+1 disjoint segments matches exactly), verify Hamming
+    distance in-bucket. The segment count ADAPTS to max_hamming — a fixed
+    4-segment split silently lost recall for max_hamming > 3."""
+    n_seg = max_hamming + 1
+    if n_seg > 32:
+        raise ValueError(
+            f"max_hamming={max_hamming}: needs {n_seg} segments, but 64-bit "
+            "simhash segments of <2 bits bucket everything together"
+        )
+    widths = [64 // n_seg + (1 if i < 64 % n_seg else 0) for i in range(n_seg)]
+    starts = [sum(widths[:i]) for i in range(n_seg)]
+    masks = [(1 << w) - 1 for w in widths]
 
     def sh_rows(batch: pa.Table) -> pa.Table:
-        quarter_ids, keys, doc_ids, hashes = [], [], [], []
+        seg_ids, keys, doc_ids, hashes = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             h = simhash(text)
-            for q in range(4):
-                quarter_ids.append(q)
-                keys.append((h >> (16 * q)) & 0xFFFF)
+            for q in range(n_seg):
+                seg_ids.append(q)
+                # int64-safe: a 64-bit-wide segment (n_seg == 1) is the
+                # whole hash — shift it into signed range like `h` below
+                keys.append(((h >> starts[q]) & masks[q]) - (1 << 63 if widths[q] == 64 else 0))
                 doc_ids.append(doc_id)
                 hashes.append(h - (1 << 63))
         return pa.table(
             {
-                "q": pa.array(quarter_ids, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
+                "q": pa.array(seg_ids, pa.int32()),
+                "key": pa.array(keys, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "h": pa.array(hashes, pa.int64()),
             }
@@ -366,7 +379,12 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     pairs share a bucket and the 'prefilter' degenerates to O(n^2)."""
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+        # empty text is excluded on BOTH sides: DuckDB's jaccard() ERRORS
+        # on '' ("argument too short"), so the oracle carries the same
+        # len(text) > 0 guard — an empty doc pairs with nothing rather
+        # than inventing an empty-vs-empty similarity the oracle can't
+        # express
+        g = g[g.text.str.len() > 0].sort_values("doc_id")
         ids = g.doc_id.to_numpy()
         # canonical key per distinct char set
         keys = ["".join(sorted(set(t))) for t in g.text.tolist()]
@@ -422,7 +440,11 @@ def _word_shingles(text: str, k: int = 5) -> set:
     shingle_hashes) but keeping the shingle strings: word k-grams joined by
     a single space; short docs (<k words) contribute one whole-text
     shingle. Must stay in lockstep with the DuckDB oracle
-    (SHINGLE_JACCARD_SQL_T)."""
+    (SHINGLE_JACCARD_SQL_T). ASCII-whitespace contract: Python str.split
+    also breaks on Unicode whitespace (NBSP etc.) where the oracle's
+    regexp \\s+ does not — the test corpus is ASCII (enforced loudly by
+    the fingerprints oracle guard); normalize Unicode spaces upstream at
+    webtext scale (same note as webtext._words)."""
     words = text.split()
     if len(words) < k:
         return {" ".join(words)}
@@ -440,15 +462,18 @@ def shingle_jaccard_pairs(
     Hot-source guard: groups over ``max_group_rows`` prefilter candidates
     with a minhash/banded-LSH pass and exact-verify only bucket-colliding
     pairs — O(n x perms) instead of one O(n^2) worker task. The prefilter
-    deliberately uses a DIFFERENT permutation seed and band structure
-    (seed 7, 64 bands x 2 rows) than the production dedup pipeline
-    (seed 1, 16 x 8): when this function serves as the ground truth for
-    ``minhash_missed_pairs``, identical kernels would make the audit
-    circular (a pair the pipeline's LSH misses would be missed here for
-    the identical reason and never surface). With independent hashes the
-    prefilter's own miss probability at s >= 0.9 is (1-0.9^2)^64 ~ 1e-46
-    — negligible rather than merely small. Test-scale groups never
-    trigger the guard, keeping the SQL oracle byte-exact."""
+    uses a DISJOINT permutation seed range and band structure
+    (seed 1000 -> permutation seeds splitmix64(1000..1127), no overlap
+    with the production pipeline's splitmix64(1..128); 64 bands x 2
+    rows vs 16 x 8): when this function serves as the ground truth for
+    ``minhash_missed_pairs``, shared permutations would make the audit
+    circular (a pair whose shared permutations fluke low is missed by
+    BOTH for the correlated reason and never surfaces — an earlier
+    seed=7 offset shared 122/128 permutations, review r2). With fully
+    disjoint seeds the prefilter's own miss probability at s >= 0.9 is
+    the independent (1-0.9^2)^64 ~ 1e-46 — negligible rather than
+    merely small. Test-scale groups never trigger the guard, keeping
+    the SQL oracle byte-exact."""
 
     def _pair_scan(ids, sets, pair_iter, a_out, b_out, sims):
         for i, j in pair_iter:
@@ -469,8 +494,8 @@ def shingle_jaccard_pairs(
         if max_group_rows and len(ids) > max_group_rows:
             buckets: dict[tuple, list[int]] = {}
             for i, t in enumerate(texts):
-                # independent hashes + aggressive banding: see docstring
-                sig = minhash_signature(shingle_hashes(t, k=k), num_perm=128, seed=7)
+                # disjoint seed range + aggressive banding: see docstring
+                sig = minhash_signature(shingle_hashes(t, k=k), num_perm=128, seed=1000)
                 for band_id, bh in lsh_band_keys(sig, bands=64):
                     buckets.setdefault((band_id, bh), []).append(i)
             cand = set()
@@ -572,6 +597,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(jaccard(a.text, b.text), 6) AS sim
 FROM documents a JOIN documents b
   ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE jaccard(a.text, b.text) >= {threshold}
+WHERE length(a.text) > 0 AND length(b.text) > 0
+  AND jaccard(a.text, b.text) >= {threshold}
 ORDER BY id_a, id_b
 """

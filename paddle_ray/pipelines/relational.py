@@ -159,6 +159,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                 "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
                 "o_orderdate": b["o_orderdate"],
                 "revenue": pa.array([None] * n, pa.float64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
@@ -176,13 +177,17 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                 "l_orderkey": pc.cast(g["l_orderkey"], pa.int64()),
                 "o_orderdate": pa.array([None] * n, pa.timestamp("us")),
                 "revenue": g["revenue_sum"],
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
 
     def join_topk(g: pd.DataFrame) -> pd.DataFrame:
-        dates = g[g.revenue.isna()][["l_orderkey", "o_orderdate"]]
+        # explicit side tag (kind 0=orders, 1=lineitem) — null-sniffing
+        # the payload columns misclassified rows with genuinely-null
+        # dates/revenues into both sides (review r2)
+        dates = g[g.kind == 0][["l_orderkey", "o_orderdate"]]
         rev = (
-            g[g.o_orderdate.isna()]
+            g[g.kind == 1]
             .groupby("l_orderkey", as_index=False)
             .agg(revenue=("revenue", "sum"))
         )
@@ -226,8 +231,6 @@ LIMIT 10
 # --------------------------------------------------------------------------
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    import numpy as np
-
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     supplier = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
     n2name = dict(zip(nation.n_nationkey, nation.n_name))

@@ -172,6 +172,17 @@ ORDER BY query_id, sim DESC, neighbor_id
 # LSH-bucketed ANN (scale path)
 # --------------------------------------------------------------------------
 
+def _lsh_codes(planes: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(n, n_tables) hyperplane bucket codes. The ONE implementation used
+    for both the query side (driver) and the corpus side (workers) — two
+    inline copies could drift and silently desynchronize query codes from
+    corpus codes, collapsing recall."""
+    n_planes = planes.shape[1]
+    shifts = np.arange(n_planes, dtype=np.uint32)
+    bits = (np.einsum("tpd,nd->ntp", planes, m) > 0).astype(np.uint32)
+    return (bits << shifts[None, None, :]).sum(axis=2)
+
+
 def knn_lsh(
     sf_dir: str,
     k: int = 5,
@@ -190,14 +201,8 @@ def knn_lsh(
     dim = q_mat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
-    shifts = np.arange(n_planes, dtype=np.uint32)
 
-    def codes_for(m: np.ndarray) -> np.ndarray:
-        """(n, n_tables) bucket codes."""
-        bits = (np.einsum("tpd,nd->ntp", planes, m) > 0).astype(np.uint32)
-        return (bits << shifts[None, None, :]).sum(axis=2)
-
-    q_codes = codes_for(q_mat)  # (nq, n_tables)
+    q_codes = _lsh_codes(planes, q_mat)  # (nq, n_tables)
     ref = ray.put((q_ids, q_mat, planes, q_codes))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -206,8 +211,7 @@ def knn_lsh(
         qids, qm, pl, qc = ray.get(ref)
         ids, m = _to_matrix(batch)
         mn = _normalize(m.astype(np.float64))
-        bits = (np.einsum("tpd,nd->ntp", pl, mn) > 0).astype(np.uint32)
-        codes = (bits << shifts[None, None, :]).sum(axis=2)  # (n, n_tables)
+        codes = _lsh_codes(pl, mn)  # (n, n_tables)
         out = {"query_id": [], "neighbor_id": [], "sim_raw": []}
         for qi in range(len(qids)):
             cand = (codes == qc[qi][None, :]).any(axis=1)

@@ -290,3 +290,26 @@ def test_sessionize_oracle_same_second_boundary(tmp_path):
     ora = con.sql(ev.EVENTS_SESSION_SQL_T.format(gap_s=1800)).df()
     assert list(mine.n_sessions) == list(ora.n_sessions) == [2]
     assert list(mine.max_session_events) == list(ora.max_session_events) == [3]
+
+
+def test_simhash_bucketing_complete_vs_bruteforce():
+    """The (max_hamming+1)-segment pigeonhole bucketing must find EXACTLY
+    the brute-force pair set — the old fixed 4x16 split silently lost
+    pairs for max_hamming > 3 (review r2)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.functions.hashes import hamming64, simhash
+    from paddle_ray.pipelines import dedup
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    hashes = {int(r.doc_id): simhash(r.text) for r in docs.itertuples()}
+    ids = sorted(hashes)
+    for h_max in (3, 8):
+        expect = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hamming64(hashes[ids[i]], hashes[ids[j]]) <= h_max:
+                    expect.add((ids[i], ids[j]))
+        got = dedup.dedup_simhash(SF, max_hamming=h_max)
+        got_pairs = set(zip(got.id_a, got.id_b))
+        assert got_pairs == expect, (h_max, len(got_pairs), len(expect))
