@@ -51,6 +51,14 @@ def parse_bbox_from_name(name: str) -> list[int] | None:
     return [min(int(g), _INT32_MAX) for g in m.groups()]
 
 
+def box_key_name(bbox, kind: str = "image") -> str:
+    """``img_in_{kind}_box_{x1}_{y1}_{x2}_{y2}.jpg`` — the ONE writer of
+    the key grammar ``BOX_KEY_RE`` parses. Values must already be clamped
+    non-negative ints (the regex matches \\d+ only; a negative coordinate
+    would emit a key no consumer can parse)."""
+    return f"img_in_{kind}_box_" + "_".join(str(int(v)) for v in bbox[:4]) + ".jpg"
+
+
 def normalize_bbox_key(bbox) -> str:
     """``[floats] -> "x1_y1_x2_y2"`` rounded-int join key."""
     return "_".join(str(int(round(float(v)))) for v in bbox[:4])

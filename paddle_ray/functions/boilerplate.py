@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 
-from .bbox import parse_bbox_from_name
+from .bbox import box_key_name, parse_bbox_from_name
 from .dom import Node, decode_html_bytes, parse_html
 
 _WS = re.compile(r"\s+")
@@ -245,9 +245,8 @@ def render_markdown(blocks: list[dict]) -> str:
             lines = content.split("\n")
             out.append("\n".join(f"| {ln} |" for ln in lines))
         elif label == "image":
-            bbox = b["bbox"]
-            key = "_".join(str(int(v)) for v in bbox) if bbox else ""
-            out.append(f"![{content}](img_in_image_box_{key}.jpg)" if key else f"![{content}]()")
+            bbox = b["bbox"]  # box_key_name: the ONE owner of the key grammar
+            out.append(f"![{content}]({box_key_name(bbox)})" if bbox else f"![{content}]()")
         elif content:
             out.append(content)
     return "\n\n".join(out)

@@ -122,11 +122,15 @@ class Captioner:
                 pids = batch["partition_id"].take(pa.array(rows)).to_pylist()
             else:
                 pids = [-1] * len(rows)
+            from ..state.metrics import batch_report_key
+
+            key = batch_report_key("caption", batch)
             agg: dict[int, int] = {}
             for pid, n in zip(pids, n_by_row):
                 agg[int(pid)] = agg.get(int(pid), 0) + int(n)
             for pid, n in agg.items():
-                self._metrics_actor.report_captions.remote("caption", pid, n)
+                # content key dedups re-reports from at-least-once retries
+                self._metrics_actor.report_captions.remote("caption", pid, n, key=key)
         except Exception:
             pass  # metrics must never fail the data path
 

@@ -37,6 +37,7 @@ import pyarrow as pa
 
 from ..core.config import ExtractConfig
 from ..core.schema import BLOCK_TYPE
+from ..functions.bbox import _INT32_MAX, box_key_name
 from ..functions.boilerplate import extract_document
 
 
@@ -94,14 +95,21 @@ class MockLayoutModel:
         reading order (top-to-bottom by bbox y1 — deterministic)."""
         blocks = []
         def _bbox4(spec) -> list[int]:
-            # pad/truncate to EXACTLY 4 — a short bbox would otherwise blow
-            # up the fixed_size_list(4) Arrow conversion outside the per-doc
-            # try/except and poison the whole batch (never-drop-rows)
+            # pad/truncate to EXACTLY 4 and clamp into [0, int32 max] — a
+            # short bbox or one out-of-range/negative coordinate would
+            # otherwise blow up the fixed_size_list(4) int32 Arrow
+            # conversion outside the per-doc try/except and poison the
+            # whole batch (never-drop-rows), and a negative value would
+            # emit a box key BOX_KEY_RE (\d+ only) can never parse (same
+            # clamp as functions/bbox.py::parse_bbox_from_name)
             raw = spec.get("bbox") or []
-            return ([int(v) for v in raw[:4]] + [0, 0, 0, 0])[:4]
+            vals = ([int(v) for v in raw[:4]] + [0, 0, 0, 0])[:4]
+            return [min(max(v, 0), _INT32_MAX) for v in vals]
 
-        for spec in sorted(page_spec, key=lambda b: (_bbox4(b)[1], _bbox4(b)[0])):
-            bbox = _bbox4(spec)
+        # decorate-sort: one _bbox4 per spec (it ran 3x per block before)
+        entries = [(_bbox4(spec), spec) for spec in page_spec]
+        entries.sort(key=lambda t: (t[0][1], t[0][0]))
+        for bbox, spec in entries:
             # touch the weights so inference has real compute shape
             _ = float(self.weights[(bbox[0] * 31 + bbox[1]) % len(self.weights)])
             blocks.append(
@@ -133,9 +141,9 @@ def assemble_pdf_pages(page_blocks: list[tuple[int, list[dict]]]) -> tuple[str, 
                 md.append(f"# {b['content']}" if b["label"] == "title" else b["content"])
             if b["label"] == "image" and b["bbox"]:
                 # markdown image ref with the bbox key (≙ markdown.images
-                # keys, model.py:541) — the Captioner's probe side
-                key = "_".join(str(int(v)) for v in b["bbox"])
-                md.append(f"![{b['content']}](img_in_image_box_{key}.jpg)")
+                # keys, model.py:541) — the Captioner's probe side; ONE
+                # grammar owner (functions/bbox.py::box_key_name)
+                md.append(f"![{b['content']}]({box_key_name(b['bbox'])})")
             all_blocks.append(b)
     return "\n\n".join(parts), all_blocks, "\n\n".join(md)
 
@@ -164,12 +172,16 @@ def render_blocks_svg(blocks: list[dict]) -> str:
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{max_x}" height="{max_y}">'
     ]
+    from xml.sax.saxutils import escape
+
     for b in blocks:
         x1, y1, x2, y2 = b["bbox"] or [0, 0, 0, 0]
         color = _VIS_COLORS.get(b["label"], "#666666")
+        # labels are payload-controlled: escape or 'R&D <x>' yields
+        # non-well-formed SVG and '</title>...' injects markup
         parts.append(
             f'<rect x="{x1}" y="{y1}" width="{max(0, x2 - x1)}" height="{max(0, y2 - y1)}" '
-            f'fill="none" stroke="{color}" stroke-width="2"><title>{b["label"]}</title></rect>'
+            f'fill="none" stroke="{color}" stroke-width="2"><title>{escape(b["label"])}</title></rect>'
         )
     parts.append("</svg>")
     return "".join(parts)
@@ -192,6 +204,7 @@ class DocumentExtractor:
         page_blocks = [(pi, self.model.detect_blocks(spec)) for pi, spec in page_iter]
         if not page_blocks:
             raise ValueError("no pages decoded")  # ≙ zero-pages 422, model.py:583-589
+        page_blocks.sort(key=lambda t: t[0])  # sort ONCE for assembly + dims
         text, blocks, md = assemble_pdf_pages(page_blocks)
         # dataInfo (model.py:591-606): per-page dims = rendered extent
         page_dims = [
@@ -199,16 +212,15 @@ class DocumentExtractor:
                 max((b["bbox"][2] for b in bl), default=0),
                 max((b["bbox"][3] for b in bl), default=0),
             )
-            for _, bl in sorted(page_blocks, key=lambda t: t[0])
+            for _, bl in page_blocks
         ]
         # extracted-image payloads keyed by the markdown ref (model.py:541)
         images = []
         if self.cfg.carry_images:
             for b in blocks:
                 if b["label"] == "image" and b["bbox"]:
-                    key = "_".join(str(int(v)) for v in b["bbox"])
                     img, _, _ = self.model.render_image(b["bbox"], self.cfg.max_output_img_size)
-                    images.append((f"img_in_image_box_{key}.jpg", img))
+                    images.append((box_key_name(b["bbox"]), img))
         return {
             "extracted_text": text,
             "blocks": blocks,

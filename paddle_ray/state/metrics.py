@@ -29,6 +29,12 @@ METRICS_ACTOR_NAME = "paddle_ray_metrics"
 class MetricsActor:
     def __init__(self):
         self.counters: dict[tuple, dict] = {}
+        # idempotency keys: Ray tasks are at-least-once (a crashed actor's
+        # block is resubmitted and reprocessed), so += counters would
+        # double-count retried batches. Senders derive a content key per
+        # batch; duplicates are dropped here. One small entry per reported
+        # batch, cleared by reset() — bounded by job size.
+        self._seen: set[tuple] = set()
 
     def _cell(self, stage: str, partition_id: int) -> dict:
         return self.counters.setdefault(
@@ -36,7 +42,18 @@ class MetricsActor:
             {"rows": 0, "bytes_in": 0, "blocks": 0, "errors": 0, "captions": 0, "wall_s": 0.0},
         )
 
-    def report(self, stage: str, partition_id: int, rows: int, bytes_in: int, blocks: int, errors: int, wall_s: float):
+    def _dup(self, namespace: str, key: str | None, partition_id: int) -> bool:
+        if key is None:
+            return False
+        k = (namespace, key, partition_id)
+        if k in self._seen:
+            return True
+        self._seen.add(k)
+        return False
+
+    def report(self, stage: str, partition_id: int, rows: int, bytes_in: int, blocks: int, errors: int, wall_s: float, key: str | None = None):
+        if self._dup("r", key, partition_id):
+            return
         c = self._cell(stage, partition_id)
         c["rows"] += rows
         c["bytes_in"] += bytes_in
@@ -44,10 +61,12 @@ class MetricsActor:
         c["errors"] += errors
         c["wall_s"] += wall_s
 
-    def report_captions(self, stage: str, partition_id: int, n: int):
+    def report_captions(self, stage: str, partition_id: int, n: int, key: str | None = None):
         """A5 caption-merge count (`layout_captioning.py:322-343` merged
         tally) — a dedicated counter so the enrichment volume is visible
         per partition."""
+        if self._dup("c", key, partition_id):
+            return
         self._cell(stage, partition_id)["captions"] += n
 
     def snapshot(self) -> list[dict]:
@@ -57,6 +76,7 @@ class MetricsActor:
 
     def reset(self):
         self.counters.clear()
+        self._seen.clear()
 
 
 _ACTOR_HANDLE = None
@@ -72,66 +92,99 @@ def get_metrics_actor():
     handle drops; the pipeline driver creates it (and resets counters)
     before launching work, so worker-side lookups always find it."""
     global _ACTOR_HANDLE
-    if _ACTOR_HANDLE is None:
+    try:
+        existing = ray.get_actor(METRICS_ACTOR_NAME)
+    except ValueError:
+        existing = None
+    if existing is None:
+        # nothing registered in the CURRENT Ray session: a cached handle
+        # here is stale (ray.shutdown()/ray.init() in one process left
+        # every metrics entry point raising on a dead actor) — recreate
         _ACTOR_HANDLE = MetricsActor.options(
             name=METRICS_ACTOR_NAME, get_if_exists=True
         ).remote()
+    elif _ACTOR_HANDLE is None or _ACTOR_HANDLE._actor_id != existing._actor_id:
+        _ACTOR_HANDLE = existing
     return _ACTOR_HANDLE
+
+
+def batch_report_key(stage_name: str, out: pa.Table) -> str:
+    """Content-derived idempotency key for one reported batch. Ray Data
+    resubmits a crashed actor's block as a NEW task, so task-id keying
+    would not dedup the retry — the batch CONTENT is the stable identity
+    (row count + first row; stage outputs carry unique urls/doc ids, so
+    same-stage collisions require identical leading rows AND length)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    h.update(stage_name.encode())
+    h.update(str(len(out)).encode())
+    if len(out):
+        h.update(repr(out.slice(0, 1).to_pylist()).encode())
+    return h.hexdigest()
 
 
 def wrap_with_metrics(stage_name: str, fn):
     """Wrap a pyarrow batch fn so each call reports counters. The handle is
-    resolved lazily inside the worker (first batch) — cheap thereafter."""
+    resolved lazily inside the worker (first batch) — cheap thereafter.
+    All bookkeeping is try/except-guarded: a metrics failure (dead
+    collector on a shared cluster, uncastable counter column) must stay
+    an observability glitch, never a data-path failure."""
     state = {}
 
     def wrapped(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        actor = state.get("actor")
-        if actor is None:
-            actor = state["actor"] = get_metrics_actor()
         t0 = time.perf_counter()
         out = fn(batch)
         wall = time.perf_counter() - t0
-        if "partition_id" not in out.column_names or len(out) == 0:
-            actor.report.remote(stage_name, -1, len(out), 0, 0, 0, wall)
-            return out
-        # counters come from the OUTPUT batch (a stage like sniff CREATES
-        # n_bytes_in; reading the input reported 0 forever), attributed
-        # per partition — one batch can span several partitions
-        cols: dict = {"pid": out["partition_id"], "rows": pa.array(np.ones(len(out), np.int64))}
-        cols["bytes_in"] = (
-            pc.cast(out["n_bytes_in"], pa.int64())
-            if "n_bytes_in" in out.column_names
-            else pa.array(np.zeros(len(out), np.int64))
-        )
-        cols["blocks"] = (
-            pc.cast(out["n_blocks"], pa.int64())
-            if "n_blocks" in out.column_names
-            else pa.array(np.zeros(len(out), np.int64))
-        )
-        cols["errors"] = (
-            pc.cast(pc.is_valid(out["error"]), pa.int64())
-            if "error" in out.column_names
-            else pa.array(np.zeros(len(out), np.int64))
-        )
-        g = (
-            pa.table(cols)
-            .group_by("pid")
-            .aggregate([("rows", "sum"), ("bytes_in", "sum"), ("blocks", "sum"), ("errors", "sum")])
-        )
-        n_total = len(out)
-        for row in g.to_pylist():
-            rows = int(row["rows_sum"])
-            actor.report.remote(
-                stage_name,
-                int(row["pid"]),
-                rows,
-                int(row["bytes_in_sum"]),
-                int(row["blocks_sum"]),
-                int(row["errors_sum"]),
-                wall * rows / n_total,  # wall split proportionally by rows
+        try:
+            actor = state.get("actor")
+            if actor is None:
+                actor = state["actor"] = get_metrics_actor()
+            key = batch_report_key(stage_name, out)
+            if "partition_id" not in out.column_names or len(out) == 0:
+                actor.report.remote(stage_name, -1, len(out), 0, 0, 0, wall, key=key)
+                return out
+            # counters come from the OUTPUT batch (a stage like sniff CREATES
+            # n_bytes_in; reading the input reported 0 forever), attributed
+            # per partition — one batch can span several partitions
+            cols: dict = {"pid": out["partition_id"], "rows": pa.array(np.ones(len(out), np.int64))}
+            cols["bytes_in"] = (
+                pc.cast(out["n_bytes_in"], pa.int64())
+                if "n_bytes_in" in out.column_names
+                else pa.array(np.zeros(len(out), np.int64))
             )
+            cols["blocks"] = (
+                pc.cast(out["n_blocks"], pa.int64())
+                if "n_blocks" in out.column_names
+                else pa.array(np.zeros(len(out), np.int64))
+            )
+            cols["errors"] = (
+                pc.cast(pc.is_valid(out["error"]), pa.int64())
+                if "error" in out.column_names
+                else pa.array(np.zeros(len(out), np.int64))
+            )
+            g = (
+                pa.table(cols)
+                .group_by("pid")
+                .aggregate([("rows", "sum"), ("bytes_in", "sum"), ("blocks", "sum"), ("errors", "sum")])
+            )
+            n_total = len(out)
+            for row in g.to_pylist():
+                rows = int(row["rows_sum"])
+                actor.report.remote(
+                    stage_name,
+                    int(row["pid"]),
+                    rows,
+                    int(row["bytes_in_sum"]),
+                    int(row["blocks_sum"]),
+                    int(row["errors_sum"]),
+                    wall * rows / n_total,  # wall split proportionally by rows
+                    key=key,
+                )
+        except Exception:
+            pass  # metrics are best-effort; the data batch is already computed
         return out
 
     return wrapped
