@@ -46,7 +46,11 @@ def sized_read_parquet(path, columns=None, min_blocks: int = 8, **read_kwargs) -
         sizes = [_path_bytes(p) for p in path]
         size = None if any(s is None for s in sizes) else sum(sizes)
     kwargs = {}
-    if size is not None and size < _SMALL_INPUT_BYTES:
+    if (
+        size is not None
+        and size < _SMALL_INPUT_BYTES
+        and "override_num_blocks" not in read_kwargs  # explicit caller wins
+    ):
         kwargs["override_num_blocks"] = max(min_blocks, -(-size // _TARGET_BLOCK_BYTES))
     return rd.read_parquet(path, columns=columns, **kwargs, **read_kwargs)
 

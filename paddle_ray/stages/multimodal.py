@@ -27,18 +27,34 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.media import pack_media, unpack_media
+from ..sources.media import _MAGICS, pack_media, unpack_media
 
+# fake-container magics are owned by sources/media.py (_MAGICS) — no
+# inline copies that could drift from the container format
+_FAKE_MAGICS = tuple(_MAGICS.values())
 _REAL_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF", b"II*\x00", b"MM\x00*")
 
 
 def _try_import_codecs():
-    """Import real codec libs if present (they are not, in this sandbox)."""
+    """Import real codec libs if present (they are not, in this sandbox):
+    PIL for images, soundfile for audio, av for video."""
     codecs = {}
     try:  # pragma: no cover - not installed here
         import PIL.Image  # noqa: F401
 
         codecs["image"] = PIL.Image
+    except ImportError:
+        pass
+    try:  # pragma: no cover - not installed here
+        import soundfile  # noqa: F401
+
+        codecs["audio"] = soundfile
+    except ImportError:
+        pass
+    try:  # pragma: no cover - not installed here
+        import av  # noqa: F401
+
+        codecs["video"] = av
     except ImportError:
         pass
     return codecs
@@ -52,8 +68,8 @@ class MediaDecoder:
     def __init__(self):
         self.codecs = _try_import_codecs()  # once per actor
 
-    def _decode_one(self, payload: bytes) -> dict:
-        if payload[:4] in (b"FIMG", b"FAUD", b"FVID"):
+    def _decode_one(self, payload: bytes, row_kind: str) -> dict:
+        if payload[:4] in _FAKE_MAGICS:
             kind, header, body = unpack_media(payload)
             arr = np.frombuffer(body, dtype=np.uint8)
             mean_byte = float(arr.mean()) if arr.size else 0.0
@@ -80,6 +96,13 @@ class MediaDecoder:
                 "duration_s": round(header["n_frames"] / 25.0, 6),
                 "mean_byte": round(mean_byte, 4),
             }
+        # real codecs route by the row's declared kind — RIFF alone is
+        # ambiguous (WebP images AND WAV/AVI audio/video share it), so a
+        # magic-only image path gave audio payloads misleading image errors
+        if row_kind != "image":
+            raise NotImplementedError(
+                f"real {row_kind} codec (soundfile/av) not available in this environment"
+            )
         if any(payload.startswith(m) for m in _REAL_IMAGE_MAGICS):
             if "image" not in self.codecs:
                 raise NotImplementedError(
@@ -97,9 +120,9 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, frames, durs, means, oks, errs = [], [], [], [], [], [], []
-        for payload in batch["payload"].to_pylist():
+        for payload, row_kind in zip(batch["payload"].to_pylist(), batch["kind"].to_pylist()):
             try:
-                r = self._decode_one(payload or b"")
+                r = self._decode_one(payload or b"", row_kind)
                 widths.append(r["width"])
                 heights.append(r["height"])
                 frames.append(r["n_frames"])
@@ -170,16 +193,25 @@ class ImageResizer:
                 ths.append(h)
                 out_payloads.append(payload)
                 continue
-            if max(w, h) > self.hard_cap:
-                s = self.hard_cap / max(w, h)
-            else:
-                s = render_scale(w, h, self.zoom, self.cap)
+            # hard_cap COMPOSES with the render cap (monotonic in input
+            # size); the old either/or branch let >hard_cap inputs skip
+            # the render cap entirely and produce LARGER outputs than
+            # slightly-smaller inputs
+            m = max(w, h)
+            s = render_scale(w, h, self.zoom, self.cap)
+            if m > 0:
+                s = min(s, self.hard_cap / m)
             tw, th = int(round(w * s)), int(round(h * s))
             tws.append(tw)
             ths.append(th)
-            _, header, body = unpack_media(payload)
-            header = dict(header, width=tw, height=th)
-            out_payloads.append(pack_media("image", header, body))
+            if payload[:4] in _FAKE_MAGICS:
+                _, header, body = unpack_media(payload)
+                header = dict(header, width=tw, height=th)
+                out_payloads.append(pack_media("image", header, body))
+            else:
+                # real-codec payload (PIL-decoded): dims are recorded in
+                # the target columns; re-encoding is the real codec's job
+                out_payloads.append(payload)
         return (
             batch.set_column(
                 batch.schema.get_field_index("payload"), "payload", pa.array(out_payloads, pa.binary())

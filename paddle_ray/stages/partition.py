@@ -59,7 +59,10 @@ def bucket_sizes(ds, url_col: str = "url", bytes_col: str = "n_bytes_in") -> np.
     )
     total = np.zeros(N_BUCKETS, dtype=np.int64)
     for b in parts.iter_batches(batch_format="pyarrow"):
-        total[b["bucket"].to_numpy()] += b["bytes"].to_numpy()
+        # np.add.at: fancy-index += keeps only the LAST value per
+        # duplicated bucket id — safe only while batches never repeat a
+        # bucket, which a batch spanning two partial tables would break
+        np.add.at(total, b["bucket"].to_numpy(), b["bytes"].to_numpy())
     return total
 
 

@@ -67,8 +67,11 @@ def make_sniff_batch(cfg: ExtractConfig):
         ctype = np.array([sniff_type(h or b"") for h in heads], dtype=object)
         # crc32 stays a C call per url; the branch/modulo arithmetic is
         # vectorized (the old per-row Python if/else boxed every int)
+        # null url hashes as "" (crc32 0): null html is tolerated two
+        # lines up, so a null url must flow to the error path downstream,
+        # not AttributeError the whole batch here
         hs = np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) for u in urls), dtype=np.uint64, count=len(urls)
+            (zlib.crc32((u or "").encode("utf-8")) for u in urls), dtype=np.uint64, count=len(urls)
         )
         pids = (hs % np.uint64(n_parts)).astype(np.int32)
         out_mask = nb > outlier

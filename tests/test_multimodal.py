@@ -56,7 +56,11 @@ def test_real_codec_payload_raises_not_implemented():
     if d.codecs:  # pragma: no cover - PIL present
         pytest.skip("real codec installed")
     with pytest.raises(NotImplementedError):
-        d._decode_one(b"\x89PNG\r\n\x1a\nrest")
+        d._decode_one(b"\x89PNG\r\n\x1a\nrest", "image")
+    # RIFF is ambiguous (WebP vs WAV/AVI): routing is by the row's kind,
+    # so an audio payload names the AUDIO codec, not a misleading image one
+    with pytest.raises(NotImplementedError, match="audio"):
+        d._decode_one(b"RIFF....WAVE", "audio")
 
 
 def test_render_scale_reference_semantics():
