@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -40,16 +41,9 @@ SCALING_INPUT = os.environ.get("BENCH_SCALING_INPUT", "")  # set by parent for c
 
 
 def _init_ray(num_cpus: int):
-    import ray
+    from paddle_ray.core.session import init_local_ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+    init_local_ray(num_cpus)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -160,7 +154,11 @@ def _scaling_input_dir() -> str:
     read path, and generation cost is paid once, outside the window)."""
     import pyarrow.parquet as pq
 
-    d = f"/tmp/bench_scaling_pages_{SCALING_PROFILE}_{SCALING_DOCS}"
+    # cache key carries the sf dir too: the mixed profile derives from
+    # GRAFT_SF_DIR, and a stale cache from another sf silently misattributed
+    # the scaling numbers
+    sf_tag = re.sub(r"\W+", "_", SF_DIR.strip("/"))
+    d = f"/tmp/bench_scaling_pages_{SCALING_PROFILE}_{SCALING_DOCS}_{sf_tag}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
@@ -204,7 +202,9 @@ def run_scaling_child() -> None:
         secs.append(time.perf_counter() - t0)
         assert rows == n_docs, (rows, n_docs)
     shutil.rmtree(out_dir, ignore_errors=True)
-    warm = min(secs[1:])
+    # BENCH_SCALING_RUNS=1: the cold run doubles as the warm sample
+    # rather than crashing on min([]) after the work is done
+    warm = min(secs[1:]) if len(secs) > 1 else secs[0]
     print(
         json.dumps(
             {
@@ -300,7 +300,11 @@ def run_scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SCALING_CHILD="1",
             BENCH_SCALING_INPUT=input_dir,
-            BENCH_SCALING_RUNS="3" if ncpu == lo else "6",
+            # honor a user-set BENCH_SCALING_RUNS; default 3 at the low
+            # level, 6 at the high (faster per run -> noisier min)
+            BENCH_SCALING_RUNS=os.environ.get(
+                "BENCH_SCALING_RUNS", "3" if ncpu == lo else "6"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -29,16 +29,9 @@ import time
 
 
 def _ray_init(num_cpus: int | None) -> None:
-    import ray
+    from paddle_ray.core.session import init_local_ray
 
-    if not ray.is_initialized():
-        kw = {"include_dashboard": False}
-        if num_cpus:
-            kw["num_cpus"] = num_cpus
-        ray.init(address="local", **kw)
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    init_local_ray(num_cpus)
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -53,7 +46,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         **({"captioning_enabled": False} if args.no_captions else {})
     )
     t0 = time.time()
-    inputs = args.input if len(args.input) > 1 else args.input[0]
+    inputs = args.input  # read_pages/read_parquet accept a list directly
     manifests = extract_pipeline(
         inputs,
         cfg=cfg,

@@ -14,11 +14,31 @@ entry is for request-shaped callers (spot checks, services, tests).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 from .core.config import ExtractConfig
 from .stages.extract import DocumentExtractor, sha256_hex
 from .stages.sniff import sniff_type
+
+# request-shaped callers pay per-call init otherwise (the extractor's
+# 65536-sample weight table + captioner model are amortized once per
+# actor in the pipeline; services calling this per request deserve the
+# same amortization). Keyed by the full config value.
+_ENGINE_CACHE: dict[tuple, tuple] = {}
+
+
+def _engines(cfg: ExtractConfig):
+    from .stages.caption import Captioner
+
+    try:
+        key = dataclasses.astuple(cfg)
+        hash(key)
+    except TypeError:  # unhashable custom cfg value: build fresh
+        return DocumentExtractor(cfg), Captioner(cfg)
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = (DocumentExtractor(cfg), Captioner(cfg))
+    return _ENGINE_CACHE[key]
 
 
 def extract_document_request(
@@ -34,9 +54,24 @@ def extract_document_request(
     """
     cfg = cfg or ExtractConfig()
     ctype = file_type or sniff_type(payload[:8])
-    extractor = DocumentExtractor(cfg)
+    extractor, captioner = _engines(cfg)
     try:
         r = extractor._one("request://doc", ctype, payload)
+        if cfg.captioning_enabled and r["blocks"]:
+            # same enrichment the pipeline's caption stage applies
+            # (captions merged into image-block content) — the request
+            # surface must not silently diverge from the pipeline output
+            import pyarrow as pa
+
+            from .core.schema import BLOCK_TYPE
+
+            one = pa.table(
+                {
+                    "markdown": pa.array([r["markdown"]], pa.string()),
+                    "blocks": pa.array([r["blocks"]], pa.list_(BLOCK_TYPE)),
+                }
+            )
+            r["blocks"] = captioner(one)["blocks"][0].as_py()
     except Exception as e:
         return {"errorCode": 422, "errorMsg": f"{type(e).__name__}: {e}", "result": None}
     return {

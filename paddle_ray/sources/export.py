@@ -37,6 +37,7 @@ def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
     scale path is checkpointed parquet."""
     os.makedirs(out_dir, exist_ok=True)
     n = 0
+    seen_urls: set[str] = set()
     index: list[str] = []
     cols = ["url", "markdown", "extracted_text", "content_hash"]
     has_images = "images" in ds.schema().names
@@ -51,6 +52,12 @@ def export_doc_tree(ds, out_dir: str, limit: int | None = None) -> int:
             batch["content_hash"].to_pylist(),
             imgs_col,
         ):
+            if url in seen_urls:
+                # duplicate url rows (e.g. un-deduped extraction output)
+                # would silently overwrite the first tree and over-report
+                # the written count — first wins, count stays accurate
+                continue
+            seen_urls.add(url)
             d = os.path.join(out_dir, _slug(url))
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, "doc.md"), "w", encoding="utf-8") as f:

@@ -79,6 +79,9 @@ class UrlFetcher:
                 continue
             try:
                 out_payloads.append(self.fetch(url, self.timeout_s))
+                # a retry pass that succeeds must clear the stale failure
+                # record, or error-is-null filters drop the now-good row
+                errors[i] = None
             except Exception as e:  # never drop a row
                 out_payloads.append(b"")
                 errors[i] = f"fetch: {type(e).__name__}: {e}"

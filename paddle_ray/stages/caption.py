@@ -115,6 +115,10 @@ class Captioner:
         to the metrics actor; never on the data path)."""
         try:
             if self._metrics_actor is None:
+                import ray
+
+                if not ray.is_initialized():
+                    return  # request-surface path: must not auto-init Ray
                 from ..state.metrics import get_metrics_actor
 
                 self._metrics_actor = get_metrics_actor()

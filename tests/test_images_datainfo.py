@@ -141,3 +141,34 @@ def test_pipeline_images_roundtrip_parquet_and_export(ray_session, tmp_path):
     assert img_files[0].endswith("-img_in_image_box_60_470_900_870.jpg")
     with open(img_files[0], "rb") as fh:
         assert fh.read() == want
+
+
+def test_request_surface_applies_captioning():
+    """The api envelope must match the pipeline's caption enrichment
+    (review r2: extract_document_request silently skipped the Captioner,
+    returning un-captioned image blocks for caption-eligible pdfs)."""
+    from dataclasses import replace
+
+    from paddle_ray.api import extract_document_request
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.sources.pages import synth_pages
+
+    pages, _ = synth_pages(40, pdf_every=2, outlier_every=0)
+    d = pages.to_pydict()
+    saw_caption = False
+    for html in d["html"]:
+        on = extract_document_request(html)
+        if on["errorCode"] != 0 or on["result"]["dataInfo"]["type"] != "pdf":
+            continue
+        off = extract_document_request(
+            html, cfg=ExtractConfig(captioning_enabled=False)
+        )
+        imgs_on = [b["content"] for b in on["result"]["blocks"] if b["label"] == "image"]
+        imgs_off = [b["content"] for b in off["result"]["blocks"] if b["label"] == "image"]
+        for c_on, c_off in zip(imgs_on, imgs_off):
+            assert c_on.startswith(c_off)
+            if len(c_on) > len(c_off):
+                saw_caption = True
+        if saw_caption:
+            break
+    assert saw_caption, "no caption-eligible pdf image found in 40 synth docs"
