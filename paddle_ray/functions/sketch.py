@@ -20,23 +20,13 @@ import numpy as np
 HLL_P = 12  # 2^12 = 4096 registers -> ~1.6% standard error
 HLL_M = 1 << HLL_P
 
-_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
-_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        x = (x + _GOLDEN).astype(np.uint64)
-        x ^= x >> np.uint64(30)
-        x *= _SPLITMIX_C1
-        x ^= x >> np.uint64(27)
-        x *= _SPLITMIX_C2
-        x ^= x >> np.uint64(31)
-    return x
+# the ONE splitmix64 owner is functions/hashes.py — a bit-identical local
+# copy lived here and could silently diverge the hash streams the module
+# claims are shared (verified equal over random inputs before removal)
+from .hashes import splitmix64 as _splitmix64  # noqa: E402
 
 
 def hash64_ints(vals: np.ndarray) -> np.ndarray:

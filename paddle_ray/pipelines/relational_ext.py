@@ -300,10 +300,16 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
         # guarded probe: searchsorted alone crashes/misclassifies on keys
         # absent from part; verify equality and keep inner-join semantics
-        # (unmatched rows contribute to NEITHER promo nor total)
-        idx = np.clip(np.searchsorted(keys_, pk), 0, len(keys_) - 1)
-        matched = keys_[idx] == pk
-        is_promo = promo_[idx] & matched
+        # (unmatched rows contribute to NEITHER promo nor total). An empty
+        # build side means nothing matches (clip-to--1 indexed an empty
+        # array before)
+        if len(keys_) == 0:
+            matched = np.zeros(len(pk), dtype=bool)
+            is_promo = matched
+        else:
+            idx = np.clip(np.searchsorted(keys_, pk), 0, len(keys_) - 1)
+            matched = keys_[idx] == pk
+            is_promo = promo_[idx] & matched
         return pa.table(
             {
                 "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),

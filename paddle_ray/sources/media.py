@@ -63,6 +63,14 @@ def unpack_media(payload: bytes) -> tuple[str, dict, bytes]:
             if len(payload) < 8:
                 raise ValueError(f"truncated media container ({len(payload)} bytes)")
             (hlen,) = struct.unpack("<I", payload[4:8])
+            if 8 + hlen > len(payload):
+                # a corrupted/truncated hlen would otherwise parse to an
+                # empty body with decoded_ok=True downstream — corruption
+                # must surface, not silently read as valid media
+                raise ValueError(
+                    f"corrupt media container: header length {hlen} exceeds "
+                    f"payload ({len(payload)} bytes)"
+                )
             header = json.loads(payload[8 : 8 + hlen])
             return kind, header, payload[8 + hlen :]
     raise ValueError(f"unknown media container magic {magic!r}")

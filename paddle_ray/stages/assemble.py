@@ -24,10 +24,12 @@ def assemble_pages_ds(pages_ds):
     def _assemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("page_index")
         parts = []
-        for _, row in g.iterrows():
-            parts.append(PAGE_SEP.format(n=int(row["page_index"]) + 1))
-            if row["page_text"]:
-                parts.append(row["page_text"])
+        # zip over the two needed columns — iterrows built a full Series
+        # per page in the per-document hot loop
+        for pi, txt in zip(g["page_index"], g["page_text"]):
+            parts.append(PAGE_SEP.format(n=int(pi) + 1))
+            if txt:
+                parts.append(txt)
         return pd.DataFrame(
             {
                 "url": [g["url"].iloc[0]],
