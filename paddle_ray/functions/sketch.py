@@ -123,3 +123,34 @@ def hist_quantile(counts: np.ndarray, q: float) -> float:
     within = (target - prev) / max(counts[b], 1)
     lo, hi = _HIST_EDGES[b - 1], _HIST_EDGES[b]
     return float(lo + (hi - lo) * within)
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+# Mergeable frequent-items summary: capacity C bounds the summary size;
+# merged estimates undercount true counts by at most N/(C+1) (N = total
+# stream length), so any item with true count > N/(C+1) survives.
+
+def mg_partial(values, capacity: int) -> dict:
+    """Misra-Gries summary of one batch: at most `capacity` items."""
+    from collections import Counter
+
+    counts = Counter(values)
+    if len(counts) <= capacity:
+        return dict(counts)
+    # decrement-by-threshold: subtract the (C+1)-th largest count
+    thr = sorted(counts.values(), reverse=True)[capacity]
+    return {k: v - thr for k, v in counts.items() if v > thr}
+
+
+def mg_merge(summaries: list[dict], capacity: int) -> dict:
+    """Merge MG summaries (sum counts, re-trim to capacity). Error bounds
+    add across merges — still <= N/(C+1) overall (Agarwal et al., public
+    mergeable-summaries result)."""
+    total: dict = {}
+    for s in summaries:
+        for k, v in s.items():
+            total[k] = total.get(k, 0) + v
+    if len(total) <= capacity:
+        return total
+    thr = sorted(total.values(), reverse=True)[capacity]
+    return {k: v - thr for k, v in total.items() if v > thr}

@@ -317,3 +317,109 @@ sizes AS (
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
 FROM sizes GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_interval_pairs(sf_dir: str, band_s: int = 900) -> pd.DataFrame:
+    """Interval self-join: per user, count ordered event pairs (a before
+    b) within `band_s` seconds — the time-band join shape (co-occurrence /
+    burst detection). Same coarse-hash-partition pattern as sessionize:
+    one vectorized call per partition; within it each user's sorted
+    timestamp span is answered with ONE np.searchsorted per event, so the
+    per-partition cost is O(n log n) — the pair count is never expanded.
+    Oracled by EVENTS_INTERVAL_SQL_T (explicit join in DuckDB)."""
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "n_pairs": pd.Series([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g.user_id.to_numpy()
+        tus = g.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        band = np.int64(band_s) * 1_000_000
+        # per event: how many LATER events of the same user fall within
+        # the band — searchsorted against the user's own sorted span
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_n = [], []
+        for s, e in zip(starts, ends):
+            span = tus[s:e]
+            # strictly-later events within band: (ts, ts + band]
+            cnt = np.searchsorted(span, span + band, side="right") - np.arange(1, e - s + 1)
+            total = int(cnt.sum())
+            if total > 0:
+                out_u.append(int(uid[s]))
+                out_n.append(total)
+        if not out_u:
+            return empty
+        return pd.DataFrame({"user_id": out_u, "n_pairs": out_n})
+
+    out = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"user_id": "int64", "n_pairs": "int64"})
+
+
+EVENTS_INTERVAL_SQL_T = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST({band_s} AS BIGINT) * 1000000
+GROUP BY a.user_id ORDER BY a.user_id
+"""
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 200) -> pd.DataFrame:
+    """Approximate top-k users by EVENT COUNT via a mergeable Misra-Gries
+    summary: each block contributes one <= `capacity`-item summary (the
+    shuffle-free scale path — the collect is O(capacity x #blocks) rows
+    no matter how many distinct users exist, where the exact counterpart
+    shuffles one row per distinct user per block). Estimates undercount
+    by at most N/(capacity+1); with capacity >> k the true top-k all
+    survive.
+
+    Rows-only driver check (the estimate is engine-defined); accuracy is
+    locked by tests/test_sketch.py against exact counts."""
+    from ..functions.sketch import mg_merge, mg_partial
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = mg_partial(batch["user_id"].to_pylist(), capacity)
+        return pa.table(
+            {
+                "user_id": pa.array(list(s.keys()), pa.int64()),
+                "cnt": pa.array(list(s.values()), pa.int64()),
+            }
+        )
+
+    parts = (
+        _events(sf_dir, columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    # k-way merge = sum all partial counts, one trim (valid mergeable-
+    # summaries op; the intermediate frame is <= capacity x #blocks rows)
+    summed = parts.groupby("user_id").cnt.sum()
+    merged = mg_merge([dict(zip(summed.index, summed))], capacity)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _ in top], dtype="int64"),
+            "approx_count": pd.Series([c for _, c in top], dtype="int64"),
+        }
+    )

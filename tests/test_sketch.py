@@ -76,3 +76,51 @@ def test_approx_quantile_chars_pipeline(ray_session):
     for lang, g in docs.groupby("lang"):
         exact = float(np.quantile(g.n_chars, 0.5))
         assert abs(out.loc[lang, "p50_approx"] - exact) / exact < 0.08
+
+
+def test_mg_heavy_hitters_bound_and_topk():
+    import numpy as np
+
+    from paddle_ray.functions.sketch import mg_merge, mg_partial
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: a few heavy users over a long tail
+    stream = np.concatenate(
+        [np.full(1200, 1), np.full(900, 2), np.full(700, 3),
+         rng.integers(100, 5000, size=8000)]
+    )
+    rng.shuffle(stream)
+    C = 100
+    parts = [mg_partial(stream[i : i + 500].tolist(), C) for i in range(0, len(stream), 500)]
+    summed: dict = {}
+    for p in parts:
+        for k, v in p.items():
+            summed[k] = summed.get(k, 0) + v
+    merged = mg_merge([summed], C)
+    n = len(stream)
+    from collections import Counter
+
+    exact = Counter(stream.tolist())
+    # undercount bound: est <= true, true - est <= N/(C+1)
+    for u, est in merged.items():
+        assert est <= exact[u]
+        assert exact[u] - est <= n / (C + 1) + 1e-9
+    # heavy users (count >> N/(C+1) ~ 107) must survive with top ranks
+    top3 = sorted(merged, key=lambda u: -merged[u])[:3]
+    assert set(top3) == {1, 2, 3}
+
+
+def test_events_heavy_hitters_matches_exact_topk(ray_session):
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.events import events_heavy_hitters
+
+    out = events_heavy_hitters("/root/testdata/sf0.001", k=5, capacity=200)
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    exact = ev.user_id.value_counts()
+    # with capacity >> distinct users the sketch is exact
+    for u, c in zip(out.user_id, out.approx_count):
+        assert exact[u] == c
+    assert list(out.user_id) == list(
+        exact.reset_index().sort_values(["count", "user_id"], ascending=[False, True]).user_id.head(5)
+    )
