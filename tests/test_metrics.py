@@ -65,3 +65,33 @@ def test_metrics_snapshot_written_next_to_output(ray_session, tmp_path):
     t = pq.read_table(path)
     assert t.num_rows > 0
     assert {"stage", "partition_id", "rows", "captions"} <= set(t.column_names)
+
+
+def test_duplicate_report_key_counted_once(ray_session):
+    from paddle_ray.state.metrics import get_metrics_actor, metrics_snapshot_df, reset_metrics
+    import ray
+
+    reset_metrics()
+    a = get_metrics_actor()
+    # same content key re-reported (an at-least-once retry) -> one count
+    ray.get(a.report.remote("dup_stage", 3, 10, 100, 5, 0, 1.0, key="k1"))
+    ray.get(a.report.remote("dup_stage", 3, 10, 100, 5, 0, 1.0, key="k1"))
+    ray.get(a.report.remote("dup_stage", 3, 7, 70, 2, 0, 0.5, key="k2"))
+    df = metrics_snapshot_df()
+    row = df[(df.stage == "dup_stage") & (df.partition_id == 3)].iloc[0]
+    assert row.rows == 17 and row.bytes_in == 170 and row.blocks == 7
+    reset_metrics()
+
+
+def test_metrics_actor_survives_keyless_reports(ray_session):
+    """key=None (legacy/external callers) keeps plain += semantics."""
+    from paddle_ray.state.metrics import get_metrics_actor, metrics_snapshot_df, reset_metrics
+    import ray
+
+    reset_metrics()
+    a = get_metrics_actor()
+    ray.get(a.report.remote("nk", 1, 1, 0, 0, 0, 0.0))
+    ray.get(a.report.remote("nk", 1, 1, 0, 0, 0, 0.0))
+    df = metrics_snapshot_df()
+    assert int(df[(df.stage == "nk")].rows.iloc[0]) == 2
+    reset_metrics()

@@ -332,3 +332,19 @@ def test_resume_false_resets_stale_checkpoint_state(tmp_path):
     # while resume=True under a DIFFERENT config still refuses
     with pytest.raises(ValueError, match="partitioning"):
         extract_pipeline(pages, cfg=cfg_a, out_dir=out)
+
+
+def test_partitioning_stamp_exclusive_writer(tmp_path):
+    """O_EXCL stamp: the first writer wins; a second run with a DIFFERENT
+    partitioning config must refuse instead of silently overwriting
+    (two-driver race, review r2)."""
+    import pytest
+
+    from paddle_ray.state import checkpoint as ckpt
+
+    fp1 = {"mode": "streaming", "n_partitions": 64}
+    fp2 = {"mode": "streaming", "n_partitions": 32}
+    ckpt.write_partitioning_stamp(str(tmp_path), fp1)
+    ckpt.write_partitioning_stamp(str(tmp_path), fp1)  # same config: fine
+    with pytest.raises(ValueError, match="already stamped"):
+        ckpt.write_partitioning_stamp(str(tmp_path), fp2)
