@@ -290,22 +290,32 @@ ORDER BY n.n_name
 # --------------------------------------------------------------------------
 
 def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    """Money sums accumulate as EXACT integer cents: at sf0.1 the group
+    totals reach ~1.2e10, where float64 summation-order noise (~1e-4
+    absolute) exceeds the 4-dp comparison tolerance — int64 cents are
+    order-independent and scale-proof (the oracle mirrors)."""
     from ray.data.aggregate import Count, Sum
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderstatus": batch["o_orderstatus"], "cents": cents})
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
     out = (
-        ds.groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .to_pandas()
         .sort_values("o_orderstatus")
         .reset_index(drop=True)
     )
-    out["total"] = out.total.round(4)
-    return out
+    out["total"] = (out.cents / 100.0).round(4)
+    return out[["o_orderstatus", "n_orders", "total"]]
 
 
 ORDERS_BY_STATUS_SQL = """
-SELECT o_orderstatus, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0, 4) AS total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
