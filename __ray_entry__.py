@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational_more.q13_customer_distribution,
         "q16_supplier_cnt": relational_more.q16_supplier_cnt,
         "q22_sales_opportunity": relational_more.q22_sales_opportunity,
+        "orders_rollup": relational_more.orders_rollup,
+        "lang_modal_source": relational_more.lang_modal_source,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -353,4 +355,6 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational_more.Q13_SQL,
         "q16_supplier_cnt": relational_more.Q16_SQL,
         "q22_sales_opportunity": relational_more.Q22_SQL,
+        "orders_rollup": relational_more.ROLLUP_SQL,
+        "lang_modal_source": relational_more.LANG_MODAL_SQL,
     }

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray
 
 from .common import read_table as _read
+from .common import sized_read_parquet
 
 # native shuffle-join aggregator pool size; 8 measured best at test scale
 # (16 aggregators spin up 7x slower on a 32-cpu host, see joins.py:108)
@@ -306,4 +307,123 @@ FROM customer, a
 WHERE c_acctbal > a.v
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup shape
+# --------------------------------------------------------------------------
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(status, priority): detail rows + per-status subtotal + grand
+    total, 'ALL' marking the rolled level. ONE distributed pass computes
+    the finest grouping (per-batch partials first); the coarser levels
+    reduce from that small result driver-side — never a second corpus
+    scan. Oracled by ROLLUP_SQL (DuckDB GROUP BY ROLLUP)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "cents": g["cents_sum"],
+                "n": g["cents_count"],
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sub = (
+        fine.groupby("o_orderstatus", as_index=False)
+        .agg(cents=("cents", "sum"), n=("n", "sum"))
+        .assign(o_orderpriority="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "cents": [fine.cents.sum()],
+            "n": [fine.n.sum()],
+        }
+    )
+    out = pd.concat([fine, sub, grand], ignore_index=True)
+    out["total"] = (out.cents / 100.0).round(4)
+    out["n_orders"] = out.n.astype("int64")
+    return (
+        out[["o_orderstatus", "o_orderpriority", "n_orders", "total"]]
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0, 4) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped mode (most frequent value, deterministic ties)
+# --------------------------------------------------------------------------
+
+def lang_modal_source(sf_dir: str) -> pd.DataFrame:
+    """Per lang: the most frequent source (tie -> lexicographically
+    smallest, explicit on BOTH sides — DuckDB's mode() tie choice is
+    engine-defined). Shuffle carries one (lang, source, count) partial per
+    block; the argmax runs on the small distinct result. Oracled by
+    LANG_MODAL_SQL (window rank with matching tie order)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return pa.table(
+            {"lang": g["lang"], "source": g["source"], "n": g["source_count"]}
+        )
+
+    counts = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = (
+        counts.sort_values(["lang", "n", "source"], ascending=[True, False, True], kind="mergesort")
+        .groupby("lang", as_index=False)
+        .head(1)
+        .rename(columns={"source": "modal_source", "n": "n_docs"})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64"})
+
+
+LANG_MODAL_SQL = """
+SELECT lang, modal_source, n_docs FROM (
+  SELECT lang, source AS modal_source, COUNT(*) AS n_docs,
+         row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source) AS rn
+  FROM documents GROUP BY lang, source
+) WHERE rn = 1 ORDER BY lang
 """

@@ -122,3 +122,38 @@ def test_q16_distinct_suppliers_full_sf():
     assert (out.p_brand != "Brand#1").all()
     assert (~out.p_type.str.startswith("SMALL")).all()
     assert out.p_size.between(1, 8).all()
+
+
+def test_rollup_levels_consistent():
+    """Subtotals and grand total must equal the sums of the detail rows."""
+    out = relational_more.orders_rollup(SF)
+    detail = out[(out.o_orderstatus != "ALL") & (out.o_orderpriority != "ALL")]
+    subs = out[(out.o_orderstatus != "ALL") & (out.o_orderpriority == "ALL")]
+    grand = out[(out.o_orderstatus == "ALL")]
+    assert len(grand) == 1
+    assert grand.n_orders.iloc[0] == detail.n_orders.sum()
+    assert abs(grand.total.iloc[0] - round(detail.total.sum(), 4)) < 1e-9
+    for _, s in subs.iterrows():
+        d = detail[detail.o_orderstatus == s.o_orderstatus]
+        assert s.n_orders == d.n_orders.sum()
+
+
+def test_lang_modal_source_tie_break(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": "x",
+            "lang": ["en"] * 4,
+            # srcA and srcB tie at 2 -> lexicographically smaller srcA wins
+            "source": ["srcB", "srcA", "srcB", "srcA"],
+            "n_chars": 1,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), tmp_path / "documents.parquet")
+    out = relational_more.lang_modal_source(str(tmp_path))
+    assert list(out.modal_source) == ["srcA"]
+    assert list(out.n_docs) == [2]
