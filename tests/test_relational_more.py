@@ -157,3 +157,46 @@ def test_lang_modal_source_tie_break(tmp_path):
     out = relational_more.lang_modal_source(str(tmp_path))
     assert list(out.modal_source) == ["srcA"]
     assert list(out.n_docs) == [2]
+
+
+def test_q13_hot_key_skew_correct(tmp_path):
+    """One customer owning half of all orders (hot join key) must not
+    corrupt the native left-outer join's counts."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n_orders = 4000
+    hot = np.full(n_orders // 2, 1)
+    cold = rng.integers(2, 200, size=n_orders // 2)
+    cust_ids = np.concatenate([hot, cold])
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame({"c_custkey": range(1, 201), "c_name": "x", "c_nationkey": 0,
+                      "c_acctbal": 0.0, "c_mktsegment": "s"}),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": range(n_orders),
+                "o_custkey": cust_ids,
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("1996-01-01"),
+                "o_orderpriority": "5-LOW",
+            }
+        ),
+    )
+    out = relational_more.q13_customer_distribution(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+    ora = con.sql(relational_more.Q13_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), ora.astype({"c_count": "int64", "custdist": "int64"})
+    )
+    # the hot key's bucket (2000 orders) must appear
+    assert (out.c_count == n_orders // 2).any()
