@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_sales_opportunity": relational_more.q22_sales_opportunity,
         "orders_rollup": relational_more.orders_rollup,
         "lang_modal_source": relational_more.lang_modal_source,
+        "year_reconcile": relational_more.year_reconcile,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -357,4 +358,5 @@ def oracle_sql() -> dict[str, str]:
         "q22_sales_opportunity": relational_more.Q22_SQL,
         "orders_rollup": relational_more.ROLLUP_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
+        "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
     }

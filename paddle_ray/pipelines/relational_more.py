@@ -427,3 +427,72 @@ SELECT lang, modal_source, n_docs FROM (
   FROM documents GROUP BY lang, source
 ) WHERE rn = 1 ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# native FULL OUTER join shape: year reconciliation
+# --------------------------------------------------------------------------
+
+def year_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Per-year order counts vs lineitem ship counts, FULL OUTER joined on
+    year — the reconciliation shape (years present on either side survive,
+    missing side counts as 0). Both sides pre-aggregate to one row per
+    (year, block) before the join, so the native full-outer shuffle moves
+    a handful of year rows. Oracled by YEAR_RECONCILE_SQL."""
+    from ray.data.aggregate import Sum
+
+    def order_years(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(df.o_orderdate.dt.year.astype("int64"), as_index=False).size()
+        g.columns = ["o_year", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def ship_years(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(df.l_shipdate.dt.year.astype("int64"), as_index=False).size()
+        g.columns = ["l_year", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = (
+        _read(sf_dir, "orders", columns=["o_orderdate"])
+        .map_batches(order_years, batch_format="pyarrow", batch_size=None)
+        .groupby("o_year")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    l = (
+        _read(sf_dir, "lineitem", columns=["l_shipdate"])
+        .map_batches(ship_years, batch_format="pyarrow", batch_size=None)
+        .groupby("l_year")
+        .aggregate(Sum("n", alias_name="n_shipped"))
+    )
+    joined = o.join(
+        l,
+        join_type="full_outer",
+        num_partitions=N_JOIN_PARTS,
+        on=("o_year",),
+        right_on=("l_year",),
+    ).to_pandas()
+    # arrow's full-outer COALESCES the key pair into the left key column
+    yr = joined.o_year.astype("int64")
+    out = pd.DataFrame(
+        {
+            "yr": yr,
+            "n_orders": joined.n_orders.fillna(0).astype("int64"),
+            "n_shipped": joined.n_shipped.fillna(0).astype("int64"),
+        }
+    )
+    return out.sort_values("yr").reset_index(drop=True)
+
+
+YEAR_RECONCILE_SQL = """
+SELECT COALESCE(o.yr, l.yr) AS yr,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(l.n_shipped, 0) AS n_shipped
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, COUNT(*) AS n_shipped
+      FROM lineitem GROUP BY 1) l
+  ON o.yr = l.yr
+ORDER BY yr
+"""

@@ -200,3 +200,44 @@ def test_q13_hot_key_skew_correct(tmp_path):
     )
     # the hot key's bucket (2000 orders) must appear
     assert (out.c_count == n_orders // 2).any()
+
+
+def test_year_reconcile_outer_rows(tmp_path):
+    """Years present on only one side must survive the full outer join
+    with 0 on the missing side."""
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_custkey": 1,
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.to_datetime(["1995-06-01", "1995-07-01"]),
+                "o_orderpriority": "5-LOW",
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": [1],
+                "l_partkey": 1,
+                "l_suppkey": 1,
+                "l_linenumber": 1,
+                "l_quantity": 1.0,
+                "l_extendedprice": 1.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": pd.to_datetime(["1997-01-15"]),
+            }
+        ),
+    )
+    out = relational_more.year_reconcile(str(tmp_path)).set_index("yr")
+    assert out.loc[1995].tolist() == [2, 0]  # orders-only year
+    assert out.loc[1997].tolist() == [0, 1]  # shipments-only year
