@@ -14,7 +14,8 @@ here (nor in paddle_ray) calls ``ray.init()`` / ``ray.shutdown()``.
                    each such family also carries a value-oracled exact
                    companion (shingle_jaccard_pairs/minhash_missed_pairs,
                    knn_ivf/lsh_exhaustive, events_distinct_users,
-                   lang_quantile_chars for approx_quantile_chars).
+                   lang_quantile_chars for approx_quantile_chars,
+                   events_topk_users for events_heavy_hitters).
 """
 
 from __future__ import annotations

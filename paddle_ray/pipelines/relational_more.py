@@ -441,29 +441,29 @@ def year_reconcile(sf_dir: str) -> pd.DataFrame:
     a handful of year rows. Oracled by YEAR_RECONCILE_SQL."""
     from ray.data.aggregate import Sum
 
-    def order_years(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(df.o_orderdate.dt.year.astype("int64"), as_index=False).size()
-        g.columns = ["o_year", "n"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def year_counts(date_col: str, out_key: str):
+        # one arrow-native partial for both sides (no pandas round-trip
+        # on the lineitem scan, the corpus's largest table)
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({out_key: pc.cast(pc.year(batch[date_col]), pa.int64())})
+            g = t.group_by(out_key).aggregate([(out_key, "count")])
+            return pa.table({out_key: g[out_key], "n": g[f"{out_key}_count"]})
 
-    def ship_years(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(df.l_shipdate.dt.year.astype("int64"), as_index=False).size()
-        g.columns = ["l_year", "n"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return partial
 
-    o = (
+    o = _ensure_nonempty(
         _read(sf_dir, "orders", columns=["o_orderdate"])
-        .map_batches(order_years, batch_format="pyarrow", batch_size=None)
+        .map_batches(year_counts("o_orderdate", "o_year"), batch_format="pyarrow", batch_size=None)
         .groupby("o_year")
-        .aggregate(Sum("n", alias_name="n_orders"))
+        .aggregate(Sum("n", alias_name="n_orders")),
+        pa.table({"o_year": pa.array([-1], pa.int64()), "n_orders": pa.array([0], pa.int64())}),
     )
-    l = (
+    l = _ensure_nonempty(
         _read(sf_dir, "lineitem", columns=["l_shipdate"])
-        .map_batches(ship_years, batch_format="pyarrow", batch_size=None)
+        .map_batches(year_counts("l_shipdate", "l_year"), batch_format="pyarrow", batch_size=None)
         .groupby("l_year")
-        .aggregate(Sum("n", alias_name="n_shipped"))
+        .aggregate(Sum("n", alias_name="n_shipped")),
+        pa.table({"l_year": pa.array([-1], pa.int64()), "n_shipped": pa.array([0], pa.int64())}),
     )
     joined = o.join(
         l,
@@ -472,7 +472,9 @@ def year_reconcile(sf_dir: str) -> pd.DataFrame:
         on=("o_year",),
         right_on=("l_year",),
     ).to_pandas()
-    # arrow's full-outer COALESCES the key pair into the left key column
+    # arrow's full-outer COALESCES the key pair into the left key column;
+    # the two sentinels matched each other into one yr=-1 row — drop it
+    joined = joined[joined.o_year != -1]
     yr = joined.o_year.astype("int64")
     out = pd.DataFrame(
         {

@@ -241,3 +241,45 @@ def test_year_reconcile_outer_rows(tmp_path):
     out = relational_more.year_reconcile(str(tmp_path)).set_index("yr")
     assert out.loc[1995].tolist() == [2, 0]  # orders-only year
     assert out.loc[1997].tolist() == [0, 1]  # shipments-only year
+
+
+def test_year_reconcile_empty_side(tmp_path):
+    """A zero-row (schema-bearing) orders side must yield shipment-only
+    rows, not the schemaless-partition join crash (sentinel guard)."""
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_custkey": pd.Series([], dtype="int64"),
+                "o_orderstatus": pd.Series([], dtype="object"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype="object"),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": [1],
+                "l_partkey": 1,
+                "l_suppkey": 1,
+                "l_linenumber": 1,
+                "l_quantity": 1.0,
+                "l_extendedprice": 1.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+                "l_returnflag": "N",
+                "l_linestatus": "O",
+                "l_shipdate": pd.to_datetime(["1997-01-15"]),
+            }
+        ),
+    )
+    out = relational_more.year_reconcile(str(tmp_path))
+    assert list(out.yr) == [1997]
+    assert list(out.n_orders) == [0]
+    assert list(out.n_shipped) == [1]
