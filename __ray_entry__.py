@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": relational_more.orders_rollup,
         "lang_modal_source": relational_more.lang_modal_source,
         "year_reconcile": relational_more.year_reconcile,
+        "orders_running_total": relational_more.orders_running_total,
+        "priority_unpivot": relational_more.priority_unpivot,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -360,4 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": relational_more.ROLLUP_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
+        "orders_running_total": relational_more.RUNNING_TOTAL_SQL,
+        "priority_unpivot": relational_more.UNPIVOT_SQL,
     }

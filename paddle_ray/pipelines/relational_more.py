@@ -498,3 +498,93 @@ FULL OUTER JOIN
   ON o.yr = l.yr
 ORDER BY yr
 """
+
+
+# --------------------------------------------------------------------------
+# cumulative window (running total) shape
+# --------------------------------------------------------------------------
+
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per status: monthly order counts with a running cumulative total —
+    the ORDER BY window-frame shape (SUM OVER PARTITION BY ... ORDER BY).
+    The distributed pass reduces to one row per (status, month) (bounded:
+    #statuses x #months); the cumulative scan runs on that small frame —
+    a running total over an unbounded key would instead use the
+    coarse-partition + per-partition prefix + offset-broadcast pattern.
+    Oracled by RUNNING_TOTAL_SQL."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(batch["o_orderdate"]), pa.int64())
+        m = pc.cast(pc.month(batch["o_orderdate"]), pa.int64())
+        ym = pc.add(pc.multiply(y, pa.scalar(100, pa.int64())), m)
+        t = pa.table({"o_orderstatus": batch["o_orderstatus"], "ym": ym})
+        g = t.group_by(["o_orderstatus", "ym"]).aggregate([("ym", "count")])
+        return pa.table(
+            {"o_orderstatus": g["o_orderstatus"], "ym": g["ym"], "n": g["ym_count"]}
+        )
+
+    monthly = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderstatus", "ym"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values(["o_orderstatus", "ym"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    monthly["cum_orders"] = monthly.groupby("o_orderstatus").n_orders.cumsum()
+    return monthly.astype({"ym": "int64", "n_orders": "int64", "cum_orders": "int64"})
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderstatus, ym, n_orders,
+       CAST(SUM(n_orders) OVER (
+           PARTITION BY o_orderstatus ORDER BY ym
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders
+FROM (
+  SELECT o_orderstatus,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+ORDER BY o_orderstatus, ym
+"""
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt shape (inverse of orders_priority_matrix's pivot)
+# --------------------------------------------------------------------------
+
+def priority_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Melt the wide (status, high_count, low_count) matrix back to long
+    (status, bucket, n) — the unpivot shape. Runs the distributed pivot
+    first (joins.orders_priority_matrix), melts its tiny result
+    driver-side. Oracled by UNPIVOT_SQL (DuckDB UNPIVOT)."""
+    from .joins import orders_priority_matrix
+
+    wide = orders_priority_matrix(sf_dir)
+    long = wide.melt(
+        id_vars=["o_orderstatus"],
+        value_vars=["high_count", "low_count"],
+        var_name="bucket",
+        value_name="n",
+    )
+    return (
+        long.sort_values(["o_orderstatus", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
+         COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, bucket, CAST(n AS BIGINT) AS n
+FROM wide UNPIVOT (n FOR bucket IN (high_count, low_count))
+ORDER BY o_orderstatus, bucket
+"""
