@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": lambda sf: events.events_sliding(sf, 2 * TUMBLE_S, TUMBLE_S),
         "events_distinct_users": events.events_distinct_users,
         "events_interval_pairs": lambda sf: events.events_interval_pairs(sf, 900),
+        "events_running_value": events.events_running_value,
         # heavy hitters: rows-only (Misra-Gries estimate is engine-defined;
         # value companion = events_topk_users' exact shuffle, accuracy in
         # tests/test_sketch.py)
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.EVENTS_SLIDING_SQL_T.format(hop_s=TUMBLE_S),
         "events_distinct_users": events.EVENTS_DISTINCT_USERS_SQL,
         "events_interval_pairs": events.EVENTS_INTERVAL_SQL_T.format(band_s=900),
+        "events_running_value": events.EVENTS_RUNNING_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

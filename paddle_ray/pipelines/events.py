@@ -423,3 +423,94 @@ def events_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 200) -> pd.Da
             "approx_count": pd.Series([c for _, c in top], dtype="int64"),
         }
     )
+
+
+def events_running_value(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL running sum of `value` over event time — the distributed
+    prefix-scan pattern (the shape a cumulative metric over an unbounded
+    stream needs):
+
+      pass 1: per-block partials of per-day totals -> one small groupby
+              (bounded #days rows) -> driver computes day prefix OFFSETS;
+      pass 2: groupby(day).map_groups — each day's rows sort locally by
+              (ts, event_id), take a vectorized cumsum, and add the
+              broadcast offset of everything before that day.
+
+    No step materializes the stream: the cross-partition dependency is
+    carried entirely by the bounded offset table. Values sum as exact
+    integer cents (float cumsum order-noise grows with prefix length —
+    same hazard as orders_by_status at 10x scale). Oracled by
+    EVENTS_RUNNING_SQL (window SUM OVER ORDER BY ts, event_id)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+        day = (epoch_us // (86400 * 1_000_000)).to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"day": pa.array(day, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    day_totals = (
+        _events(sf_dir, columns=["ts", "value"])
+        .map_batches(day_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(day_totals.day, day_totals.cents.cumsum().shift(1, fill_value=0))
+    )
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+        return batch.append_column(
+            "day", pa.array((epoch_us // (86400 * 1_000_000)).to_numpy(), pa.int64())
+        )
+
+    def scan_day(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "running_value": pd.Series([], dtype="float64")}
+            )
+        off = ray.get(off_ref)
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = (g.value * 100).round().astype("int64")
+        run = cents.cumsum() + int(off[int(g.day.iloc[0])])
+        return pd.DataFrame(
+            {"event_id": g.event_id.to_numpy(), "running_value": (run / 100.0).round(4)}
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "value"])
+        .map_batches(add_day, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(scan_day, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"event_id": "int64"})
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id,
+       ROUND(SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+                 OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 100.0,
+             4) AS running_value
+FROM events ORDER BY event_id
+"""
