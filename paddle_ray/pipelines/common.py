@@ -58,3 +58,14 @@ def sized_read_parquet(path, columns=None, min_blocks: int = 8, **read_kwargs) -
 def read_table(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     """Column-pruned, block-sized parquet read of one testdata table."""
     return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def to_cents(values) -> "np.ndarray":
+    """float money -> int64 cents, rounding half AWAY FROM ZERO — DuckDB
+    ROUND's rule. numpy/arrow round() is half-to-even, which silently
+    diverges from every money oracle on exact half cents (e.g. 0.125*100);
+    all engine-side cent conversions go through this ONE helper."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)

@@ -438,23 +438,27 @@ def events_running_value(sf_dir: str) -> pd.DataFrame:
 
     No step materializes the stream: the cross-partition dependency is
     carried entirely by the bounded offset table. Values sum as exact
-    integer cents (float cumsum order-noise grows with prefix length —
-    same hazard as orders_by_status at 10x scale). Oracled by
-    EVENTS_RUNNING_SQL (window SUM OVER ORDER BY ts, event_id)."""
-    import numpy as np
-
+    integer cents via common.to_cents (float cumsum order-noise grows
+    with prefix length — same hazard as orders_by_status at 10x scale —
+    and the helper matches DuckDB's half-away-from-zero rounding).
+    Oracled by EVENTS_RUNNING_SQL (window SUM OVER ORDER BY ts,
+    event_id)."""
     from ray.data.aggregate import Sum
 
-    def day_partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from .common import to_cents
 
+    def day_of(batch: pa.Table):
+        """ONE owner of the day bucketing: pass 1's offset keys and pass
+        2's group keys must never drift."""
         epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
-        day = (epoch_us // (86400 * 1_000_000)).to_numpy()
-        cents = pc.cast(
-            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
-        ).to_numpy(zero_copy_only=False)
+        return (epoch_us // (86400 * 1_000_000)).to_numpy()
+
+    def day_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
-            {"day": pa.array(day, pa.int64()), "cents": pa.array(cents, pa.int64())}
+            {
+                "day": pa.array(day_of(batch), pa.int64()),
+                "cents": pa.array(to_cents(batch["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
         )
         g = t.group_by("day").aggregate([("cents", "sum")])
         return pa.table({"day": g["day"], "cents": g["cents_sum"]})
@@ -476,10 +480,7 @@ def events_running_value(sf_dir: str) -> pd.DataFrame:
     off_ref = ray.put(offsets)
 
     def add_day(batch: pa.Table) -> pa.Table:
-        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
-        return batch.append_column(
-            "day", pa.array((epoch_us // (86400 * 1_000_000)).to_numpy(), pa.int64())
-        )
+        return batch.append_column("day", pa.array(day_of(batch), pa.int64()))
 
     def scan_day(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -489,7 +490,9 @@ def events_running_value(sf_dir: str) -> pd.DataFrame:
             )
         off = ray.get(off_ref)
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = (g.value * 100).round().astype("int64")
+        from .common import to_cents
+
+        cents = pd.Series(to_cents(g.value.to_numpy()), index=g.index)
         run = cents.cumsum() + int(off[int(g.day.iloc[0])])
         return pd.DataFrame(
             {"event_id": g.event_id.to_numpy(), "running_value": (run / 100.0).round(4)}

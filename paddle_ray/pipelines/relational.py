@@ -296,13 +296,15 @@ def orders_by_status(sf_dir: str) -> pd.DataFrame:
     order-independent and scale-proof (the oracle mirrors)."""
     from ray.data.aggregate import Count, Sum
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+    def cents_partial(batch: pa.Table) -> pa.Table:
+        from .common import to_cents  # half-away-from-zero == DuckDB ROUND
+
+        cents = pa.array(to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())
         return pa.table({"o_orderstatus": batch["o_orderstatus"], "cents": cents})
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
     out = (
-        ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(cents_partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_orderstatus")
         .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .to_pandas()

@@ -323,7 +323,9 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        from .common import to_cents  # half-away-from-zero == DuckDB ROUND
+
+        cents = pa.array(to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())
         t = pa.table(
             {
                 "o_orderstatus": batch["o_orderstatus"],
@@ -443,9 +445,13 @@ def year_reconcile(sf_dir: str) -> pd.DataFrame:
 
     def year_counts(date_col: str, out_key: str):
         # one arrow-native partial for both sides (no pandas round-trip
-        # on the lineitem scan, the corpus's largest table)
+        # on the lineitem scan, the corpus's largest table). Null dates
+        # are dropped on BOTH sides (the SQL mirrors): counting the key
+        # column would silently emit n=0 for a null-key group, and a
+        # null year later crashes the int64 cast
         def partial(batch: pa.Table) -> pa.Table:
-            t = pa.table({out_key: pc.cast(pc.year(batch[date_col]), pa.int64())})
+            b = batch.filter(pc.is_valid(batch[date_col]))
+            t = pa.table({out_key: pc.cast(pc.year(b[date_col]), pa.int64())})
             g = t.group_by(out_key).aggregate([(out_key, "count")])
             return pa.table({out_key: g[out_key], "n": g[f"{out_key}_count"]})
 
@@ -491,10 +497,10 @@ SELECT COALESCE(o.yr, l.yr) AS yr,
        COALESCE(o.n_orders, 0) AS n_orders,
        COALESCE(l.n_shipped, 0) AS n_shipped
 FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_orders
-      FROM orders GROUP BY 1) o
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) o
 FULL OUTER JOIN
      (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, COUNT(*) AS n_shipped
-      FROM lineitem GROUP BY 1) l
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1) l
   ON o.yr = l.yr
 ORDER BY yr
 """
@@ -515,10 +521,13 @@ def orders_running_total(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        y = pc.cast(pc.year(batch["o_orderdate"]), pa.int64())
-        m = pc.cast(pc.month(batch["o_orderdate"]), pa.int64())
+        # null dates dropped (SQL mirrors): counting the ym key would
+        # report n=0 for a null-key group vs the oracle's COUNT(*)
+        b = batch.filter(pc.is_valid(batch["o_orderdate"]))
+        y = pc.cast(pc.year(b["o_orderdate"]), pa.int64())
+        m = pc.cast(pc.month(b["o_orderdate"]), pa.int64())
         ym = pc.add(pc.multiply(y, pa.scalar(100, pa.int64())), m)
-        t = pa.table({"o_orderstatus": batch["o_orderstatus"], "ym": ym})
+        t = pa.table({"o_orderstatus": b["o_orderstatus"], "ym": ym})
         g = t.group_by(["o_orderstatus", "ym"]).aggregate([("ym", "count")])
         return pa.table(
             {"o_orderstatus": g["o_orderstatus"], "ym": g["ym"], "n": g["ym_count"]}
@@ -546,7 +555,7 @@ FROM (
   SELECT o_orderstatus,
          CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
          COUNT(*) AS n_orders
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
 )
 ORDER BY o_orderstatus, ym
 """
