@@ -29,3 +29,18 @@ def test_hard_page_cap(monkeypatch):
     """env cannot exceed the hard cap 200 (= _HARD_MAX_NUM_INPUT_IMGS)."""
     monkeypatch.setenv("MAX_NUM_INPUT_IMGS", "100000")
     assert ExtractConfig.from_env().max_pages_per_doc == 200
+
+
+def test_resolve_layout_pool_formula(ray_session):
+    """Adaptive default: 3/4 of session CPUs, floor 6, cap 32; explicit
+    cfg values pass through untouched."""
+    import ray
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.pipelines.extract import resolve_layout_pool
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    lo, hi = resolve_layout_pool(ExtractConfig())
+    assert lo == 1
+    assert hi == max(6, min(32, (n * 3) // 4))
+    assert resolve_layout_pool(ExtractConfig(layout_pool_size=(4, 9))) == (4, 9)
