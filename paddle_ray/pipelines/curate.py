@@ -91,9 +91,7 @@ class _CleanRanker:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        from .webtext import DECON_K, _words
+        from .webtext import DECON_K, _words, md5_rank
 
         rows = []
         for doc_id, lang, text, n_chars in zip(
@@ -108,9 +106,7 @@ class _CleanRanker:
             }
             if grams & self.bench:
                 continue
-            rows.append(
-                (doc_id, lang, n_chars, hashlib.md5(str(doc_id).encode()).hexdigest())
-            )
+            rows.append((doc_id, lang, n_chars, md5_rank(doc_id)))
         df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars_ext", "rank"])
         local = (
             df.sort_values(["rank", "doc_id"], kind="mergesort")

@@ -449,9 +449,13 @@ def events_running_value(sf_dir: str) -> pd.DataFrame:
 
     def day_of(batch: pa.Table):
         """ONE owner of the day bucketing: pass 1's offset keys and pass
-        2's group keys must never drift."""
-        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
-        return (epoch_us // (86400 * 1_000_000)).to_numpy()
+        2's group keys must never drift. Arrow-native: casting
+        timestamp[us] to int64 yields epoch µs without a pandas
+        round-trip per batch."""
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        return epoch_us // (86400 * 1_000_000)
 
     def day_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(

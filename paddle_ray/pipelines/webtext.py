@@ -422,6 +422,16 @@ def decontaminate(sf_dir: str, k: int = DECON_K) -> pd.DataFrame:
 SAMPLE_PER_LANG = 25
 
 
+def md5_rank(doc_id) -> str:
+    """The ONE owner of the deterministic sampling rank: hex md5 of the
+    decimal doc id, shared verbatim with the DuckDB oracles
+    (md5(CAST(doc_id AS VARCHAR))). Used by stratified_sample AND
+    curate.curate_corpus_v2 so the two Python sides cannot drift."""
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()
+
+
 def stratified_sample(sf_dir: str, k: int = SAMPLE_PER_LANG) -> pd.DataFrame:
     """Keep the k hash-smallest docs per language — the deterministic
     per-group downsampling used to rebalance over-represented slices when
@@ -433,13 +443,10 @@ def stratified_sample(sf_dir: str, k: int = SAMPLE_PER_LANG) -> pd.DataFrame:
     shuffle moves at most k rows per (lang, block) — never the corpus.
     The global k-of-union step runs once per language group on
     ≤ k×#blocks rows."""
-    import hashlib
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["rank"] = [
-            hashlib.md5(str(i).encode()).hexdigest() for i in df.doc_id
-        ]
+        df["rank"] = [md5_rank(i) for i in df.doc_id]
         keep = (
             df.sort_values(["rank", "doc_id"], kind="mergesort")
             .groupby("lang", as_index=False, sort=False)
