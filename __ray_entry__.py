@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": joins.q6_forecast_revenue,
         "q10_returned_revenue": joins.q10_returned_revenue,
         "orders_priority_matrix": joins.orders_priority_matrix,
+        "urgent_revenue_bloom": joins.urgent_revenue_bloom,
         # --- join family (broadcast / native hash / as-of / range) ---------
         "asof_events_orders": joins.asof_events_orders,
         "range_join_price_bands": joins.range_join_price_bands,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": joins.Q6_SQL,
         "q10_returned_revenue": joins.Q10_SQL,
         "orders_priority_matrix": joins.ORDERS_PRIORITY_SQL,
+        "urgent_revenue_bloom": joins.URGENT_REVENUE_SQL,
         "asof_events_orders": joins.ASOF_EVENTS_SQL,
         "range_join_price_bands": joins.RANGE_BANDS_SQL,
         "window_top3_orders": joins.WINDOW_TOP3_SQL,

@@ -154,3 +154,47 @@ def mg_merge(summaries: list[dict], capacity: int) -> dict:
         return total
     thr = sorted(total.values(), reverse=True)[capacity]
     return {k: v - thr for k, v in total.items() if v > thr}
+
+
+# --- Bloom filter (mergeable, for join prefilters) --------------------------
+# Fixed m-bit array, k hashes derived from ONE splitmix64 via double
+# hashing (Kirsch-Mitzenmacher): partials OR-merge like HLL registers.
+# With m bits / n keys / k hashes the false-positive rate is
+# (1 - e^(-kn/m))^k; callers size m for ~1% (m ~ 10 bits per key).
+
+BLOOM_K = 7
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, BLOOM_K) bit positions via double hashing of splitmix64(key)."""
+    h = _splitmix64(keys.astype(np.uint64))
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd -> full-period stride
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """One batch of int keys -> packed uint8 bit array (m_bits/8 bytes)."""
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(keys):
+        bits[_bloom_positions(np.asarray(keys), m_bits).ravel()] = True
+    return np.packbits(bits)
+
+
+def bloom_merge(partials: np.ndarray) -> np.ndarray:
+    """Elementwise OR over stacked packed partials."""
+    return np.bitwise_or.reduce(partials, axis=0)
+
+
+def bloom_contains(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership test (True may be a false positive, False is
+    exact) — callers use it as a PREFILTER, never as the join itself."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = len(packed) * 8
+    bits = np.unpackbits(packed).astype(bool)
+    pos = _bloom_positions(np.asarray(keys), m_bits)
+    return bits[pos].all(axis=1)

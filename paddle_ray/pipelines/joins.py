@@ -455,3 +455,89 @@ UNION ALL
 SELECT doc_id, n_chars FROM documents WHERE n_chars > 400
 ORDER BY doc_id
 """
+
+
+def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, via a Bloom
+    pre-join — the shuffle-bytes reducer for large-large joins at scale:
+
+      1. build side (urgent orders) -> per-block Bloom partials
+         (m/8 bytes each, OR-merged driver-side: the whole filter is
+         ~10 bits/key vs 64 for an exact key set, the regime where the
+         exact broadcast no longer fits);
+      2. probe side (lineitem) drops every row whose orderkey the filter
+         rejects BEFORE the shuffle join — rejection is exact, so only
+         false-positive rows (~1%) travel needlessly;
+      3. the native inner join against the true key set makes the final
+         result EXACT (Bloom positives are verified, never trusted).
+
+    Value-oracled by URGENT_REVENUE_SQL — the result must be identical
+    to the plain join, proving the prefilter loses nothing."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import bloom_merge, bloom_partial
+
+    M_BITS = 1 << 17  # ~13 bits/key for sf0.1's ~10k urgent orders
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT")))
+        return t.select(["o_orderkey"])
+
+    urgent = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        urgent_keys, batch_format="pyarrow", batch_size=None
+    )
+
+    def bloom_block(batch: pa.Table) -> pa.Table:
+        packed = bloom_partial(batch["o_orderkey"].to_numpy(zero_copy_only=False), M_BITS)
+        return pa.table({"bloom": pa.array([packed.tobytes()], pa.binary())})
+
+    parts = urgent.map_batches(bloom_block, batch_format="pyarrow", batch_size=None).to_pandas()
+    merged = bloom_merge(
+        np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts.bloom])
+    )
+    bloom_ref = ray.put(merged)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..functions.sketch import bloom_contains
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = bloom_contains(ray.get(bloom_ref), keys)
+        b = batch.filter(pa.array(keep))
+        revenue = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue": revenue})
+        g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "revenue": g["revenue_sum"]})
+
+    li = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(prefilter, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    # exact verify: inner join against the TRUE urgent key set drops
+    # bloom false positives
+    joined = li.join(
+        urgent,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).to_pandas()
+    total = float(joined.revenue.sum())
+    return pd.DataFrame(
+        {"n_orders": pd.Series([len(joined)], dtype="int64"),
+         "revenue": pd.Series([round(total, 2)], dtype="float64")}
+    )
+
+
+URGENT_REVENUE_SQL = """
+SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""

@@ -124,3 +124,39 @@ def test_events_heavy_hitters_matches_exact_topk(ray_session):
     assert list(out.user_id) == list(
         exact.reset_index().sort_values(["count", "user_id"], ascending=[False, True]).user_id.head(5)
     )
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    import numpy as np
+
+    from paddle_ray.functions.sketch import bloom_contains, bloom_merge, bloom_partial
+
+    rng = np.random.default_rng(3)
+    keys = rng.choice(10_000_000, size=10_000, replace=False).astype(np.int64)
+    m = 1 << 17  # ~13 bits/key
+    parts = np.stack(
+        [bloom_partial(keys[i : i + 2500], m) for i in range(0, len(keys), 2500)]
+    )
+    merged = bloom_merge(parts)
+    # every inserted key MUST test positive (prefilters may never drop a match)
+    assert bloom_contains(merged, keys).all()
+    # false-positive rate on disjoint probes stays near theory (~0.2% here)
+    probes = np.arange(20_000_000, 20_050_000, dtype=np.int64)
+    fp = bloom_contains(merged, probes).mean()
+    assert fp < 0.02, fp
+
+
+def test_bloom_prejoin_matches_plain_join(ray_session):
+    import duckdb
+
+    from paddle_ray.pipelines.joins import URGENT_REVENUE_SQL, urgent_revenue_bloom
+
+    out = urgent_revenue_bloom("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    ora = con.sql(URGENT_REVENUE_SQL).df()
+    assert out.n_orders.iloc[0] == ora.n_orders.iloc[0]
+    assert abs(out.revenue.iloc[0] - ora.revenue.iloc[0]) < 1e-6
