@@ -508,3 +508,90 @@ FROM g
 WHERE doc_id % {DECON_BENCH_MOD} != 0 AND s IN (SELECT s FROM bench)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# text normalization + regex matching (cleaning-stage function coverage)
+# --------------------------------------------------------------------------
+
+def normalize_texts(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization (lowercase, collapse whitespace runs,
+    strip non-alphanumerics-except-space) — the pre-dedup canonicalization
+    stage. Stateless map; output hashed so the driver value-checks the
+    full normalized payload without shipping it. Oracle mirrors the exact
+    chain in SQL (lower -> regexp_replace x2 -> trim -> md5)."""
+    import hashlib
+    import re
+
+    strip_re = re.compile(r"[^a-z0-9 ]+")
+    ws_re = re.compile(r" +")
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            n = ws_re.sub(" ", strip_re.sub("", t.lower())).strip()
+            out.append(hashlib.md5(n.encode()).hexdigest())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "norm_hash": pa.array(out, pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+def regex_match_stats(sf_dir: str, pattern: str = r"\b(spark|hash)\s+(join|scan)\b") -> pd.DataFrame:
+    """Per-lang counts of docs matching a regex + total match count — the
+    compiled-pattern scan stage (patterns compiled once per actor via the
+    callable-class path would be the production form; the pattern here is
+    module-level-compiled once per worker process). Oracle mirrors with
+    DuckDB regexp_matches/regexp_extract_all."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def f(batch: pa.Table) -> pa.Table:
+        langs, matched, n_matches = [], [], []
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            hits = rx.findall(t)
+            langs.append(lang)
+            matched.append(1 if hits else 0)
+            n_matches.append(len(hits))
+        t2 = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "matched": pa.array(matched, pa.int64()),
+                "n_matches": pa.array(n_matches, pa.int64()),
+            }
+        )
+        g = t2.group_by("lang").aggregate([("matched", "sum"), ("n_matches", "sum")])
+        return pa.table(
+            {"lang": g["lang"], "n_docs_matched": g["matched_sum"], "n_matches": g["n_matches_sum"]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _docs(sf_dir, columns=("lang", "text"))
+        .map_batches(f, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n_docs_matched", alias_name="n_docs_matched"), Sum("n_matches", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs_matched": "int64", "n_matches": "int64"})
+
+
+REGEX_MATCH_SQL = r"""
+SELECT lang,
+       CAST(SUM(CASE WHEN regexp_matches(text, '\b(spark|hash)\s+(join|scan)\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_matched,
+       CAST(SUM(len(regexp_extract_all(text, '\b(spark|hash)\s+(join|scan)\b'))) AS BIGINT) AS n_matches
+FROM documents GROUP BY lang ORDER BY lang
+"""
