@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
+        "tfidf_top_terms": webtext.tfidf_top_terms,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": webtext.STRATIFIED_SAMPLE_SQL_T.format(k=webtext.SAMPLE_PER_LANG),
         "normalize_texts": webtext.NORMALIZE_SQL,
         "regex_match_stats": webtext.REGEX_MATCH_SQL,
+        "tfidf_top_terms": webtext.TFIDF_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),

@@ -595,3 +595,112 @@ SELECT lang,
        CAST(SUM(len(regexp_extract_all(text, '\b(spark|hash)\s+(join|scan)\b'))) AS BIGINT) AS n_matches
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms (search/IR shape: two corpus statistics joined)
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
+    """Top-k terms per lang by tf-idf (tf = term count within the lang
+    slice, idf = ln(N / docs-containing-term) corpus-wide) — the IR
+    scoring shape needing TWO distributed statistics:
+
+      tf: per-batch (lang, word) Counter partials -> one groupby (the
+          shuffle moves distinct pairs per block, never tokens);
+      df: per-batch distinct (doc, word) pairs -> global distinct ->
+          per-word doc counts (events_distinct_users' two-level pattern).
+
+    Both results are vocabulary-bounded; the final join + rank runs on
+    those small frames (prune to top-V vocabulary at webtext scale, as
+    lm_perplexity documents). Ranking happens on the UNROUNDED double on
+    both sides; output rounds to 6dp. Oracled by TFIDF_SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in _words(t):
+                c[(lang, w)] += 1
+        return pa.table(
+            {
+                "lang": pa.array([k_[0] for k_ in c], pa.string()),
+                "w": pa.array([k_[1] for k_ in c], pa.string()),
+                "tf": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    tf = (
+        _docs(sf_dir, columns=("lang", "text"))
+        .map_batches(tf_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "w"])
+        .aggregate(Sum("tf", alias_name="tf"))
+        .to_pandas()
+    )
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w in set(_words(t)):
+                ids.append(did)
+                ws.append(w)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "w": pa.array(ws, pa.string())}
+        )
+
+    def word_df_partial(b: pa.Table) -> pa.Table:
+        # rows here are globally-distinct (doc, word) pairs: per-block
+        # word counts sum exactly to the document frequency
+        g = b.group_by("w").aggregate([("w", "count")])
+        return pa.table({"w": g["w"], "df": g["w_count"]})
+
+    df_counts = (
+        _docs(sf_dir)
+        .map_batches(doc_words, batch_format="pyarrow", batch_size=None)
+        .groupby(["doc_id", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(word_df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("w")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()
+
+    scored = tf.merge(df_counts, on="w")
+    scored["score"] = scored.tf * np.log(n_docs / scored.df)
+    top = (
+        scored.sort_values(["lang", "score", "w"], ascending=[True, False, True], kind="mergesort")
+        .groupby("lang", as_index=False)
+        .head(k)
+        .rename(columns={"w": "term"})
+    )
+    top["tfidf"] = top.score.round(6)
+    return (
+        top[["lang", "term", "tfidf"]]
+        .sort_values(["lang", "term"])
+        .reset_index(drop=True)
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) != ''
+),
+tf AS (SELECT lang, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.w AS term,
+         tf.tf * ln(n.n * 1.0 / dfc.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.lang
+           ORDER BY tf.tf * ln(n.n * 1.0 / dfc.df) DESC, tf.w) AS rn
+  FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN n
+)
+SELECT lang, term, ROUND(score, 6) AS tfidf
+FROM scored WHERE rn <= 5 ORDER BY lang, term
+"""

@@ -229,3 +229,27 @@ def test_repetition_invariants_bruteforce(text):
     if len(ws) >= 2:
         g2 = {(ws[i], ws[i + 1]) for i in range(len(ws) - 1)}
         assert round(1.0 - len(g2) / (n - 1), 6) == dup2
+
+
+# --- tf-idf ----------------------------------------------------------------
+
+def test_tfidf_rare_term_outranks_common(tmp_path):
+    """A term concentrated in one lang with low corpus df must outscore a
+    ubiquitous term (idf ln(N/df) = 0 when df == N)."""
+    rows = []
+    for i in range(10):
+        lang = "en" if i < 5 else "fr"
+        special = " zebra zebra zebra" if i == 0 else ""
+        rows.append({"doc_id": i, "text": "common words here" + special, "lang": lang})
+    d = tmp_path / "sf"
+    d.mkdir()
+    df = pd.DataFrame(rows)
+    df["source"] = "s"
+    df["n_chars"] = df.text.str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+    out = webtext.tfidf_top_terms(str(d), k=2)
+    en = out[out.lang == "en"]
+    assert "zebra" in set(en.term)
+    # ubiquitous terms score 0 and never beat zebra
+    zebra = float(en[en.term == "zebra"].tfidf.iloc[0])
+    assert zebra > 0
