@@ -191,10 +191,14 @@ def bloom_merge(partials: np.ndarray) -> np.ndarray:
 
 def bloom_contains(packed: np.ndarray, keys: np.ndarray) -> np.ndarray:
     """Vectorized membership test (True may be a false positive, False is
-    exact) — callers use it as a PREFILTER, never as the join itself."""
+    exact) — callers use it as a PREFILTER, never as the join itself.
+    Indexes the packed bytes directly (np.packbits bit order: MSB first)
+    — unpacking the whole filter per call allocated 8x its size per
+    probe batch, ruinous exactly in the big-filter regime this exists
+    for."""
     if len(keys) == 0:
         return np.zeros(0, dtype=bool)
     m_bits = len(packed) * 8
-    bits = np.unpackbits(packed).astype(bool)
     pos = _bloom_positions(np.asarray(keys), m_bits)
-    return bits[pos].all(axis=1)
+    bits = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
+    return bits.all(axis=1)

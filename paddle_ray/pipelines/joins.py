@@ -457,14 +457,40 @@ ORDER BY doc_id
 """
 
 
+class _BloomPrefilter:
+    """Actor-pool probe stage: fetches the broadcast filter ONCE per actor
+    in __init__ (per-batch ray.get re-deserialized the whole filter)."""
+
+    def __init__(self, bloom_ref):
+        import ray
+
+        self.bloom = ray.get(bloom_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sketch import bloom_contains
+
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = bloom_contains(self.bloom, keys)
+        b = batch.filter(pa.array(keep))
+        revenue = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue": revenue})
+        g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "revenue": g["revenue_sum"]})
+
+
 def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
     """Revenue of lineitems belonging to URGENT orders, via a Bloom
     pre-join — the shuffle-bytes reducer for large-large joins at scale:
 
-      1. build side (urgent orders) -> per-block Bloom partials
-         (m/8 bytes each, OR-merged driver-side: the whole filter is
-         ~10 bits/key vs 64 for an exact key set, the regime where the
-         exact broadcast no longer fits);
+      1. build side (urgent orders) -> count keys, size the filter at
+         ~10 bits/key (a fixed size either wastes memory or saturates:
+         an undersized filter's FP rate climbs toward 1 and the
+         prefilter silently stops reducing), then per-block Bloom
+         partials OR-merged driver-side — ~10 bits/key vs 64 for an
+         exact key set, the regime where the exact broadcast no longer
+         fits;
       2. probe side (lineitem) drops every row whose orderkey the filter
          rejects BEFORE the shuffle join — rejection is exact, so only
          false-positive rows (~1%) travel needlessly;
@@ -478,8 +504,6 @@ def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
 
     from ..functions.sketch import bloom_merge, bloom_partial
 
-    M_BITS = 1 << 17  # ~13 bits/key for sf0.1's ~10k urgent orders
-
     def urgent_keys(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT")))
         return t.select(["o_orderkey"])
@@ -487,9 +511,12 @@ def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
     urgent = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
         urgent_keys, batch_format="pyarrow", batch_size=None
     )
+    # size m from the BUILD side: ~10 bits/key, power of two, floor 2^14
+    n_keys = urgent.count()
+    m_bits = max(1 << 14, 1 << max(14, (10 * max(n_keys, 1) - 1).bit_length()))
 
     def bloom_block(batch: pa.Table) -> pa.Table:
-        packed = bloom_partial(batch["o_orderkey"].to_numpy(zero_copy_only=False), M_BITS)
+        packed = bloom_partial(batch["o_orderkey"].to_numpy(zero_copy_only=False), m_bits)
         return pa.table({"bloom": pa.array([packed.tobytes()], pa.binary())})
 
     parts = urgent.map_batches(bloom_block, batch_format="pyarrow", batch_size=None).to_pandas()
@@ -498,24 +525,15 @@ def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
     )
     bloom_ref = ray.put(merged)
 
-    def prefilter(batch: pa.Table) -> pa.Table:
-        import ray
-
-        from ..functions.sketch import bloom_contains
-
-        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        keep = bloom_contains(ray.get(bloom_ref), keys)
-        b = batch.filter(pa.array(keep))
-        revenue = pc.multiply(
-            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
-        )
-        t = pa.table({"l_orderkey": b["l_orderkey"], "revenue": revenue})
-        g = t.group_by("l_orderkey").aggregate([("revenue", "sum")])
-        return pa.table({"l_orderkey": g["l_orderkey"], "revenue": g["revenue_sum"]})
-
     li = (
         _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(prefilter, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            _BloomPrefilter,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"bloom_ref": bloom_ref},
+        )
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -529,9 +547,14 @@ def urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
         right_on=("o_orderkey",),
     ).to_pandas()
     total = float(joined.revenue.sum())
+    from .common import to_cents
+
+    # half-away-from-zero at 2dp == DuckDB ROUND (Python round() is
+    # half-to-even — the exact divergence to_cents exists to prevent)
+    total = float(to_cents(total) / 100.0)
     return pd.DataFrame(
         {"n_orders": pd.Series([len(joined)], dtype="int64"),
-         "revenue": pd.Series([round(total, 2)], dtype="float64")}
+         "revenue": pd.Series([total], dtype="float64")}
     )
 
 

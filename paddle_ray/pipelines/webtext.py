@@ -546,7 +546,10 @@ FROM documents ORDER BY doc_id
 """
 
 
-def regex_match_stats(sf_dir: str, pattern: str = r"\b(spark|hash)\s+(join|scan)\b") -> pd.DataFrame:
+REGEX_DEFAULT_PATTERN = r"\b(spark|hash)\s+(join|scan)\b"
+
+
+def regex_match_stats(sf_dir: str, pattern: str = REGEX_DEFAULT_PATTERN) -> pd.DataFrame:
     """Per-lang counts of docs matching a regex + total match count — the
     compiled-pattern scan stage (patterns compiled once per actor via the
     callable-class path would be the production form; the pattern here is
@@ -589,12 +592,15 @@ def regex_match_stats(sf_dir: str, pattern: str = r"\b(spark|hash)\s+(join|scan)
     return out.astype({"n_docs_matched": "int64", "n_matches": "int64"})
 
 
-REGEX_MATCH_SQL = r"""
+# ONE pattern constant formatted into the template — a second literal in a
+# different escaping dialect silently desynchronized query and oracle
+REGEX_MATCH_SQL_T = r"""
 SELECT lang,
-       CAST(SUM(CASE WHEN regexp_matches(text, '\b(spark|hash)\s+(join|scan)\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_matched,
-       CAST(SUM(len(regexp_extract_all(text, '\b(spark|hash)\s+(join|scan)\b'))) AS BIGINT) AS n_matches
+       CAST(SUM(CASE WHEN regexp_matches(text, '{pattern}') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_matched,
+       CAST(SUM(len(regexp_extract_all(text, '{pattern}'))) AS BIGINT) AS n_matches
 FROM documents GROUP BY lang ORDER BY lang
 """
+REGEX_MATCH_SQL = REGEX_MATCH_SQL_T.format(pattern=REGEX_DEFAULT_PATTERN)
 
 
 # --------------------------------------------------------------------------
@@ -618,7 +624,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
     those small frames (prune to top-V vocabulary at webtext scale, as
     lm_perplexity documents). Ranking happens on the UNROUNDED double on
     both sides; output rounds to 6dp. Oracled by TFIDF_SQL."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def tf_partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -652,16 +658,16 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
         )
 
     def word_df_partial(b: pa.Table) -> pa.Table:
-        # rows here are globally-distinct (doc, word) pairs: per-block
-        # word counts sum exactly to the document frequency
+        # doc_words' output is ALREADY globally distinct — each document
+        # lives in exactly one row/batch and set(_words) dedups within
+        # it — so per-block word counts sum exactly to the document
+        # frequency with no (doc, word) dedup shuffle in between
         g = b.group_by("w").aggregate([("w", "count")])
         return pa.table({"w": g["w"], "df": g["w_count"]})
 
     df_counts = (
         _docs(sf_dir)
         .map_batches(doc_words, batch_format="pyarrow", batch_size=None)
-        .groupby(["doc_id", "w"])
-        .aggregate(Count(alias_name="_n"))
         .map_batches(word_df_partial, batch_format="pyarrow", batch_size=None)
         .groupby("w")
         .aggregate(Sum("df", alias_name="df"))
@@ -685,7 +691,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
     )
 
 
-TFIDF_SQL = """
+TFIDF_SQL_T = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
   FROM documents WHERE trim(text) != ''
@@ -702,5 +708,7 @@ scored AS (
   FROM tf JOIN dfc ON tf.w = dfc.w CROSS JOIN n
 )
 SELECT lang, term, ROUND(score, 6) AS tfidf
-FROM scored WHERE rn <= 5 ORDER BY lang, term
+FROM scored WHERE rn <= {k} ORDER BY lang, term
 """
+
+TFIDF_SQL = TFIDF_SQL_T.format(k=TFIDF_TOP_K)

@@ -17,7 +17,8 @@ def _write_docs(tmp_path, rows):
     d = tmp_path / "sf"
     d.mkdir()
     df = pd.DataFrame(rows)
-    df["lang"] = "en"
+    if "lang" not in df.columns:
+        df["lang"] = "en"
     df["source"] = "s"
     df["n_chars"] = df.text.str.len()
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
@@ -241,13 +242,8 @@ def test_tfidf_rare_term_outranks_common(tmp_path):
         lang = "en" if i < 5 else "fr"
         special = " zebra zebra zebra" if i == 0 else ""
         rows.append({"doc_id": i, "text": "common words here" + special, "lang": lang})
-    d = tmp_path / "sf"
-    d.mkdir()
-    df = pd.DataFrame(rows)
-    df["source"] = "s"
-    df["n_chars"] = df.text.str.len()
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
-    out = webtext.tfidf_top_terms(str(d), k=2)
+    d = _write_docs(tmp_path, rows)
+    out = webtext.tfidf_top_terms(d, k=2)
     en = out[out.lang == "en"]
     assert "zebra" in set(en.term)
     # ubiquitous terms score 0 and never beat zebra
