@@ -231,7 +231,9 @@ _TAG_RE = re.compile(
     r")",
     re.DOTALL,
 )
-_ATTR_RE = re.compile(r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+# name = first char anything but space//>/, then no '=' — a LEADING '='
+# is part of the name (stdlib/HTML5: <p =bare> carries attr "=bare")
+_ATTR_RE = re.compile(r"([^\s/>][^\s/>=]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 
 
 class _FastBuilder(_TreeBuilder):
@@ -268,6 +270,13 @@ class _FastBuilder(_TreeBuilder):
                 continue
             m = tag_match(html, lt)
             if not m:
+                if html[lt + 1 : lt + 2] == "/" and not html[lt + 2 : lt + 3].isalpha():
+                    # HTML5 "bogus comment": '</' followed by a non-letter
+                    # swallows everything to the next '>' (stdlib parity:
+                    # '</ p>' produces no tree content)
+                    gt = find(">", lt)
+                    pos = gt + 1 if gt >= 0 else n
+                    continue
                 if not no_more_tags and find(">", lt) == -1:
                     # no tag can complete anymore (e.g. crawl-truncated
                     # page) — remember it so the tail costs one find()

@@ -151,3 +151,39 @@ def test_unterminated_comment_after_bare_lt_swallowed():
     # same for an unterminated CDATA marked section
     fast2 = tree_sig(parse_html("a < b <![CDATA[ hidden"))
     assert fast2 == ("#root", (), 0, ("a ", "<", " b "))
+
+
+def test_differential_soup_cases_round2():
+    """Second adversarial wave: CDATA-ish text, processing instructions,
+    deep nesting, attribute edge shapes, numeric entity extremes,
+    whitespace-heavy markup, nested tables/lists, and boundary '<'s."""
+    cases = [
+        "<?xml version='1.0'?><p>pi then content</p>",
+        "<?php echo '</p>'; ?>text",
+        "<p>a<![CDATA[ not < real ]]>b</p>",
+        "<div>" * 40 + "deep" + "</div>" * 40,
+        "<p  class = 'spaced'   id=x >attr spacing</p>",
+        "<p class>valueless attr</p>",
+        "<p =bare>odd attr</p>",
+        "<p class=''>empty quoted</p>",
+        "<p>&#x41;&#X41;&#65;&#xZZ; &#;</p>",
+        "<p>&#1114111; &#1114112;</p>",  # max codepoint and beyond
+        "<p>tab\tand\nnewline\r\nand\fformfeed</p>",
+        "<ol><li><ol><li>nested<li>list</ol><li>outer</ol>",
+        "<table><thead><tr><th>h</thead><tbody><tr><td>c</tbody></table>",
+        "<em><strong><em>nested inline</em></strong></em>",
+        "<p><span>span across <div>block?</div> end</span></p>",
+        "< p>not a tag</ p>",
+        "<p>< /p></p>",
+        "<p>end with lt <",
+        "<p>end with amp &",
+        "<textarea><p>not parsed?</p></textarea>",
+        "<pre>  spaced\n  lines  </pre>",
+        "<a><b><c><d>unknown tags</d></c></b></a>",
+        "<p title='multi\nline'>newline in attr</p>",
+        "<input type=checkbox checked disabled>",
+        "x" * 5000 + "<p>after long text</p>",
+        "<p>" + "&amp;" * 200 + "</p>",
+    ]
+    for c in cases:
+        assert_same(c)

@@ -116,3 +116,28 @@ def test_simhash_int64_storage_roundtrip_exact():
     stored = np.array([h - (1 << 63)], dtype=np.int64)  # as staged for Arrow
     rec = stored.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
     assert int(rec[0]) == h
+
+
+def test_to_cents_matches_duckdb_round():
+    """The cents contract: common.to_cents must equal DuckDB's
+    CAST(ROUND(v * 100) AS BIGINT) (half away from zero) for positive,
+    negative, and exact-half-cent values — numpy/arrow round() is
+    half-to-even and silently diverges on the halves."""
+    import duckdb
+    import numpy as np
+
+    from paddle_ray.pipelines.common import to_cents
+
+    vals = [0.125, -0.125, 0.115, -0.115, 1.005, -1.005, 2.675, 0.0,
+            123.455, -123.455, 1e7 + 0.005, -(1e7 + 0.005)]
+    rng = np.random.default_rng(9)
+    vals += list(np.round(rng.uniform(-1e6, 1e6, 500), 3))
+    con = duckdb.connect()
+    expect = [
+        con.execute("SELECT CAST(ROUND(? * 100.0) AS BIGINT)", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    got = to_cents(np.array(vals)).tolist()
+    assert got == expect, [
+        (v, g, e) for v, g, e in zip(vals, got, expect) if g != e
+    ][:5]
