@@ -187,3 +187,50 @@ def test_differential_soup_cases_round2():
     ]
     for c in cases:
         assert_same(c)
+
+
+# --- generative differential (random well-formed-ish soup) -----------------
+# Constrained to constructs where stdlib behavior is the contract (no
+# unterminated comments / stray '<' / exotic attr names, which have
+# documented canonical divergences): random interleavings of text,
+# balanced-ish tags, attributes, entities, comments.
+
+_TAGS = ["p", "div", "span", "b", "i", "ul", "li", "table", "tr", "td", "a"]
+_frag_text = st.text(alphabet="abc xyz.,!?", min_size=0, max_size=12)
+_frag_entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&#65;", "&quot;"])
+_frag_comment = st.text(alphabet="abc -", min_size=0, max_size=8).map(
+    lambda s: f"<!--{s.replace('--', '-')}-->"
+)
+_frag_attr = st.sampled_from(
+    ["", " id=x", ' class="a b"', " href='u?a=1&amp;b=2'", " checked", " a=1 b=2"]
+)
+
+
+@st.composite
+def _soup(draw):
+    parts = []
+    open_stack = []
+    for _ in range(draw(st.integers(0, 18))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(_frag_text))
+        elif kind == 1:
+            parts.append(draw(_frag_entity))
+        elif kind == 2:
+            parts.append(draw(_frag_comment))
+        elif kind == 3:
+            t = draw(st.sampled_from(_TAGS))
+            parts.append(f"<{t}{draw(_frag_attr)}>")
+            open_stack.append(t)
+        elif kind == 4 and open_stack:
+            parts.append(f"</{open_stack.pop()}>")
+        elif kind == 5:
+            # mismatched/unopened end tag — stdlib handles deterministically
+            parts.append(f"</{draw(st.sampled_from(_TAGS))}>")
+    return "".join(parts)
+
+
+@given(_soup())
+@settings(max_examples=300, deadline=None)
+def test_differential_generative_soup(html):
+    assert_same(html)
