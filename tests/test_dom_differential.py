@@ -234,3 +234,27 @@ def _soup(draw):
 @settings(max_examples=300, deadline=None)
 def test_differential_generative_soup(html):
     assert_same(html)
+
+
+def test_differential_rawtext_cases():
+    for c in [
+        "<SCRIPT>if(a<b)</SCRIPT>x",
+        "<script></script >after",
+        "<script>a</script><script>b</script>",
+        "<script src=x></script>tail",
+        "<style>/* </div> */</style>ok",
+    ]:
+        assert_same(c)
+
+
+def test_documented_divergence_unterminated_rawtext():
+    """<script>/<style> with no closing tag: the fast tokenizer keeps the
+    tail as the element's text (HTML5: script data runs to EOF); stdlib
+    silently DROPS it at close(). Inert for extraction (script/style
+    content is boilerplate-stripped either way); the fast reading is
+    canonical for this engine."""
+    fast = tree_sig(parse_html("<script>no close"))
+    assert fast == ("#root", (), 0, (("script", (), 1, ("no close",)),))
+    assert tree_sig(parse_html_stdlib("<script>no close")) == (
+        "#root", (), 0, (("script", (), 1, ()),),
+    )
