@@ -62,3 +62,22 @@ def test_join_with_legitimately_empty_side(tmp_path):
     )
     assert list(out.k) == [1, 2]
     assert out.v.isna().all()
+
+
+def test_join_both_sides_empty(tmp_path):
+    """Both inputs filter to zero rows (schema-bearing empties): the join
+    must produce an empty result, not a schemaless-partition crash."""
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1], "v": [5]}), preserve_index=False),
+        tmp_path / "l.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k2": [1], "w": [7]}), preserve_index=False),
+        tmp_path / "r.parquet",
+    )
+    left = rd.read_parquet(str(tmp_path / "l.parquet")).filter(expr="v > 100")
+    right = rd.read_parquet(str(tmp_path / "r.parquet")).filter(expr="w > 100")
+    out = left.join(
+        right, join_type="inner", num_partitions=2, on=("k",), right_on=("k2",)
+    ).to_pandas()
+    assert len(out) == 0
