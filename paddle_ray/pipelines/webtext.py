@@ -259,15 +259,20 @@ class _LMScorer:
         )
 
 
-def lm_perplexity(sf_dir: str) -> pd.DataFrame:
+def lm_perplexity(sf_dir: str, top_v: int = 1 << 16) -> pd.DataFrame:
     """Per-doc cross-entropy (nats/word) under an add-one-smoothed unigram
     LM trained on the SAME corpus — the CCNet perplexity-bucketing signal.
 
     Pass 1 (model): per-batch Counter partials -> groupby(word).sum —
     the shuffle moves one row per distinct word per block, never tokens.
-    The fitted model is a dict broadcast once via ray.put. Pass 2
-    (score): stateless actor-pool map_batches reading the model ref in
-    __init__. Oracled by LM_PERPLEXITY_SQL (identical smoothing)."""
+    The (n_total, vocab) scalars come from O(#blocks) partials over the
+    FULL distribution; the broadcast dict is pruned to the `top_v` most
+    frequent words via per-block top-V partials (the driver never holds
+    the whole vocabulary — CCNet practice: pruned words score at the OOV
+    default, a deliberate approximation that never binds at test scale
+    where vocab << top_v, keeping the oracle exact). Pass 2 (score):
+    actor-pool map_batches reading the model ref in __init__. Oracled by
+    LM_PERPLEXITY_SQL (identical smoothing)."""
     from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -281,15 +286,42 @@ def lm_perplexity(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    counts = (
+    # materialized once: two consumers (totals + top-V) must not re-scan
+    # the corpus; the grouped result is vocabulary-sized, object-store
+    # resident, never driver-collected in full
+    counts_ds = (
         _docs(sf_dir)
         .map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
         .groupby("word")
         .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # vocabulary-sized (tiny); prune to top-V at webtext scale
+        .materialize()
     )
-    n_total = int(counts.c.sum())
-    vocab = len(counts)
+
+    def totals_part(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(b["c"]).as_py() or 0], pa.int64()),
+                "v": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    def topv_part(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if len(df) > top_v:
+            df = df.sort_values(["c", "word"], ascending=[False, True], kind="mergesort").head(top_v)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = counts_ds.map_batches(totals_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    n_total = int(totals.s.sum())
+    vocab = int(totals.v.sum())
+    counts = (
+        counts_ds.map_batches(topv_part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["c", "word"], ascending=[False, True], kind="mergesort")
+        .head(top_v)
+    )
     denom = float(n_total + vocab + 1)
     logp = {
         w: float(np.log((c + 1.0) / denom)) for w, c in zip(counts.word, counts.c)
@@ -620,9 +652,11 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
       df: per-batch distinct (doc, word) pairs -> global distinct ->
           per-word doc counts (events_distinct_users' two-level pattern).
 
-    Both results are vocabulary-bounded; the final join + rank runs on
-    those small frames (prune to top-V vocabulary at webtext scale, as
-    lm_perplexity documents). Ranking happens on the UNROUNDED double on
+    The tf and df statistics stay DISTRIBUTED: they meet in a native
+    shuffle join on the word key, scoring + per-lang top-k run as
+    per-block partials on the joined stream, and the driver merges
+    <= k x #langs x #blocks candidate rows — the full vocabulary never
+    lands on the driver. Ranking happens on the UNROUNDED double on
     both sides; output rounds to 6dp. Oracled by TFIDF_SQL."""
     from ray.data.aggregate import Sum
 
@@ -639,12 +673,11 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
             }
         )
 
-    tf = (
+    tf_ds = (
         _docs(sf_dir, columns=("lang", "text"))
         .map_batches(tf_partial, batch_format="pyarrow", batch_size=None)
         .groupby(["lang", "w"])
         .aggregate(Sum("tf", alias_name="tf"))
-        .to_pandas()
     )
 
     def doc_words(batch: pa.Table) -> pa.Table:
@@ -665,20 +698,40 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pd.DataFrame:
         g = b.group_by("w").aggregate([("w", "count")])
         return pa.table({"w": g["w"], "df": g["w_count"]})
 
-    df_counts = (
+    df_ds = (
         _docs(sf_dir)
         .map_batches(doc_words, batch_format="pyarrow", batch_size=None)
         .map_batches(word_df_partial, batch_format="pyarrow", batch_size=None)
         .groupby("w")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
     )
     n_docs = _docs(sf_dir, columns=("doc_id",)).count()
 
-    scored = tf.merge(df_counts, on="w")
-    scored["score"] = scored.tf * np.log(n_docs / scored.df)
+    def topk_part(batch: pa.Table) -> pa.Table:
+        # score + local per-lang top-k on the joined stream: the shuffle
+        # join's output never concentrates on the driver
+        df = batch.to_pandas()
+        df["score"] = df.tf * np.log(n_docs / df.df)
+        local = (
+            df.sort_values(["lang", "score", "w"], ascending=[True, False, True], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "lang": pa.array(local.lang, pa.string()),
+                "w": pa.array(local.w, pa.string()),
+                "score": pa.array(local.score, pa.float64()),
+            }
+        )
+
+    cand = (
+        tf_ds.join(df_ds, join_type="inner", num_partitions=8, on=("w",), right_on=("w",))
+        .map_batches(topk_part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
     top = (
-        scored.sort_values(["lang", "score", "w"], ascending=[True, False, True], kind="mergesort")
+        cand.sort_values(["lang", "score", "w"], ascending=[True, False, True], kind="mergesort")
         .groupby("lang", as_index=False)
         .head(k)
         .rename(columns={"w": "term"})
