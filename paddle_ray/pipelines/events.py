@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -28,15 +29,34 @@ def events_tumbling(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        # force µs then floor — integer math identical to the oracle's
-        # epoch_us-based expression (duckdb's ::BIGINT cast ROUNDS doubles)
-        epoch_us = df.ts.astype("datetime64[us]").astype("int64")
-        df["window_start"] = (epoch_us // (window_s * 1_000_000)) * window_s
-        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
-            n_events=("event_id", "size"), sum_value=("value", "sum")
+        import pyarrow.compute as pc
+
+        # arrow-native: cast timestamp[us] -> int64 µs, integer floor to
+        # the window — identical math to the oracle's epoch_us expression
+        # (duckdb's ::BIGINT cast ROUNDS doubles, so stay integral), no
+        # pandas round-trip per batch
+        epoch_us = pc.cast(batch["ts"], pa.int64())
+        w_us = pa.scalar(window_s * 1_000_000, pa.int64())
+        ws = pc.multiply(pc.divide(epoch_us, w_us), pa.scalar(window_s, pa.int64()))
+        t = pa.table(
+            {
+                "window_start": ws,
+                "event_type": batch["event_type"],
+                "n_events": pa.array(np.ones(len(batch), np.int64)),
+                "sum_value": batch["value"],
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n_events": g["n_events_sum"],
+                "sum_value": g["sum_value_sum"],
+            }
+        )
 
     out = (
         _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
@@ -149,7 +169,9 @@ def events_sliding(sf_dir: str, window_s: int = 7200, hop_s: int = 3600) -> pd.D
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        epoch_us = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64").to_numpy()
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
         w0 = (epoch_us // (hop_s * 1_000_000)) * hop_s
         ws = np.concatenate([w0, w0 - hop_s])
         val = batch["value"].to_numpy(zero_copy_only=False)
