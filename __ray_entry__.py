@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (both value-oracled; converts the minhash family from rows-only)
         "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
         "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
+        # connected components over the >=0.95 char-jaccard graph
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, 0.95),
         # --- similarity search -------------------------------------------
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
         ),
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL_T.format(threshold=0.95),
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),

@@ -601,3 +601,163 @@ WHERE length(a.text) > 0 AND length(b.text) > 0
   AND jaccard(a.text, b.text) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+# --------------------------------------------------------------------------
+# dedup clusters: connected components over the near-duplicate graph
+# --------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.95, max_iters: int = 32) -> pd.DataFrame:
+    """Connected components over the char-set-jaccard near-duplicate graph
+    — the clustering step that turns pairwise near-dup hits into KEEP/DROP
+    decisions (one representative per component). The engine's only
+    ITERATIVE distributed algorithm: pregel-style min-label propagation,
+    each round two coarse-hash cogroup shuffles (no actor-pool spin-up),
+    converging in O(component diameter) rounds — near-clique components
+    (the char-set measure concentrates there) converge in 2-3.
+
+    Scale contract: the edge list is the pair operator's own output size;
+    every round shuffles one (key, label) row per edge/member — never the
+    corpus. Convergence is detected distributed (a changed-count
+    aggregate per round). Returns (doc_id, cluster_root = min doc_id in
+    the component) for every doc in at least one pair. Oracled by
+    DEDUP_CLUSTERS_SQL_T (recursive-CTE transitive closure)."""
+    import ray.data as rd
+
+    from .relational_ext import _part_of
+
+    pairs = jaccard_pairs_by_source(sf_dir, threshold)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_root": pd.Series([], dtype="int64")}
+        )
+    edges = pd.DataFrame(
+        {
+            "a": np.concatenate([pairs.id_a.to_numpy(), pairs.id_b.to_numpy()]),
+            "b": np.concatenate([pairs.id_b.to_numpy(), pairs.id_a.to_numpy()]),
+        }
+    )
+    members = np.unique(edges.a.to_numpy())
+    labels = rd.from_arrow(
+        pa.table({"doc_id": pa.array(members, pa.int64()),
+                  "label": pa.array(members, pa.int64())})
+    ).repartition(4)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(edges.a, pa.int64()), "b": pa.array(edges.b, pa.int64())})
+    ).repartition(4)
+
+    def tag(ds, key_col):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            return batch.append_column("part", _part_of(keys))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    def nbr_min(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g.kind == 1]
+        edg = g[g.kind == 0]
+        if edg.empty or lab.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "nbr": pd.Series([], dtype="int64")})
+        m = edg[["key", "a"]].merge(lab[["key", "label"]], on="key")
+        out = m.groupby("a", as_index=False).label.min()
+        return pd.DataFrame({"doc_id": out.a.astype("int64"), "nbr": out.label.astype("int64")})
+
+    def edge_min(edge_ds, labels_ds):
+        """min label over (a, b) relations: cogroup edges keyed b with
+        labels keyed doc_id per hash partition -> (doc_id=a, nbr)."""
+        e_tag = tag(edge_ds, "b").map_batches(
+            lambda t: pa.table(
+                {"part": t["part"], "key": t["b"], "a": t["a"],
+                 "label": pa.nulls(len(t), pa.int64()),
+                 "kind": pa.array(np.zeros(len(t), np.int8))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        l_tag = tag(labels_ds, "doc_id").map_batches(
+            lambda t: pa.table(
+                {"part": t["part"], "key": t["doc_id"],
+                 "a": pa.nulls(len(t), pa.int64()), "label": t["label"],
+                 "kind": pa.array(np.ones(len(t), np.int8))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        return e_tag.union(l_tag).groupby("part").map_groups(nbr_min, batch_format="pandas")
+
+    for _ in range(max_iters):
+        # per round: graph propagation (min over neighbors' labels) PLUS
+        # pointer jumping (label[label[v]] via the labels table viewed as
+        # (doc_id -> label) edges) — plain propagation moves a min ONE hop
+        # per round (O(diameter): a 30-node path took 30 rounds); the jump
+        # halves pointer chains each round, giving O(log diameter)
+        prop = edge_min(edges_ds, labels)
+        label_edges = labels.map_batches(
+            lambda t: pa.table({"a": t["doc_id"], "b": t["label"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        jump = edge_min(label_edges, labels)
+        nbr = prop.union(jump)
+
+        # round part 2: new label = min(own, neighbor min); count changes
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            own = g[g.kind == 1][["key", "label"]]
+            nb = g[g.kind == 0].groupby("key", as_index=False).nbr.min()
+            m = own.merge(nb, on="key", how="left")
+            new = m[["label", "nbr"]].min(axis=1).astype("int64")
+            return pd.DataFrame(
+                {"doc_id": m.key.astype("int64"), "label": new,
+                 "changed": (new != m.label).astype("int64")}
+            )
+
+        n_tag = tag(nbr, "doc_id").map_batches(
+            lambda t: pa.table(
+                {"part": t["part"], "key": t["doc_id"], "nbr": t["nbr"],
+                 "label": pa.nulls(len(t), pa.int64()),
+                 "kind": pa.array(np.zeros(len(t), np.int8))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        l2_tag = tag(labels, "doc_id").map_batches(
+            lambda t: pa.table(
+                {"part": t["part"], "key": t["doc_id"],
+                 "nbr": pa.nulls(len(t), pa.int64()), "label": t["label"],
+                 "kind": pa.array(np.ones(len(t), np.int8))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        combined = (
+            n_tag.union(l2_tag).groupby("part").map_groups(combine, batch_format="pandas")
+        ).materialize()  # consumed twice (labels + convergence); member-sized
+
+        from ray.data.aggregate import Sum
+
+        n_changed = combined.aggregate(Sum("changed", alias_name="c"))["c"]
+        labels = combined.drop_columns(["changed"])
+        if n_changed == 0:
+            break
+
+    out = labels.to_pandas().rename(columns={"label": "cluster_root"})
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster_root": "int64"})
+    )
+
+
+DEDUP_CLUSTERS_SQL_T = """
+WITH RECURSIVE base AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE length(a.text) > 0 AND length(b.text) > 0
+    AND jaccard(a.text, b.text) >= {threshold}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM base UNION ALL SELECT id_b, id_a FROM base),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_root
+FROM reach GROUP BY src ORDER BY doc_id
+"""
