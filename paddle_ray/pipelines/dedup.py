@@ -607,30 +607,114 @@ ORDER BY id_a, id_b
 # dedup clusters: connected components over the near-duplicate graph
 # --------------------------------------------------------------------------
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.95, max_iters: int = 32) -> pd.DataFrame:
+# Below this many pairs the edge list lives comfortably on the driver (a
+# pair row is ~24 bytes; 10M pairs ~ 240 MB) and union-find labels it in
+# O(E α(E)) — milliseconds against the pregel's multi-second per-ROUND
+# fixed shuffle cost. The cap is a count of PAIRS as returned by the pair
+# operator, which is by contract output-sized, not corpus-sized.
+DRIVER_EDGE_CAP = 10_000_000
+
+
+def _union_find_roots(id_a: np.ndarray, id_b: np.ndarray) -> pd.DataFrame:
+    """Driver-side connected components: classic union-find with path
+    compression, union by MIN root. Members are np.unique-sorted, so index
+    order == doc_id order and the min root index IS the min doc_id of the
+    component — cluster_root falls out of the union rule directly."""
+    members = np.unique(np.concatenate([id_a, id_b]))
+    idx = {int(v): i for i, v in enumerate(members)}
+    parent = np.arange(len(members), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, int(parent[x])
+        return root
+
+    for a, b in zip(id_a, id_b):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(len(members))), np.int64, len(members))
+    return pd.DataFrame(
+        {"doc_id": members.astype("int64"), "cluster_root": members[roots].astype("int64")}
+    )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_iters: int = 32,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+) -> pd.DataFrame:
     """Connected components over the char-set-jaccard near-duplicate graph
     — the clustering step that turns pairwise near-dup hits into KEEP/DROP
-    decisions (one representative per component). The engine's only
-    ITERATIVE distributed algorithm: pregel-style min-label propagation,
-    each round two coarse-hash cogroup shuffles (no actor-pool spin-up),
-    converging in O(component diameter) rounds — near-clique components
-    (the char-set measure concentrates there) converge in 2-3.
+    decisions (one representative per component).
+
+    Two regimes (VERDICT r2 #1 — the pregel's ~6 chained shuffle datasets
+    per round cost 313 s at sf0.001 and stalled the whole oracle gate at
+    sf0.01; per-dataset fixed cost dominates at ANY scale where the edge
+    list fits on the driver):
+
+    - edge list <= driver_edge_cap (default 10M pairs): union-find on the
+      driver. The pair list is output-sized by the pair operator's own
+      contract and already driver-resident, so this is strictly faster —
+      O(E α(E)) against multi-second fixed cost PER pregel round — and
+      costs zero extra memory.
+    - above the cap: distributed pregel min-label propagation with
+      pointer jumping, prop and jump FUSED into one cogroup per round
+      (edges ∪ label-edges shuffled together), converging in
+      O(log diameter) rounds of 2 cogroup shuffles each.
 
     Scale contract: the edge list is the pair operator's own output size;
-    every round shuffles one (key, label) row per edge/member — never the
-    corpus. Convergence is detected distributed (a changed-count
-    aggregate per round). Returns (doc_id, cluster_root = min doc_id in
-    the component) for every doc in at least one pair. Oracled by
+    the pregel path shuffles one (key, label) row per edge/member per
+    round — never the corpus. Returns (doc_id, cluster_root = min doc_id
+    in the component) for every doc in at least one pair. Oracled by
     DEDUP_CLUSTERS_SQL_T (recursive-CTE transitive closure)."""
+    pairs = jaccard_pairs_by_source(sf_dir, threshold)
+    return _cluster_edges(pairs, max_iters=max_iters, driver_edge_cap=driver_edge_cap)
+
+
+def _cluster_edges(
+    pairs: pd.DataFrame,
+    max_iters: int = 32,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    workdir: str | None = None,
+) -> pd.DataFrame:
+    """Label connected components of an undirected pair list (id_a, id_b).
+    Split out of dedup_clusters so tests can drive both regimes on
+    synthetic graphs (driver_edge_cap=0 forces the pregel path).
+
+    The pregel path CHECKPOINTS labels to parquet once per round (under
+    `workdir`, default a fresh /tmp dir; point it at cluster-visible
+    storage on a real cluster). Iterating on a lazy Dataset instead —
+    even with materialize() per round — re-executed a growing tail of
+    the round history: measured 3.4 → 3.7 → 10.5 → 36 → 216 s/round on
+    a 30-node chain (the r2 '313 s at sf0.001' pathology); with the
+    per-round spill the same graph runs flat 2.2-2.7 s/round. The spill
+    is member-sized (doc_id,label,changed ~ 24 B/row), column-pruned on
+    re-read, and is the standard lineage-cut for iterative distributed
+    algorithms (same reason GraphX checkpoints each Pregel superstep)."""
+    import shutil
+    import tempfile
+
     import ray.data as rd
 
+    from .common import sized_read_parquet
     from .relational_ext import _part_of
 
-    pairs = jaccard_pairs_by_source(sf_dir, threshold)
     if pairs.empty:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "cluster_root": pd.Series([], dtype="int64")}
+        )
+    if len(pairs) <= driver_edge_cap:
+        return _union_find_roots(
+            pairs.id_a.to_numpy(np.int64), pairs.id_b.to_numpy(np.int64)
         )
     edges = pd.DataFrame(
         {
@@ -639,13 +723,17 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95, max_iters: int = 32) ->
         }
     )
     members = np.unique(edges.a.to_numpy())
-    labels = rd.from_arrow(
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="paddle_cc_")
+    rd.from_arrow(
         pa.table({"doc_id": pa.array(members, pa.int64()),
-                  "label": pa.array(members, pa.int64())})
-    ).repartition(4)
-    edges_ds = rd.from_arrow(
+                  "label": pa.array(members, pa.int64()),
+                  "changed": pa.array(np.zeros(len(members), np.int64))})
+    ).repartition(4).write_parquet(f"{workdir}/labels_0")
+    rd.from_arrow(
         pa.table({"a": pa.array(edges.a, pa.int64()), "b": pa.array(edges.b, pa.int64())})
-    ).repartition(4)
+    ).repartition(4).write_parquet(f"{workdir}/edges")
 
     def tag(ds, key_col):
         def f(batch: pa.Table) -> pa.Table:
@@ -685,59 +773,79 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95, max_iters: int = 32) ->
         )
         return e_tag.union(l_tag).groupby("part").map_groups(nbr_min, batch_format="pandas")
 
-    for _ in range(max_iters):
-        # per round: graph propagation (min over neighbors' labels) PLUS
-        # pointer jumping (label[label[v]] via the labels table viewed as
-        # (doc_id -> label) edges) — plain propagation moves a min ONE hop
-        # per round (O(diameter): a 30-node path took 30 rounds); the jump
-        # halves pointer chains each round, giving O(log diameter)
-        prop = edge_min(edges_ds, labels)
-        label_edges = labels.map_batches(
-            lambda t: pa.table({"a": t["doc_id"], "b": t["label"]}),
-            batch_format="pyarrow", batch_size=None,
-        )
-        jump = edge_min(label_edges, labels)
-        nbr = prop.union(jump)
+    from ray.data.aggregate import Sum
 
-        # round part 2: new label = min(own, neighbor min); count changes
-        def combine(g: pd.DataFrame) -> pd.DataFrame:
-            own = g[g.kind == 1][["key", "label"]]
-            nb = g[g.kind == 0].groupby("key", as_index=False).nbr.min()
-            m = own.merge(nb, on="key", how="left")
-            new = m[["label", "nbr"]].min(axis=1).astype("int64")
-            return pd.DataFrame(
-                {"doc_id": m.key.astype("int64"), "label": new,
-                 "changed": (new != m.label).astype("int64")}
+    rnd = 0
+    try:
+        for rnd in range(max_iters):
+            # per round: graph propagation (min over neighbors' labels)
+            # PLUS pointer jumping (label[label[v]] via the labels table
+            # viewed as (doc_id -> label) edges) — plain propagation moves
+            # a min ONE hop per round (O(diameter): a 30-node path took 30
+            # rounds); the jump halves pointer chains each round, giving
+            # O(log diameter). Both relations go through ONE cogroup
+            # (edges ∪ label-edges), halving the per-round shuffle count
+            # (VERDICT r2 #1). Labels come off the round checkpoint with
+            # `changed` pruned at the read.
+            labels = sized_read_parquet(
+                f"{workdir}/labels_{rnd}", columns=["doc_id", "label"]
             )
+            edges_ds = sized_read_parquet(f"{workdir}/edges")
+            label_edges = labels.map_batches(
+                lambda t: pa.table({"a": t["doc_id"], "b": t["label"]}),
+                batch_format="pyarrow", batch_size=None,
+            )
+            nbr = edge_min(edges_ds.union(label_edges), labels)
 
-        n_tag = tag(nbr, "doc_id").map_batches(
-            lambda t: pa.table(
-                {"part": t["part"], "key": t["doc_id"], "nbr": t["nbr"],
-                 "label": pa.nulls(len(t), pa.int64()),
-                 "kind": pa.array(np.zeros(len(t), np.int8))}
-            ),
-            batch_format="pyarrow", batch_size=None,
+            # round part 2: new label = min(own, neighbor min); count changes
+            def combine(g: pd.DataFrame) -> pd.DataFrame:
+                own = g[g.kind == 1][["key", "label"]]
+                nb = g[g.kind == 0].groupby("key", as_index=False).nbr.min()
+                m = own.merge(nb, on="key", how="left")
+                new = m[["label", "nbr"]].min(axis=1).astype("int64")
+                return pd.DataFrame(
+                    {"doc_id": m.key.astype("int64"), "label": new,
+                     "changed": (new != m.label).astype("int64")}
+                )
+
+            n_tag = tag(nbr, "doc_id").map_batches(
+                lambda t: pa.table(
+                    {"part": t["part"], "key": t["doc_id"], "nbr": t["nbr"],
+                     "label": pa.nulls(len(t), pa.int64()),
+                     "kind": pa.array(np.zeros(len(t), np.int8))}
+                ),
+                batch_format="pyarrow", batch_size=None,
+            )
+            l2_tag = tag(labels, "doc_id").map_batches(
+                lambda t: pa.table(
+                    {"part": t["part"], "key": t["doc_id"],
+                     "nbr": pa.nulls(len(t), pa.int64()), "label": t["label"],
+                     "kind": pa.array(np.ones(len(t), np.int8))}
+                ),
+                batch_format="pyarrow", batch_size=None,
+            )
+            (
+                n_tag.union(l2_tag)
+                .groupby("part")
+                .map_groups(combine, batch_format="pandas")
+            ).write_parquet(f"{workdir}/labels_{rnd + 1}")
+
+            n_changed = sized_read_parquet(
+                f"{workdir}/labels_{rnd + 1}", columns=["changed"]
+            ).aggregate(Sum("changed", alias_name="c"))["c"]
+            if n_changed == 0:
+                break
+
+        out = (
+            sized_read_parquet(
+                f"{workdir}/labels_{rnd + 1}", columns=["doc_id", "label"]
+            )
+            .to_pandas()
+            .rename(columns={"label": "cluster_root"})
         )
-        l2_tag = tag(labels, "doc_id").map_batches(
-            lambda t: pa.table(
-                {"part": t["part"], "key": t["doc_id"],
-                 "nbr": pa.nulls(len(t), pa.int64()), "label": t["label"],
-                 "kind": pa.array(np.ones(len(t), np.int8))}
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
-        combined = (
-            n_tag.union(l2_tag).groupby("part").map_groups(combine, batch_format="pandas")
-        ).materialize()  # consumed twice (labels + convergence); member-sized
-
-        from ray.data.aggregate import Sum
-
-        n_changed = combined.aggregate(Sum("changed", alias_name="c"))["c"]
-        labels = combined.drop_columns(["changed"])
-        if n_changed == 0:
-            break
-
-    out = labels.to_pandas().rename(columns={"label": "cluster_root"})
+    finally:
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
     return (
         out.sort_values("doc_id")
         .reset_index(drop=True)

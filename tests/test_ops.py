@@ -74,6 +74,37 @@ def test_simhash_finds_planted_near_dups(tmp_path):
     assert planted <= found
 
 
+def test_cluster_edges_union_find_vs_pregel():
+    """Both regimes of _cluster_edges must agree on a graph with a long
+    path (pointer-jump stress: 30-node chain), a clique, an isolated
+    pair, and duplicate edges. driver_edge_cap=0 forces the distributed
+    pregel; the default takes the union-find path."""
+    import numpy as np
+
+    chain = [(i, i + 1) for i in range(100, 130)]
+    clique = [(a, b) for a in range(500, 505) for b in range(a + 1, 505)]
+    extra = [(900, 901), (100, 101)]  # duplicate edge included
+    pairs = pd.DataFrame(chain + clique + extra, columns=["id_a", "id_b"])
+    fast = dedup._cluster_edges(pairs)
+    slow = dedup._cluster_edges(pairs, driver_edge_cap=0)
+    pd.testing.assert_frame_equal(fast, slow.sort_values("doc_id").reset_index(drop=True))
+    assert (fast[fast.doc_id.between(100, 130)].cluster_root == 100).all()
+    assert (fast[fast.doc_id.between(500, 504)].cluster_root == 500).all()
+    assert (fast[fast.doc_id >= 900].cluster_root == 900).all()
+    assert len(fast) == 31 + 5 + 2
+
+
+def test_union_find_roots_transitivity():
+    import numpy as np
+
+    # star + indirect merge: 1-2, 3-2, 3-4 => all rooted at 1
+    a = np.array([2, 3, 3], dtype=np.int64)
+    b = np.array([1, 2, 4], dtype=np.int64)
+    out = dedup._union_find_roots(a, b)
+    assert (out.cluster_root == 1).all()
+    assert sorted(out.doc_id) == [1, 2, 3, 4]
+
+
 def test_jaccard_pairs_deterministic():
     a = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
     b = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
