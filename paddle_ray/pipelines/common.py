@@ -69,3 +69,35 @@ def to_cents(values) -> "np.ndarray":
 
     v = np.asarray(values, dtype=np.float64)
     return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+
+
+# Per-group worker-residency contract for the exact-pair ground-truth
+# operators (VERDICT r2 #4): groupby(key).map_groups materializes ONE
+# group in ONE worker's heap, so a hot key is an OOM waiting to happen.
+# The production dedup paths (minhash-LSH / simhash / exact-hash) never
+# hold a whole group; the exact operators exist as oracles/ground truth,
+# so past this cap they fail LOUDLY with the scale path spelled out
+# instead of taking down the worker.
+GROUP_RESIDENCY_CAP_BYTES = 4 << 30
+
+
+def enforce_group_residency(
+    est_bytes: int,
+    n_rows: int,
+    group_desc: str,
+    operator: str,
+    scale_path: str,
+    cap_bytes: int = GROUP_RESIDENCY_CAP_BYTES,
+) -> None:
+    """Raise an actionable error when one cogroup would exceed the worker
+    residency cap, naming the group, the estimate, and the operator to
+    use instead at scale."""
+    if est_bytes > cap_bytes:
+        raise ValueError(
+            f"{operator}: group {group_desc} holds {n_rows} rows "
+            f"(~{est_bytes / (1 << 30):.1f} GiB estimated in-worker) — over the "
+            f"{cap_bytes / (1 << 30):.1f} GiB per-group residency cap. This exact "
+            f"operator materializes one group per worker by design (it is the "
+            f"oracle/ground-truth surface); for hot groups use {scale_path}, or "
+            f"raise max_group_bytes explicitly if the worker really has the heap."
+        )

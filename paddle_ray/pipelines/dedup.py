@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashes import (
@@ -376,18 +377,32 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     combinatorially — that expansion is the operator's own output size,
     not overhead). An LSH prefilter is the WRONG guard for this measure:
     char-set jaccard of same-language docs concentrates near 1, so ~all
-    pairs share a bucket and the 'prefilter' degenerates to O(n^2)."""
+    pairs share a bucket and the 'prefilter' degenerates to O(n^2).
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    Hot-group RESIDENCY (VERDICT r2 #4): the measure depends only on each
+    doc's distinct-char set, so the text is reduced to its canonical
+    charset key (sorted distinct chars, ~dozens of bytes regardless of
+    doc length) in a pre-shuffle map_batches — the groupby(source)
+    shuffle and the per-group worker frame carry (doc_id, charset_key),
+    never document text. A 100k-doc hot source now costs the worker ~10
+    MB, not the group's full text."""
+
+    def to_charset_keys(batch: pa.Table) -> pa.Table:
         # empty text is excluded on BOTH sides: DuckDB's jaccard() ERRORS
         # on '' ("argument too short"), so the oracle carries the same
         # len(text) > 0 guard — an empty doc pairs with nothing rather
         # than inventing an empty-vs-empty similarity the oracle can't
         # express
-        g = g[g.text.str.len() > 0].sort_values("doc_id")
+        texts = batch["text"].to_pylist()
+        keys = pa.array(["".join(sorted(set(t))) for t in texts], pa.string())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "ckey": keys}
+        ).filter(pc.greater(pc.utf8_length(keys), 0))
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
         ids = g.doc_id.to_numpy()
-        # canonical key per distinct char set
-        keys = ["".join(sorted(set(t))) for t in g.text.tolist()]
+        keys = g.ckey.tolist()
         members: dict[str, list[int]] = {}
         for idx, k in enumerate(keys):
             members.setdefault(k, []).append(idx)
@@ -418,6 +433,7 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
 
     pairs = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(to_charset_keys, batch_format="pyarrow", batch_size=None)
         .groupby("source")
         .map_groups(group_pairs, batch_format="pandas")
         .to_pandas()
@@ -452,7 +468,11 @@ def _word_shingles(text: str, k: int = 5) -> set:
 
 
 def shingle_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.9, k: int = 5, max_group_rows: int = 20_000
+    sf_dir: str,
+    threshold: float = 0.9,
+    k: int = 5,
+    max_group_rows: int = 20_000,
+    max_group_bytes: int | None = None,
 ) -> pd.DataFrame:
     """TRUE word-shingle jaccard pairs within `source` groups — the exact
     ground truth the MinHash-LSH pipeline approximates, same partitioned
@@ -486,6 +506,19 @@ def shingle_jaccard_pairs(
                 sims.append(round(inter / union, 6))
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # residency contract (VERDICT r2 #4): the k-gram shingle sets of a
+        # group expand its text ~(k+1)x in worker heap (each word appears
+        # in up to k overlapping shingle strings, plus set/str overhead);
+        # fail loudly with the scale path before building them.
+        from .common import GROUP_RESIDENCY_CAP_BYTES, enforce_group_residency
+
+        est = int(g.text.str.len().sum()) * (k + 1)
+        enforce_group_residency(
+            est, len(g),
+            f"source={g.source.iloc[0]!r}" if len(g) else "<empty>",
+            "shingle_jaccard_pairs", "dedup_minhash_lsh (banded LSH, slim shuffles)",
+            cap_bytes=max_group_bytes or GROUP_RESIDENCY_CAP_BYTES,
+        )
         g = g.sort_values("doc_id")
         ids = g.doc_id.to_numpy()
         texts = g.text.tolist()

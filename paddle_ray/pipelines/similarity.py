@@ -335,13 +335,28 @@ def knn_ivf(
 # embedding cosine near-dup within label groups — oracled
 # --------------------------------------------------------------------------
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+def embedding_neardup(
+    sf_dir: str, threshold: float = 0.95, max_group_bytes: int | None = None
+) -> pd.DataFrame:
     """Pairs with cosine >= threshold within each label group (partitioned
-    self-join via groupby(label).map_groups; vectorized gram matrix)."""
+    self-join via groupby(label).map_groups; vectorized gram matrix).
+    Residency contract (VERDICT r2 #4): one label group's float64 matrix
+    must fit the per-group cap or the group fails loudly with the scale
+    path (LSH-bucketed ANN) named — never an OOM."""
 
     BLOCK = 2048
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .common import GROUP_RESIDENCY_CAP_BYTES, enforce_group_residency
+
+        dim = len(g.embedding.iloc[0]) if len(g) else 0
+        # x2: the normalized float64 copy coexists with the stacked input
+        enforce_group_residency(
+            len(g) * dim * 8 * 2, len(g),
+            f"label={g.label.iloc[0]!r}" if len(g) else "<empty>",
+            "embedding_neardup", "knn_lsh (bucketed ANN) for hot labels",
+            cap_bytes=max_group_bytes or GROUP_RESIDENCY_CAP_BYTES,
+        )
         g = g.sort_values("vec_id")
         ids = g.vec_id.to_numpy()
         m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))

@@ -105,6 +105,63 @@ def test_union_find_roots_transitivity():
     assert sorted(out.doc_id) == [1, 2, 3, 4]
 
 
+def test_jaccard_pairs_hot_source_bounded_residency(tmp_path):
+    """100k docs in ONE source must flow through jaccard_pairs_by_source
+    within bounded worker memory: the charset-key pre-shuffle means the
+    group holds ~100 B/doc, not the text. Threshold > 1 keeps the output
+    empty (identical-set in-group pairs emit at sim 1.0, which must NOT
+    clear it) so the test measures residency/completion, not output size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "hot"
+    d.mkdir()
+    alphabets = ["abcdefgh", "ijklmnopqr", "stuvwxyz", "0123456789", "ABCDEFGH"]
+    n = 100_000
+    texts = [alphabets[i % len(alphabets)] * 8 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["hot"] * n, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = dedup.jaccard_pairs_by_source(str(d), threshold=1.01)
+    assert out.empty
+
+
+def test_shingle_pairs_residency_cap_fails_loudly(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    texts = [f"one two three four five six seven {i}" for i in range(50)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(50), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * 50, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    with pytest.raises(Exception, match="residency cap"):
+        dedup.shingle_jaccard_pairs(str(d), threshold=0.9, max_group_bytes=64)
+
+
+def test_embedding_neardup_residency_cap_fails_loudly():
+    import pytest
+
+    with pytest.raises(Exception, match="residency cap"):
+        similarity.embedding_neardup(SF, threshold=0.4, max_group_bytes=64)
+
+
 def test_jaccard_pairs_deterministic():
     a = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
     b = dedup.jaccard_pairs_by_source(SF, threshold=0.95)
