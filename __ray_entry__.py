@@ -69,6 +69,41 @@ def _extract_roundtrip(sf_dir: str):
     return t
 
 
+def _extract_resume_equivalence(sf_dir: str):
+    """Checkpoint/resume under the value oracle: write, delete half the
+    manifests, resume, deep-verify digests, read back. Oracle = the same
+    ground-truth SQL as extract_roundtrip — resume must be invisible."""
+    from paddle_ray.pipelines.extract import extract_resume_equivalence
+
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(extract_resume_equivalence(sf_dir), preserve_index=False)
+
+
+def _dedup_simhash_golden(sf_dir: str):
+    """SimHash pairs over the deterministic sf-independent planted corpus
+    (dedup.simhash_synth_corpus) — value-oracled by a golden VALUES table
+    (was rows-only over the sf corpus, VERDICT r2 #7). Non-circular: the
+    bucketing == brute-force equivalence is pytest-locked separately
+    (test_simhash_equals_bruteforce); this pins the hash chain's bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="paddle_simhash_golden_")
+    try:
+        pq.write_table(
+            pa.Table.from_pandas(dedup.simhash_synth_corpus(), preserve_index=False),
+            os.path.join(d, "documents.parquet"),
+        )
+        return dedup.dedup_simhash(d, max_hamming=10)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _extract_block_stats(sf_dir: str):
     """Per-lang extraction outcome stats over the derived pages table.
     Value-oracled: each single-paragraph fixture page extracts to EXACTLY
@@ -157,8 +192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- flagship extraction (oracle: byte-identical roundtrip) -------
         "extract_roundtrip": _extract_roundtrip,
+        "extract_resume_equivalence": _extract_resume_equivalence,
         "extract_block_stats": _extract_block_stats,
-        "extract_synth_grammar": _extract_synth_grammar,
+        # extract_synth_grammar was folded into extract_synth_digest (the
+        # digest runs the identical 300-doc grammar extraction and is
+        # value-oracled; the standalone rows-only entry added nothing)
         "extract_synth_digest": _extract_synth_digest,
         "extract_image_stats": _extract_image_stats,
         "curate_corpus": curate.curate_corpus,
@@ -200,7 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash": _dedup_simhash_golden,
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # exact word-shingle ground truth + the minhash subset relation
         # (both value-oracled; converts the minhash family from rows-only)
@@ -274,6 +312,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS extracted_text FROM documents ORDER BY url"
         ),
+        "extract_resume_equivalence": (
+            "SELECT 'https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+            "text AS extracted_text FROM documents ORDER BY url"
+        ),
         "extract_block_stats": (
             "SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS total_blocks, "
             "CAST(0 AS BIGINT) AS n_errors FROM documents GROUP BY lang ORDER BY lang"
@@ -328,6 +370,14 @@ def oracle_sql() -> dict[str, str]:
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
         ),
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
+        # golden-constant oracle — simhash_synth_corpus is deterministic
+        # and sf-independent; regenerate after an INTENTIONAL hash change
+        # (doc 2's planted near-dup sits past hamming 10, hence 9 rows)
+        "dedup_simhash": (
+            "SELECT * FROM (VALUES (0, 10000, 5), (1, 10001, 4), (3, 10003, 5), "
+            "(4, 10004, 9), (5, 10005, 5), (6, 10006, 4), (7, 10007, 5), "
+            "(8, 10008, 5), (9, 10009, 9)) AS t(id_a, id_b, hamming) ORDER BY id_a"
+        ),
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL_T.format(threshold=0.95),
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),

@@ -24,7 +24,11 @@ from .stages.sniff import sniff_type
 # request-shaped callers pay per-call init otherwise (the extractor's
 # 65536-sample weight table + captioner model are amortized once per
 # actor in the pipeline; services calling this per request deserve the
-# same amortization). Keyed by the full config value.
+# same amortization). Keyed by the full config value and BOUNDED with
+# LRU eviction (ADVICE r2: a service varying a per-request cfg field
+# grew the cache — and its weight tables — without limit; the intended
+# hit pattern is a handful of stable configs).
+_ENGINE_CACHE_MAX = 8
 _ENGINE_CACHE: dict[tuple, tuple] = {}
 
 
@@ -36,8 +40,12 @@ def _engines(cfg: ExtractConfig):
         hash(key)
     except TypeError:  # unhashable custom cfg value: build fresh
         return DocumentExtractor(cfg), Captioner(cfg)
-    if key not in _ENGINE_CACHE:
+    if key in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = _ENGINE_CACHE.pop(key)  # refresh LRU order
+    else:
         _ENGINE_CACHE[key] = (DocumentExtractor(cfg), Captioner(cfg))
+        while len(_ENGINE_CACHE) > _ENGINE_CACHE_MAX:
+            _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
     return _ENGINE_CACHE[key]
 
 

@@ -136,6 +136,19 @@ def _apply_empty_block_filter_patch() -> None:
             if meta.num_rows != 0
         ]
         if len(keep) != len(input_bundle.block_refs):
+            dropped = RefBundle(
+                tuple(
+                    (ref, meta)
+                    for ref, meta in zip(input_bundle.block_refs, input_bundle.metadata)
+                    if meta.num_rows == 0
+                ),
+                owns_blocks=input_bundle.owns_blocks,
+                schema=input_bundle.schema,
+            )
+            # the dropped zero-column empties never reach the operator's
+            # normal per-bundle accounting, so free them here (ADVICE r2:
+            # silent object-store leak when the bundle owns its blocks)
+            dropped.destroy_if_owned()
             if not keep:
                 return
             input_bundle = RefBundle(

@@ -58,6 +58,16 @@ class ExtractConfig:
     # remains the floor so small hosts/test sessions are unchanged.
     layout_pool_size: tuple | None = None
     layout_batch_size: int = 16
+    # --- per-actor resource requests (≙ instance_group KIND_GPU,
+    # config_gpu_paddlex.pbtxt:18-23 / config_gpu_blip.pbtxt): the sandbox
+    # runs CPU-only mocks, but a real layout/caption model drops in by
+    # setting num_gpus (fractional allowed — e.g. 0.5 packs two actors per
+    # device) with no pipeline surgery. 0.0 means "don't request GPUs"
+    # (the kwarg is omitted entirely so CPU-only clusters schedule).
+    layout_num_cpus: float = 1.0
+    layout_num_gpus: float = 0.0
+    caption_num_cpus: float = 1.0
+    caption_num_gpus: float = 0.0
     # caption pool mirrors the reference's 4 instances but may scale wider
     # (the mock captioner is CPU-cheap; a fixed 4 bottlenecked the stream);
     # batch > the reference's dynamic-batch 16 because one __call__ handles

@@ -358,6 +358,28 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return pairs.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"}).reset_index(drop=True)
 
 
+def simhash_synth_corpus(n: int = 200, seed: int = 7, n_planted: int = 10) -> pd.DataFrame:
+    """Deterministic, sf-INDEPENDENT corpus for the golden-constant simhash
+    oracle (same contract as extract_synth / extract_image_stats): n base
+    docs of 80 words drawn from a 500-word vocabulary (seeded MT19937 —
+    stable across platforms), plus n_planted near-duplicates (one word
+    swapped, doc_id + 10_000). Unrelated random docs land at hamming ~32,
+    planted pairs a few bits — the output is a small fixed pair table.
+    The bucketing's equality with brute-force hamming is separately locked
+    by test_simhash_equals_bruteforce, so the VALUES oracle pins the hash
+    chain (crc32/splitmix64/bit votes) without being circular."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(500)])
+    rows = []
+    for i in range(n):
+        rows.append((i, " ".join(vocab[rng.randint(0, 500, 80)])))
+    for doc_id, text in rows[:n_planted]:
+        w = text.split()
+        w[5] = "zzzz"
+        rows.append((10_000 + doc_id, " ".join(w)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
 # --------------------------------------------------------------------------
 # n-gram (char-set) jaccard self-join within source partitions — oracled
 # --------------------------------------------------------------------------

@@ -130,10 +130,25 @@ def events_json_props(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Max, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["k"] = df.props.map(lambda s: int(json.loads(s).get("k", 0)))
-        g = df.groupby("event_type", as_index=False).agg(sum_k=("k", "sum"), max_k=("k", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # per-row json.loads is unavoidable (pyarrow 16 has no JSON-path
+        # kernel); one list comprehension over the column, no pandas
+        # round-trip (COALESCE semantics: missing k -> 0)
+        ks = pa.array(
+            [int(json.loads(s).get("k", 0)) for s in batch["props"].to_pylist()],
+            pa.int64(),
+        )
+        g = pa.TableGroupBy(
+            pa.table({"event_type": batch["event_type"], "k": ks}), "event_type"
+        ).aggregate([("k", "sum"), ("k", "max")])
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": _pc.cast(g["k_sum"], pa.int64()),
+                "max_k": _pc.cast(g["k_max"], pa.int64()),
+            }
+        )
 
     out = (
         _events(sf_dir, columns=["event_type", "props"])
@@ -376,8 +391,14 @@ def events_interval_pairs(sf_dir: str, band_s: int = 900) -> pd.DataFrame:
         out_u, out_n = [], []
         for s, e in zip(starts, ends):
             span = tus[s:e]
-            # strictly-later events within band: (ts, ts + band]
-            cnt = np.searchsorted(span, span + band, side="right") - np.arange(1, e - s + 1)
+            # strictly-later BY TIMESTAMP within band: ts in (ts_i, ts_i + band].
+            # The baseline is each event's count of ts <= its own (right
+            # bisect of span against itself), NOT its position — a position
+            # baseline (arange) would count equal-ts duplicates as "later",
+            # diverging from the oracle's b.ts > a.ts (ADVICE r2).
+            cnt = np.searchsorted(span, span + band, side="right") - np.searchsorted(
+                span, span, side="right"
+            )
             total = int(cnt.sum())
             if total > 0:
                 out_u.append(int(uid[s]))

@@ -149,7 +149,8 @@ def extract_pipeline(
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
         concurrency=resolve_layout_pool(cfg),
-        num_cpus=1,
+        num_cpus=cfg.layout_num_cpus,
+        **({"num_gpus": cfg.layout_num_gpus} if cfg.layout_num_gpus else {}),
     )
     if cfg.captioning_enabled:
         ds = ds.map_batches(
@@ -158,7 +159,8 @@ def extract_pipeline(
             batch_format="pyarrow",
             batch_size=cfg.caption_batch_size,
             concurrency=cfg.caption_pool_size,
-            num_cpus=1,
+            num_cpus=cfg.caption_num_cpus,
+            **({"num_gpus": cfg.caption_num_gpus} if cfg.caption_num_gpus else {}),
         )
 
     if out_dir:
@@ -175,6 +177,53 @@ def extract_from_documents(sf_dir: str, cfg: ExtractConfig | None = None):
     truth byte-identically through the full boilerplate shell."""
     pages = pages_from_documents(sf_dir)
     return extract_pipeline(pages, cfg=cfg)
+
+
+def extract_resume_equivalence(sf_dir: str):
+    """North-rule resume contract under the VALUE oracle (VERDICT r2 #6 —
+    checkpointed_write/resume was pytest-locked only): run the
+    checkpointed flagship, crash-simulate by deleting HALF the partition
+    manifests (part data left on disk; a manifest-less partition is
+    incomplete by definition), resume, deep-verify every manifest's
+    content digest against the rewritten parquet, and return the
+    read-back corpus. A resume that drops, duplicates, or re-orders rows
+    fails the row-count/value-hash against the plain ground-truth oracle
+    (same SQL as extract_roundtrip)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..state import checkpoint as ckpt
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    out_dir = tempfile.mkdtemp(prefix="paddle_resume_eq_")
+    try:
+        extract_pipeline(
+            pages_from_documents(sf_dir), cfg=cfg, out_dir=out_dir, resume=False
+        ).materialize()
+        manifests = sorted(
+            glob.glob(os.path.join(out_dir, ckpt.MANIFEST_DIR, "partition-*.json"))
+        )
+        if len(manifests) < 2:
+            raise RuntimeError(
+                f"resume-equivalence needs >=2 partitions to delete half, got "
+                f"{len(manifests)} — partitioning config changed?"
+            )
+        for m in manifests[::2]:
+            os.remove(m)
+        extract_pipeline(
+            pages_from_documents(sf_dir), cfg=cfg, out_dir=out_dir, resume=True
+        ).materialize()
+        ok, bad = ckpt.verify_output(out_dir)
+        if bad:
+            raise RuntimeError(f"resume left corrupt partitions: {bad}")
+        out = ckpt.read_output(out_dir).to_pandas()[["url", "extracted_text"]]
+        return out.sort_values("url").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def extract_synth(n: int, seed: int = 42, cfg: ExtractConfig | None = None, **kw):

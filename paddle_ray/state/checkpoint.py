@@ -255,12 +255,20 @@ def write_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     path = os.path.join(out_dir, MANIFEST_DIR, PARTITIONING_STAMP)
     payload = json.dumps(fingerprint, sort_keys=True).encode()
-    # O_EXCL so exactly ONE writer wins even when two drivers race into
-    # the same empty out_dir (exists()-then-write left a window where
-    # both committed under incompatible partitionings); the loser
-    # re-validates against the surviving stamp and refuses on mismatch
+    # Exclusive PUBLISH of a complete file: write the payload to a private
+    # temp file, then os.link() it to the stamp path — link is atomic and
+    # fails if the path exists, so exactly ONE writer wins a race AND any
+    # reader that sees the stamp sees the full payload. The previous
+    # O_EXCL-create-then-write left a window where the loser could
+    # json.load a still-empty file and crash with JSONDecodeError instead
+    # of the intended mismatch/accept path (ADVICE r2).
+    tmp = f"{path}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         with open(path) as f:
             existing = json.load(f)
@@ -270,9 +278,8 @@ def write_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:
                 f"partitioning {existing}, current config is {fingerprint}: "
                 "another run owns this directory"
             )
-        return
-    with os.fdopen(fd, "wb") as f:
-        f.write(payload)
+    finally:
+        os.unlink(tmp)
 
 
 def check_partitioning_stamp(out_dir: str, fingerprint: dict) -> None:

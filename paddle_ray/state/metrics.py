@@ -111,16 +111,24 @@ def get_metrics_actor():
 def batch_report_key(stage_name: str, out: pa.Table) -> str:
     """Content-derived idempotency key for one reported batch. Ray Data
     resubmits a crashed actor's block as a NEW task, so task-id keying
-    would not dedup the retry — the batch CONTENT is the stable identity
-    (row count + first row; stage outputs carry unique urls/doc ids, so
-    same-stage collisions require identical leading rows AND length)."""
+    would not dedup the retry — the batch CONTENT is the stable identity:
+    row count + FIRST and LAST rows (stage outputs carry unique urls/doc
+    ids, so a same-stage collision needs identical length AND identical
+    rows at both ends — ADVICE r2: first-row-only collided for batches
+    sharing a leading row). Empty batches get a random nonce instead:
+    they contribute no counters except wall_s, and two empty batches of
+    one stage are legitimately distinct reports, not a retry to dedup."""
     import hashlib
 
+    if len(out) == 0:
+        import uuid
+
+        return f"{stage_name}-empty-{uuid.uuid4().hex}"
     h = hashlib.blake2b(digest_size=12)
     h.update(stage_name.encode())
     h.update(str(len(out)).encode())
-    if len(out):
-        h.update(repr(out.slice(0, 1).to_pylist()).encode())
+    h.update(repr(out.slice(0, 1).to_pylist()).encode())
+    h.update(repr(out.slice(len(out) - 1, 1).to_pylist()).encode())
     return h.hexdigest()
 
 

@@ -401,3 +401,31 @@ def test_simhash_bucketing_complete_vs_bruteforce():
         got = dedup.dedup_simhash(SF, max_hamming=h_max)
         got_pairs = set(zip(got.id_a, got.id_b))
         assert got_pairs == expect, (h_max, len(got_pairs), len(expect))
+
+
+def test_interval_pairs_equal_timestamps_strict(tmp_path):
+    """Oracle parity on equal timestamps (ADVICE r2): the SQL requires
+    strictly b.ts > a.ts, so two same-user events at the SAME microsecond
+    pair with later events but NOT with each other. The shipped corpus has
+    no duplicate (user_id, ts), so this plants one."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [t0, t0, t0 + np.timedelta64(10, "s"), t0 + np.timedelta64(5000, "s")]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events.events_interval_pairs(str(d), band_s=900)
+    # strict pairs within 900s: (t0,a)->(t0+10) twice; the t0==t0 pair and
+    # anything to t0+5000s are excluded
+    assert out.to_dict("records") == [{"user_id": 1, "n_pairs": 2}]

@@ -348,3 +348,34 @@ def test_partitioning_stamp_exclusive_writer(tmp_path):
     ckpt.write_partitioning_stamp(str(tmp_path), fp1)  # same config: fine
     with pytest.raises(ValueError, match="already stamped"):
         ckpt.write_partitioning_stamp(str(tmp_path), fp2)
+
+
+def test_gpu_resource_knobs_reach_the_actor_pools():
+    """config_gpu_paddlex.pbtxt:18-23 parity: layout/caption num_gpus (and
+    num_cpus) flow from ExtractConfig into the map_batches resource
+    request, so a real GPU model drops in with zero pipeline surgery. The
+    plan is inspected WITHOUT executing (this host has no GPUs); num_gpus
+    must be absent entirely when 0 so CPU-only clusters schedule."""
+    cfg = ExtractConfig(
+        layout_num_gpus=0.25, caption_num_gpus=0.5, deterministic_sort=False
+    )
+    ds = extract_pipeline(pages_from_documents(SF), cfg=cfg)
+
+    def remote_args(ds):
+        out, op = [], ds._logical_plan.dag
+        while True:
+            ra = getattr(op, "_ray_remote_args", None)
+            if ra is not None:
+                out.append(ra)
+            if not op.input_dependencies:
+                return out
+            op = op.input_dependencies[0]
+
+    args = remote_args(ds)
+    assert {"num_cpus": 1.0, "num_gpus": 0.5} in args    # captioner pool
+    assert {"num_cpus": 1.0, "num_gpus": 0.25} in args   # layout pool
+
+    cpu_only = remote_args(
+        extract_pipeline(pages_from_documents(SF), cfg=ExtractConfig(deterministic_sort=False))
+    )
+    assert all("num_gpus" not in ra for ra in cpu_only)
