@@ -80,6 +80,30 @@ def _extract_resume_equivalence(sf_dir: str):
     return pa.Table.from_pandas(extract_resume_equivalence(sf_dir), preserve_index=False)
 
 
+def _dedup_minhash_golden(sf_dir: str):
+    """MinHash-LSH pairs over the deterministic planted corpus — golden
+    VALUES oracle pinning the full signature/banding chain's bytes (was
+    rows-only over the sf corpus; the sf-scale execution stays value-
+    locked through minhash_missed_pairs, which runs dedup_minhash_lsh on
+    the sf tables against the exact shingle ground truth)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="paddle_minhash_golden_")
+    try:
+        pq.write_table(
+            pa.Table.from_pandas(dedup.simhash_synth_corpus(), preserve_index=False),
+            os.path.join(d, "documents.parquet"),
+        )
+        return dedup.dedup_minhash_lsh(d, threshold=0.8)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _dedup_simhash_golden(sf_dir: str):
     """SimHash pairs over the deterministic sf-independent planted corpus
     (dedup.simhash_synth_corpus) — value-oracled by a golden VALUES table
@@ -237,7 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_unpivot": relational_more.priority_unpivot,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_minhash_lsh": _dedup_minhash_golden,
         "dedup_simhash": _dedup_simhash_golden,
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # exact word-shingle ground truth + the minhash subset relation
@@ -370,6 +394,17 @@ def oracle_sql() -> dict[str, str]:
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
         ),
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
+        # golden-constant oracle — simhash_synth_corpus is deterministic
+        # and sf-independent; est_jaccard values are exact 128ths
+        # (signature-agreement fractions over 128 perms), written as
+        # fractions so both sides hold the identical float64
+        "dedup_minhash_lsh": (
+            "SELECT id_a, id_b, num/128.0 AS est_jaccard FROM (VALUES "
+            "(0, 10000, 113), (1, 10001, 109), (2, 10002, 108), "
+            "(3, 10003, 112), (4, 10004, 116), (5, 10005, 114), "
+            "(6, 10006, 113), (7, 10007, 109), (8, 10008, 108), "
+            "(9, 10009, 109)) AS t(id_a, id_b, num) ORDER BY id_a"
+        ),
         # golden-constant oracle — simhash_synth_corpus is deterministic
         # and sf-independent; regenerate after an INTENTIONAL hash change
         # (doc 2's planted near-dup sits past hamming 10, hence 9 rows)

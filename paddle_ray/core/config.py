@@ -74,6 +74,16 @@ class ExtractConfig:
     # a whole request batch, not one GPU inference
     caption_pool_size: tuple = (1, 8)
     caption_batch_size: int = 128
+    # --- seal / formula recognition sub-pipelines (≙ use_seal_recognition
+    # / use_formula_recognition, pipeline_config.yaml:5,7 — the reference
+    # ships them DISABLED in prod; per-request knobs model.py:404-406 +
+    # sub-pipeline configs pipeline_config.yaml:1209-1429). Disabled =>
+    # seal/formula regions are NOT recognized: their blocks are dropped
+    # from the layout result, exactly as the reference's pipeline skips
+    # those sub-models. Enabled => emitted as typed blocks in reading
+    # order like any other label.
+    use_seal_recognition: bool = False
+    use_formula_recognition: bool = False
     # --- stateless stage batching
     html_batch_size: int = 256
     # --- skew handling

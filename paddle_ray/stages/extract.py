@@ -204,6 +204,20 @@ class DocumentExtractor:
         page_blocks = [(pi, self.model.detect_blocks(spec)) for pi, spec in page_iter]
         if not page_blocks:
             raise ValueError("no pages decoded")  # ≙ zero-pages 422, model.py:583-589
+        # seal/formula sub-pipelines (pipeline_config.yaml:5,7 +
+        # model.py:404-406): when a recognizer is disabled — the
+        # reference's prod default — its regions are not recognized, so
+        # their blocks never reach the layout result
+        unrecognized = set()
+        if not self.cfg.use_seal_recognition:
+            unrecognized.add("seal")
+        if not self.cfg.use_formula_recognition:
+            unrecognized.add("formula")
+        if unrecognized:
+            page_blocks = [
+                (pi, [b for b in bl if b["label"] not in unrecognized])
+                for pi, bl in page_blocks
+            ]
         page_blocks.sort(key=lambda t: t[0])  # sort ONCE for assembly + dims
         text, blocks, md = assemble_pdf_pages(page_blocks)
         # dataInfo (model.py:591-606): per-page dims = rendered extent

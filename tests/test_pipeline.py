@@ -379,3 +379,41 @@ def test_gpu_resource_knobs_reach_the_actor_pools():
         extract_pipeline(pages_from_documents(SF), cfg=ExtractConfig(deterministic_sort=False))
     )
     assert all("num_gpus" not in ra for ra in cpu_only)
+
+
+def test_seal_formula_subpipelines_config_gated():
+    """pipeline_config.yaml:5,7 parity: seal/formula regions are NOT
+    recognized by default (the reference ships both sub-pipelines
+    disabled); enabling the knobs emits them as typed blocks in reading
+    order. Exercised through the extractor kernel directly — the same code
+    the actor pool runs per batch."""
+    import json as _json
+
+    from paddle_ray.stages.extract import DocumentExtractor
+
+    pages = [[
+        {"label": "title", "bbox": [50, 100, 1100, 250], "content": "heading"},
+        {"label": "seal", "bbox": [60, 300, 300, 500], "content": "OFFICIAL SEAL"},
+        {"label": "formula", "bbox": [50, 600, 900, 700], "content": "E = mc^2"},
+        {"label": "text", "bbox": [50, 800, 1100, 950], "content": "body text"},
+    ]]
+    payload = b"%PDF-\n" + _json.dumps({"pages": pages}, sort_keys=True).encode()
+
+    off = DocumentExtractor(ExtractConfig())._one("u", "pdf", payload)
+    assert "OFFICIAL SEAL" not in off["extracted_text"]
+    assert "E = mc^2" not in off["extracted_text"]
+    assert {b["label"] for b in off["blocks"]} == {"title", "text"}
+
+    on = DocumentExtractor(
+        ExtractConfig(use_seal_recognition=True, use_formula_recognition=True)
+    )._one("u", "pdf", payload)
+    assert on["extracted_text"].split("\n\n") == [
+        "=== PAGE 1 ===", "heading", "OFFICIAL SEAL", "E = mc^2", "body text",
+    ]
+    assert [b["label"] for b in on["blocks"]] == ["title", "seal", "formula", "text"]
+
+    seal_only = DocumentExtractor(
+        ExtractConfig(use_seal_recognition=True)
+    )._one("u", "pdf", payload)
+    assert "OFFICIAL SEAL" in seal_only["extracted_text"]
+    assert "E = mc^2" not in seal_only["extracted_text"]
