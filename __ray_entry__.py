@@ -34,6 +34,7 @@ from paddle_ray.pipelines import (
     relational,
     relational_ext,
     relational_more,
+    scrub,
     similarity,
     webtext,
 )
@@ -309,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
         "tfidf_top_terms": webtext.tfidf_top_terms,
+        # --- scrub family (PII / URL canonicalization / paragraph dedup) --
+        "pii_redact": scrub.pii_redact,
+        "url_host_stats": scrub.url_host_stats,
+        "paragraph_dedup": scrub.paragraph_dedup,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
@@ -436,6 +441,9 @@ def oracle_sql() -> dict[str, str]:
         "normalize_texts": webtext.NORMALIZE_SQL,
         "regex_match_stats": webtext.REGEX_MATCH_SQL,
         "tfidf_top_terms": webtext.TFIDF_SQL,
+        "pii_redact": scrub.PII_REDACT_SQL,
+        "url_host_stats": scrub.URL_HOST_SQL,
+        "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),

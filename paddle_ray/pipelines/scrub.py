@@ -1,0 +1,366 @@
+"""Corpus-scrubbing operators over `documents`: PII redaction, URL
+canonicalization + host stats, and paragraph-level exact dedup.
+
+These are the remaining corpus-hygiene stages a webtext training-data
+pipeline runs that `webtext.py` doesn't cover (public recipes: C4/
+RefinedWeb PII scrubbing, CCNet paragraph-hash dedup of boilerplate
+lines repeated across pages, crawl-frontier URL canonicalization). The
+reference (xynehq/paddle) is per-document serving and has none of these;
+they extend the engine downstream of extraction like the rest of the
+webtext family.
+
+The sf `documents` corpus is single-line word-soup with no PII, URLs or
+paragraph structure, so each operator DERIVES its input deterministically
+from (doc_id, text) — the SQL oracle constructs the identical derived
+column, so the value check covers the full kernel chain, not a planted
+golden constant. The derivations are pure column expressions (no second
+table, no randomness), so both sides agree byte-for-byte.
+
+Regex dialect note: the engine's scrub kernels run on pyarrow.compute's
+RE2 engine — the SAME regex engine DuckDB uses — so `\\b`, `(?:...)` and
+class semantics agree by construction (Python `re` differs on corner
+cases, e.g. unicode word boundaries).
+
+Scale contracts
+---------------
+- `pii_redact`: stateless per-batch Arrow kernels (count/replace via
+  RE2), no shuffle; md5 is the only per-row Python work. At 100 TB this
+  is embarrassingly parallel.
+- `url_host_stats`: stateless canonicalize kernels, then a slim
+  (host, path) pre-aggregated groupby — the shuffle moves one row per
+  distinct (host, path) per block, never a URL payload.
+- `paragraph_dedup`: CCNet-shaped two-pass global first-occurrence
+  dedup. Pass 1 shuffles only (para_md5, packed doc/idx key) — 40 B
+  rows — to elect winners; pass 2 re-derives paragraphs from source and
+  hash-joins the winner keys back on para_md5, so paragraph TEXT crosses
+  exactly one join shuffle and the winner table is never collected to
+  the driver. Reassembly is a per-doc groupby whose groups are
+  output-sized (<= paras per doc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import sized_read_parquet
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (C4/RefinedWeb-style scrub: emails, phone numbers, IPs)
+# --------------------------------------------------------------------------
+
+# One pattern constant each, shared verbatim with the SQL template —
+# two literals in different escaping dialects silently desynchronize
+# query and oracle (webtext.py learned this the hard way).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def _pii_inject(doc_ids, texts) -> list[str]:
+    """Deterministic PII planting: the corpus has none, so both sides
+    derive the same PII-bearing text from (doc_id, text). Mirrors
+    PII_INJECT_SQL exactly."""
+    return [
+        f"{t} Contact user{d % 100}@mail{d % 7}.example.com or 555-{(d * 37) % 10000:04d} "
+        f"from 10.{d % 256}.{(d * 3) % 256}.{(d * 7) % 256} today"
+        for d, t in zip(doc_ids, texts)
+    ]
+
+
+PII_INJECT_SQL = (
+    "text || ' Contact user' || (doc_id % 100) || '@mail' || (doc_id % 7) || "
+    "'.example.com or 555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') || "
+    "' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' || "
+    "((doc_id * 7) % 256) || ' today'"
+)
+
+
+def pii_redact(sf_dir: str) -> pd.DataFrame:
+    """Per-doc PII scrub: count and redact emails -> <EMAIL>, IPv4s ->
+    <IP>, phone numbers -> <PHONE> (in that order — the email pattern
+    would otherwise eat nothing from the others, but order is part of
+    the contract). Output carries the counts plus md5 of the redacted
+    text so the driver value-checks the full payload without shipping
+    it. Redaction order matters only when patterns overlap; the chain
+    here is disjoint by construction but the oracle mirrors the exact
+    order anyway."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        injected = pa.array(
+            _pii_inject(batch["doc_id"].to_pylist(), batch["text"].to_pylist()), pa.string()
+        )
+        n_emails = pc.count_substring_regex(injected, PII_EMAIL_RE)
+        n_ips = pc.count_substring_regex(injected, PII_IP_RE)
+        n_phones = pc.count_substring_regex(injected, PII_PHONE_RE)
+        red = pc.replace_substring_regex(injected, PII_EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IP_RE, "<IP>")
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        md5 = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in red.to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_ips": pc.cast(n_ips, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+                "redacted_md5": md5,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+PII_REDACT_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, {PII_INJECT_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM injected ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + per-host stats (crawl-frontier hygiene)
+# --------------------------------------------------------------------------
+
+URL_HOST_RE = r"://(?P<host>[^/?#]+)"
+URL_PATH_RE = r"://[^/?#]+(?P<path>[^?#]*)"
+
+
+def _url_inject(doc_ids) -> list[str]:
+    """Deterministic messy-URL planting (mixed case, default port,
+    www. prefix, tracking params, fragment). Mirrors URL_INJECT_SQL."""
+    return [
+        f"HTTPS://WWW.Site{d % 50}.Example.COM:443/p/{d % 1000}"
+        f"?utm_source=feed&ref={d % 13}#sec{d % 5}"
+        for d in doc_ids
+    ]
+
+
+URL_INJECT_SQL = (
+    "'HTTPS://WWW.Site' || (doc_id % 50) || '.Example.COM:443/p/' || (doc_id % 1000) || "
+    "'?utm_source=feed&ref=' || (doc_id % 13) || '#sec' || (doc_id % 5)"
+)
+
+
+def url_host_stats(sf_dir: str) -> pd.DataFrame:
+    """Canonicalize crawl URLs (lowercase host, strip default :443 port,
+    strip leading www., drop fragment + tracking params) and aggregate
+    per host: url count, distinct path count, and how many carried
+    utm_* tracking params. The canonicalize kernels are stateless Arrow
+    RE2 ops; the shuffle moves only pre-aggregated slim (host, path)
+    rows."""
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = pa.array(_url_inject(batch["doc_id"].to_pylist()), pa.string())
+        host = pc.extract_regex(urls, URL_HOST_RE).field("host")
+        host = pc.utf8_lower(host)
+        host = pc.replace_substring_regex(host, r":443$", "")
+        host = pc.replace_substring_regex(host, r"^www\.", "")
+        path = pc.extract_regex(urls, URL_PATH_RE).field("path")
+        has_utm = pc.cast(
+            pc.match_substring_regex(urls, r"[?&]utm_[a-z]+="), pa.int64()
+        )
+        t = pa.table({"host": host, "path": path, "n_urls_": pa.array([1] * len(urls), pa.int64()), "n_utm_": has_utm})
+        # pre-aggregate per (host, path): the shuffle then moves one slim
+        # row per distinct pair per block, never a URL payload
+        g = t.group_by(["host", "path"]).aggregate([("n_urls_", "sum"), ("n_utm_", "sum")])
+        return pa.table(
+            {
+                "host": g["host"],
+                "path": g["path"],
+                "n_urls": g["n_urls__sum"],
+                "n_utm": g["n_utm__sum"],
+            }
+        )
+
+    pairs = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(canon, batch_format="pyarrow", batch_size=None)
+        .groupby(["host", "path"])
+        .aggregate(Sum("n_urls", alias_name="n_urls"), Sum("n_utm", alias_name="n_utm"))
+    )
+
+    def per_host_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_urls": batch["n_urls"],
+                "n_paths": pa.array([1] * len(batch), pa.int64()),
+                "n_utm": batch["n_utm"],
+            }
+        )
+        g = t.group_by("host").aggregate([("n_urls", "sum"), ("n_paths", "sum"), ("n_utm", "sum")])
+        return g.rename_columns(["host", "n_urls", "n_paths", "n_utm"])
+
+    out = (
+        pairs.map_batches(per_host_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("n_paths", alias_name="n_paths"),
+            Sum("n_utm", alias_name="n_utm"),
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_urls": "int64", "n_paths": "int64", "n_utm": "int64"})
+
+
+URL_HOST_SQL = f"""
+WITH urls AS (
+  SELECT {URL_INJECT_SQL} AS url FROM documents
+), canon AS (
+  SELECT regexp_replace(regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)),
+                        ':443$', ''), '^www\\.', '') AS host,
+         regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+         CASE WHEN regexp_matches(url, '[?&]utm_[a-z]+=') THEN 1 ELSE 0 END AS has_utm
+  FROM urls
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(sum(has_utm) AS BIGINT) AS n_utm
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet-style cross-document boilerplate strip)
+# --------------------------------------------------------------------------
+
+_PARA_SEP = "\n\n"
+# paragraphs per doc: own text + two planted boilerplate lines shared by
+# many docs (mod 7 / mod 3 variants) — the exact duplication CCNet's
+# paragraph-hash pass targets (nav/footer/subscribe lines repeated
+# across a site's pages)
+_N_PARAS = 3
+
+
+def _doc_paras(doc_id: int, text: str) -> list[str]:
+    """Mirrors PARA_INJECT (the UNION ALL arms of PARAGRAPH_DEDUP_SQL)."""
+    return [
+        text,
+        f"subscribe to newsletter variant {doc_id % 7}",
+        f"copyright footer {doc_id % 3}",
+    ]
+
+
+def paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Global first-occurrence paragraph dedup: a paragraph survives only
+    in the document where it first appears (order = (doc_id, idx) — the
+    corpus-position order CCNet uses). Two passes:
+
+    pass 1 (winner election): explode docs to (para_md5, key) where
+    key = doc_id * _N_PARAS + idx packs the global order into one int64;
+    groupby(para_md5).min(key) elects each paragraph's first occurrence.
+    Only 40 B rows cross this shuffle.
+
+    pass 2 (apply): re-derive paragraphs from source (cheaper than
+    shipping them through pass 1), hash-join the winner table back on
+    para_md5, flag kept = (key == winner), reassemble per doc in idx
+    order. Paragraph text crosses exactly one join shuffle.
+
+    Output: (doc_id, n_kept, clean_md5) where clean_md5 hashes the
+    surviving paragraphs joined by blank lines (NULL when none survive,
+    matching the SQL string_agg FILTER)."""
+    from ray.data.aggregate import Min
+
+    def explode_slim(batch: pa.Table) -> pa.Table:
+        hs, keys = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, p in enumerate(_doc_paras(d, t)):
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+                keys.append(d * _N_PARAS + i)
+        return pa.table({"para_md5": pa.array(hs, pa.string()), "key": pa.array(keys, pa.int64())})
+
+    winners = (
+        _docs(sf_dir)
+        .map_batches(explode_slim, batch_format="pyarrow")
+        .groupby("para_md5")
+        .aggregate(Min("key", alias_name="win_key"))
+    )
+
+    def explode_full(batch: pa.Table) -> pa.Table:
+        ids, idxs, hs, keys, paras = [], [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, p in enumerate(_doc_paras(d, t)):
+                ids.append(d)
+                idxs.append(i)
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+                keys.append(d * _N_PARAS + i)
+                paras.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idxs, pa.int64()),
+                "para_md5": pa.array(hs, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "para": pa.array(paras, pa.string()),
+            }
+        )
+
+    exploded = _docs(sf_dir).map_batches(explode_full, batch_format="pyarrow")
+    joined = exploded.join(
+        winners, join_type="inner", num_partitions=8, on=("para_md5",)
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("idx", kind="mergesort")
+        kept = df[df.key == df.win_key]
+        clean = _PARA_SEP.join(kept.para)
+        return pd.DataFrame(
+            {
+                "doc_id": [int(df.doc_id.iloc[0])],
+                "n_kept": [int(len(kept))],
+                "clean_md5": [hashlib.md5(clean.encode()).hexdigest() if len(kept) else None],
+            }
+        )
+
+    out = (
+        joined.groupby("doc_id")
+        .map_groups(reassemble, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "n_kept": "int64"})
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH paras AS (
+  SELECT doc_id, 0 AS idx, text AS para FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'subscribe to newsletter variant ' || (doc_id % 7) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'copyright footer ' || (doc_id % 3) FROM documents
+), ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+           FILTER (WHERE rn = 1)) AS clean_md5
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""

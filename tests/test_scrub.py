@@ -1,0 +1,90 @@
+"""Scrub-family semantics: PII redaction, URL canonicalization,
+paragraph-level first-occurrence dedup (pipelines/scrub.py). The driver
+oracle locks full values vs DuckDB; these tests lock the SEMANTICS
+against hand-built references so an oracle edit can't silently redefine
+the operator."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from paddle_ray.pipelines import scrub
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_patterns_redact_handcrafted_cases():
+    s = pa.array(
+        [
+            "write to First.Last+tag@sub.domain.org now",
+            "server at 192.168.001.7 port 80",
+            "call 555-0100 or 555-9999",
+            "no pii here at all",
+            "a@b.io 1.2.3.4 555-1234 all three",
+        ]
+    )
+    red = pc.replace_substring_regex(s, scrub.PII_EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, scrub.PII_IP_RE, "<IP>")
+    red = pc.replace_substring_regex(red, scrub.PII_PHONE_RE, "<PHONE>").to_pylist()
+    assert red == [
+        "write to <EMAIL> now",
+        "server at <IP> port 80",
+        "call <PHONE> or <PHONE>",
+        "no pii here at all",
+        "<EMAIL> <IP> <PHONE> all three",
+    ]
+
+
+def test_pii_redact_finds_every_planted_item_and_output_is_clean(ray_session):
+    out = scrub.pii_redact(SF)
+    # every doc gets exactly one planted email/phone and one planted IP
+    # (word-soup text contains none of its own)
+    assert (out.n_emails == 1).all()
+    assert (out.n_phones == 1).all()
+    assert (out.n_ips == 1).all()
+    assert out.doc_id.is_unique
+
+
+def test_url_host_stats_canonical_hosts(ray_session):
+    out = scrub.url_host_stats(SF)
+    # canonical form: lowercase, no www., no default port
+    assert all(h == h.lower() for h in out.host)
+    assert not any(h.startswith("www.") for h in out.host)
+    assert not any(":" in h for h in out.host)
+    assert set(out.host) == {f"site{i}.example.com" for i in range(50)}
+    # every planted URL carries utm tracking params
+    assert (out.n_utm == out.n_urls).all()
+    assert (out.n_paths <= out.n_urls).all()
+    assert out.n_urls.sum() == 500
+
+
+def test_paragraph_dedup_matches_bruteforce_first_occurrence(ray_session):
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    first = {}
+    expect = {}
+    for d, t in docs:
+        paras = scrub._doc_paras(d, t)
+        kept = []
+        for i, p in enumerate(paras):
+            if p not in first:
+                first[p] = (d, i)
+                kept.append(p)
+        expect[d] = (
+            len(kept),
+            hashlib.md5("\n\n".join(kept).encode()).hexdigest() if kept else None,
+        )
+
+    out = scrub.paragraph_dedup(SF)
+    got = {int(r.doc_id): (int(r.n_kept), r.clean_md5) for r in out.itertuples()}
+    assert got == expect
+    # non-vacuity: boilerplate actually deduplicates — later docs lose
+    # their planted paragraphs to earlier first occurrences
+    assert any(n < 3 for n, _ in got.values())
+    assert sum(n for n, _ in got.values()) < 3 * len(docs)
+    # but every doc's own unique text survives (n_kept >= 1) in this corpus
+    assert all(n >= 1 for n, _ in got.values())
