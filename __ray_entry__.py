@@ -34,7 +34,9 @@ from paddle_ray.pipelines import (
     relational,
     relational_ext,
     relational_more,
+    relational_rest,
     scrub,
+    traindata,
     similarity,
     webtext,
 )
@@ -260,6 +262,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "year_reconcile": relational_more.year_reconcile,
         "orders_running_total": relational_more.orders_running_total,
         "priority_unpivot": relational_more.priority_unpivot,
+        # --- TPC-H remainder (q2/q7/q8/q9/q11/q15/q17/q19/q20/q21 shapes) --
+        "q2_min_cost_supplier": relational_rest.q2_min_cost_supplier,
+        "q7_volume_shipping": relational_rest.q7_volume_shipping,
+        "q8_market_share": relational_rest.q8_market_share,
+        "q9_product_profit": relational_rest.q9_product_profit,
+        "q11_important_parts": relational_rest.q11_important_parts,
+        "q15_top_supplier": relational_rest.q15_top_supplier,
+        "q17_small_quantity_revenue": relational_rest.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": relational_rest.q19_disjunctive_revenue,
+        "q20_heavy_shippers": relational_rest.q20_heavy_shippers,
+        "q21_waiting_suppliers": relational_rest.q21_waiting_suppliers,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_golden,
@@ -314,6 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": scrub.pii_redact,
         "url_host_stats": scrub.url_host_stats,
         "paragraph_dedup": scrub.paragraph_dedup,
+        # --- training-data prep (dup-span diagnostics / resample / packing)
+        "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
+        "importance_resample": traindata.importance_resample,
+        "pack_sequences": traindata.pack_sequences,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
@@ -444,6 +461,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
+        "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,
+        "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
+        "pack_sequences": traindata.PACK_SEQUENCES_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
@@ -470,4 +490,14 @@ def oracle_sql() -> dict[str, str]:
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
         "orders_running_total": relational_more.RUNNING_TOTAL_SQL,
         "priority_unpivot": relational_more.UNPIVOT_SQL,
+        "q2_min_cost_supplier": relational_rest.Q2_SQL,
+        "q7_volume_shipping": relational_rest.Q7_SQL,
+        "q8_market_share": relational_rest.Q8_SQL,
+        "q9_product_profit": relational_rest.Q9_SQL,
+        "q11_important_parts": relational_rest.Q11_SQL,
+        "q15_top_supplier": relational_rest.Q15_SQL,
+        "q17_small_quantity_revenue": relational_rest.Q17_SQL,
+        "q19_disjunctive_revenue": relational_rest.Q19_SQL,
+        "q20_heavy_shippers": relational_rest.Q20_SQL,
+        "q21_waiting_suppliers": relational_rest.Q21_SQL,
     }

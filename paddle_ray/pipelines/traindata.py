@@ -1,0 +1,333 @@
+"""Training-data preparation operators over `documents`: duplicated
+n-gram span detection (substring-dedup diagnostics), deterministic
+importance resampling, and token-budget sequence packing.
+
+These are the stages between corpus hygiene and the training loader
+(public recipes: Lee et al. 2021 "Deduplicating Training Data Makes
+Language Models Better" finds duplicated substrings across the corpus;
+DoReMi/Pile-style per-source importance weights resample the mixture;
+GPT-2-style loaders concatenate documents and chunk at a fixed token
+budget). All three are value-oracled in DuckDB.
+
+Scale contracts
+---------------
+- `duplicate_ngram_spans`: pass 1 shuffles pre-counted (gram, count)
+  rows per block to elect globally-duplicated grams; pass 2 re-derives
+  grams and hash-joins the duplicated set back (native shuffle join —
+  the dup-gram table is unbounded, so it is NEVER broadcast or
+  collected). Gram strings cross the shuffles as-is at test scale; at
+  100 TB you'd shuffle a 128-bit hash instead (documented, same
+  topology).
+- `importance_resample`: stateless md5-threshold keep decision per row
+  + per-(lang) count/char partials per block — one tiny groupby, no
+  payload shuffle. Deterministic: the same doc set survives at any
+  parallelism.
+- `pack_sequences`: the distributed prefix-scan pattern
+  (events_running_value): per-shard token totals -> driver computes
+  O(#shards) offsets -> broadcast -> per-shard vectorized cumsum
+  assigns each doc its [seq_first, seq_last] window. Concat-and-chunk
+  packing (documents split across sequence boundaries), NOT bin
+  packing — the GPT-style loader contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .common import sized_read_parquet
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# --------------------------------------------------------------------------
+# duplicated n-gram spans (Lee et al. substring-dedup at fixed granularity)
+# --------------------------------------------------------------------------
+
+NGRAM_K = 4  # 11.6% of spans duplicated on the test corpus — non-vacuous
+
+
+def _grams(text: str, k: int) -> list[str]:
+    ws = text.split()
+    return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+
+def duplicate_ngram_spans(sf_dir: str, k: int = NGRAM_K) -> pd.DataFrame:
+    """Per-doc duplicated-span stats: how many of a document's k-gram
+    positions carry a gram that occurs more than once ACROSS THE WHOLE
+    CORPUS (counting positions, so within-doc repeats count too). The
+    per-doc dup_frac is the signal Lee et al. threshold to drop or trim
+    documents made of copied text."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_grams(t, k))
+        return pa.table(
+            {"g": pa.array(list(c.keys()), pa.string()),
+             "c": pa.array(list(c.values()), pa.int64())}
+        )
+
+    dup = (
+        _docs(sf_dir)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c > 1")
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for gram in _grams(t, k):
+                ids.append(d)
+                gs.append(gram)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "g": pa.array(gs, pa.string())})
+
+    joined = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .join(dup, join_type="inner", num_partitions=8, on=("g",))
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["doc_id"]).group_by("doc_id").aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "n_dup_spans"])
+
+    dup_counts = (
+        joined.map_batches(dup_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_dup_spans", alias_name="n_dup_spans"))
+        .to_pandas()
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        n = [max(len(t.split()) - k + 1, 0) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "n_grams": pa.array(n, pa.int64())})
+
+    per_doc = _docs(sf_dir).map_batches(totals, batch_format="pyarrow").to_pandas()
+    out = per_doc[per_doc.n_grams > 0].merge(dup_counts, on="doc_id", how="left")
+    out["n_dup_spans"] = out.n_dup_spans.fillna(0).astype("int64")
+    out["dup_frac"] = (out.n_dup_spans / out.n_grams).round(6)
+    return (
+        out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64", "n_grams": "int64"})
+    )
+
+
+def _gram_sql(k: int) -> str:
+    return " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
+
+
+DUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) != ''
+),
+g AS (
+  SELECT doc_id, {_gram_sql(NGRAM_K)} AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_K - 1})) AS gs(i)
+),
+cnt AS (SELECT s, COUNT(*) AS c FROM g GROUP BY s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM g JOIN cnt USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic importance resampling (mixture reweighting)
+# --------------------------------------------------------------------------
+
+# per-lang keep probabilities (a DoReMi-style mixture reweight: upsample
+# is out of scope for a keep/drop pass, so weights are <= 1)
+RESAMPLE_WEIGHTS = {"en": 0.9, "de": 0.7, "es": 0.5, "fr": 0.5, "zh": 0.3}
+RESAMPLE_DEFAULT_W = 0.5
+
+
+def _w_threshold_hex(w: float) -> str:
+    """First-8-hex-digit threshold such that P[md5(doc_id) < thresh] ~ w.
+    md5 hex strings are fixed-length lowercase, so lexicographic compare
+    IS numeric compare on the 128-bit value; comparing against an
+    8-digit prefix + 24 zeros keeps the literal short and exact."""
+    return f"{int(w * (1 << 32)):08x}" + "0" * 24
+
+
+def importance_resample(sf_dir: str) -> pd.DataFrame:
+    """Keep each doc with per-lang probability w(lang), decided by a
+    deterministic md5 rank of doc_id (same doc set at any parallelism,
+    any cluster size — the property a resumable 100 TB sampling pass
+    needs). Output: per-lang kept doc count and kept char mass."""
+    from ray.data.aggregate import Sum
+
+    thresh = {lang: _w_threshold_hex(w) for lang, w in RESAMPLE_WEIGHTS.items()}
+    bcast = ray.put(thresh)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        th = ray.get(bcast)
+        langs = batch["lang"].to_pylist()
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            < th.get(lang, _w_threshold_hex(RESAMPLE_DEFAULT_W))
+            for d, lang in zip(batch["doc_id"].to_pylist(), langs)
+        ]
+        t = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array([1 if kp else 0 for kp in keep], pa.int64()),
+                "n_chars": pa.array(
+                    [c if kp else 0 for kp, c in zip(keep, batch["n_chars"].to_pylist())],
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by("lang").aggregate([("n_docs", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_chars"])
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "n_chars": "int64"})
+
+
+def _resample_case_sql() -> str:
+    arms = "\n    ".join(
+        f"WHEN lang = '{lang}' THEN '{_w_threshold_hex(w)}'"
+        for lang, w in sorted(RESAMPLE_WEIGHTS.items())
+    )
+    return f"CASE\n    {arms}\n    ELSE '{_w_threshold_hex(RESAMPLE_DEFAULT_W)}' END"
+
+
+IMPORTANCE_RESAMPLE_SQL = f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS n_chars
+FROM (
+  SELECT lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) < ({_resample_case_sql()}) AS kept
+  FROM documents
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# token-budget sequence packing (concat-and-chunk loader contract)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+PACK_SHARD = 1024  # docs per offset shard; #shards = #docs / 1024 drives the offset table
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
+    """Assign every document its training-sequence window under concat-
+    and-chunk packing: documents concatenate in doc_id order and split
+    into fixed `budget`-token sequences; a doc whose tokens straddle a
+    boundary spans several sequences. seq_first/seq_last are the global
+    sequence indices of the doc's first/last token. Distributed prefix
+    scan: per-shard (doc_id // {PACK_SHARD}) token totals -> driver
+    offset table (O(#shards) rows) -> broadcast -> per-shard vectorized
+    cumsum. Nothing corpus-sized lands on the driver before the final
+    per-doc collect (the driver contract)."""
+    from ray.data.aggregate import Sum
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.array([len(t.split()) for t in batch["text"].to_pylist()], np.int64)
+        t = pa.table(
+            {"shard": pa.array(ids // PACK_SHARD, pa.int64()), "toks": pa.array(toks, pa.int64())}
+        )
+        g = t.group_by("shard").aggregate([("toks", "sum")])
+        return g.rename_columns(["shard", "toks"])
+
+    shard_totals = (
+        _docs(sf_dir)
+        .map_batches(tok_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    offsets = dict(zip(shard_totals.shard, shard_totals.toks.cumsum().shift(1, fill_value=0)))
+    off_ref = ray.put(offsets)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("shard", pa.array(ids // PACK_SHARD, pa.int64()))
+
+    def scan_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "seq_first": pd.Series([], dtype="int64"),
+                    "seq_last": pd.Series([], dtype="int64"),
+                }
+            )
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        toks = g.text.map(lambda t: len(t.split())).to_numpy(dtype=np.int64)
+        if (toks <= 0).any():
+            raise ValueError(
+                "pack_sequences: zero-token document — the [seq_first, seq_last] "
+                "window is undefined for empty docs; filter them upstream"
+            )
+        end = toks.cumsum() + int(off[int(g.shard.iloc[0])])
+        start = end - toks
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.to_numpy(),
+                "n_tokens": toks,
+                "seq_first": start // budget,
+                "seq_last": (end - 1) // budget,
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(scan_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"doc_id": "int64", "n_tokens": "int64", "seq_first": "int64", "seq_last": "int64"}
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST((start + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS seq_last
+FROM c ORDER BY doc_id
+"""

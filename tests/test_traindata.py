@@ -1,0 +1,95 @@
+"""Training-data prep semantics (pipelines/traindata.py) locked against
+brute-force references; the driver oracle handles full value checks."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from paddle_ray.pipelines import traindata as td
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, n_chars FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+
+
+def test_duplicate_ngram_spans_vs_bruteforce(ray_session):
+    docs = _docs()
+    from collections import Counter
+
+    counts: Counter = Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        gs = td._grams(r.text, td.NGRAM_K)
+        per_doc[r.doc_id] = gs
+        counts.update(gs)
+    expect = {
+        d: (len(gs), sum(1 for g in gs if counts[g] > 1))
+        for d, gs in per_doc.items()
+        if gs
+    }
+    out = td.duplicate_ngram_spans(SF)
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_dup_spans)) for r in out.itertuples()}
+    assert got == expect
+    # non-vacuity both ways: some spans duplicated, some not
+    fracs = out.dup_frac
+    assert (fracs > 0).any() and (fracs < 1).any()
+    # planted exact-duplicate docs surface as fully-duplicated text
+    assert (fracs == 1.0).any()
+
+
+def test_importance_resample_deterministic_and_weighted(ray_session):
+    docs = _docs()
+    th = {l: td._w_threshold_hex(w) for l, w in td.RESAMPLE_WEIGHTS.items()}
+    default = td._w_threshold_hex(td.RESAMPLE_DEFAULT_W)
+    kept = docs[
+        [
+            hashlib.md5(str(d).encode()).hexdigest() < th.get(lang, default)
+            for d, lang in zip(docs.doc_id, docs.lang)
+        ]
+    ]
+    expect = (
+        kept.groupby("lang")
+        .agg(n_docs=("doc_id", "size"), n_chars=("n_chars", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "n_chars": "int64"})
+    )
+    got = td.importance_resample(SF)
+    pd.testing.assert_frame_equal(got, expect)
+    # the keep rate tracks the configured weight (binomial 3-sigma)
+    en = docs[docs.lang == "en"]
+    en_kept = int(got[got.lang == "en"].n_docs.iloc[0])
+    w = td.RESAMPLE_WEIGHTS["en"]
+    sigma = (len(en) * w * (1 - w)) ** 0.5
+    assert abs(en_kept - w * len(en)) < 4 * sigma
+    # and a second run returns the identical frame (determinism)
+    pd.testing.assert_frame_equal(td.importance_resample(SF), got)
+
+
+def test_pack_sequences_vs_cumsum_reference(ray_session):
+    docs = _docs()
+    toks = docs.text.map(lambda t: len(t.split())).to_numpy(dtype=np.int64)
+    end = toks.cumsum()
+    start = end - toks
+    expect = pd.DataFrame(
+        {
+            "doc_id": docs.doc_id.to_numpy(),
+            "n_tokens": toks,
+            "seq_first": start // td.PACK_BUDGET,
+            "seq_last": (end - 1) // td.PACK_BUDGET,
+        }
+    ).astype({"doc_id": "int64", "n_tokens": "int64", "seq_first": "int64", "seq_last": "int64"})
+    got = td.pack_sequences(SF)
+    pd.testing.assert_frame_equal(got, expect)
+    # sequences tile the corpus: windows are contiguous and monotone
+    assert (got.seq_first <= got.seq_last).all()
+    assert (got.seq_first.to_numpy()[1:] - got.seq_last.to_numpy()[:-1] <= 1).all()
+    # boundary-straddling docs exist at a 512-token budget on this corpus
+    assert (got.seq_last > got.seq_first).any()

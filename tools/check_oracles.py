@@ -71,6 +71,15 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    # soft per-query wall-time budget: one slow query once blanked an
+    # entire round's correctness artifact (dedup_clusters, 313 s at
+    # sf0.001 -> driver gate timeout -> CORRECTNESS_r02.json = {}).
+    # Anything over the budget is loudly flagged so it gets fixed before
+    # the driver's gate ever sees it.
+    import os
+
+    soft_budget_s = float(os.environ.get("ORACLE_SOFT_BUDGET_S", "30"))
+    slow: list[tuple[str, float]] = []
     unknown = only - set(qs)
     if unknown:
         # a typo'd filter must NOT produce a green "0 checks" run
@@ -87,6 +96,10 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        if dt > soft_budget_s:
+            slow.append((name, dt))
+            print(f"WARN {name}: {dt:.1f}s exceeds the {soft_budget_s:.0f}s soft budget "
+                  f"— fix before the driver's gate times out on it")
         if name not in oracles:
             print(f"rows-only {name}: {len(mine)} rows in {dt:.1f}s")
             n_rowsonly += 1
@@ -117,6 +130,8 @@ def main():
             print(f"PASS {name}: {len(mine)} rows in {dt:.1f}s")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if slow:
+        print("over-budget queries: " + ", ".join(f"{n} ({t:.0f}s)" for n, t in slow))
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
