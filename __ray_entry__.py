@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
         "lm_perplexity": webtext.lm_perplexity,
+        "perplexity_buckets": webtext.perplexity_buckets,
         "decontaminate": webtext.decontaminate,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": webtext.REPETITION_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,
+        "perplexity_buckets": webtext.PPL_BUCKETS_SQL_FULL,
         "decontaminate": webtext.DECONTAMINATE_SQL,
         "stratified_sample": webtext.STRATIFIED_SAMPLE_SQL_T.format(k=webtext.SAMPLE_PER_LANG),
         "normalize_texts": webtext.NORMALIZE_SQL,

@@ -462,16 +462,21 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # --------------------------------------------------------------------------
 
 Q11_NATION = 3
-Q11_FRACTION = 0.002
+# threshold = MULT x the average per-part value, not a fixed fraction of
+# the total: a fixed fraction goes vacuous as the part count grows (at
+# sf0.1 no part reached 0.002 of the total and the query returned a
+# column-less empty frame — caught by the sf0.1 gate audit), while the
+# avg-relative form keeps q11's scalar-subquery shape scale-invariant
+Q11_AVG_MULT = 2.0
 
 
 def q11_important_parts(sf_dir: str) -> pd.DataFrame:
     """q11 adaptation (no partsupp): part "value" = sum of extended price
     shipped by NATION_3 suppliers; keep parts whose value exceeds
-    FRACTION of the global total — q11's group-having-over-scalar-
-    subquery shape. The global total is summed from O(#blocks) partials
-    on the driver; the per-part frame never leaves the cluster until the
-    (output-sized) filtered collect."""
+    Q11_AVG_MULT x the average per-part value — q11's group-having-over-
+    scalar-subquery shape. The scalar (total, #parts) comes from
+    O(#blocks) partials on the driver; the per-part frame never leaves
+    the cluster until the (output-sized) filtered collect."""
     sup_keys, sup_nk = _supplier_nation_map(sf_dir)
     n3 = np.sort(sup_keys[sup_nk == Q11_NATION])
     bcast = ray.put(n3)
@@ -494,23 +499,27 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
     )
 
     def total_partial(batch: pa.Table) -> pa.Table:
-        return pa.table({"s": pa.array([pc.sum(batch["value"]).as_py() or 0.0], pa.float64())})
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(batch["value"]).as_py() or 0.0], pa.float64()),
+                "n": pa.array([len(batch)], pa.int64()),
+            }
+        )
 
-    total = float(
-        per_part.map_batches(total_partial, batch_format="pyarrow", batch_size=None).to_pandas().s.sum()
-    )
-    thresh = total * Q11_FRACTION
+    parts = per_part.map_batches(total_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    n_parts = int(parts.n.sum())
+    if n_parts == 0:
+        return pd.DataFrame(
+            {"l_partkey": pd.Series([], dtype="int64"), "value": pd.Series([], dtype="float64")}
+        )
+    thresh = float(parts.s.sum()) / n_parts * Q11_AVG_MULT
 
-    out = (
-        per_part.filter(expr=f"value > {thresh!r}")
-        .to_pandas()
-        .sort_values("l_partkey")
-        .reset_index(drop=True)
-    )
+    out = per_part.filter(expr=f"value > {thresh!r}").to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"l_partkey": pd.Series([], dtype="int64"), "value": pd.Series([], dtype="float64")}
         )
+    out = out.sort_values("l_partkey").reset_index(drop=True)
     out["value"] = out.value.round(4)
     return out.astype({"l_partkey": "int64"})
 
@@ -521,7 +530,7 @@ WITH v AS (
   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
   WHERE s_nationkey = {Q11_NATION}
   GROUP BY l_partkey
-), t AS (SELECT SUM(value) * {Q11_FRACTION} AS thresh FROM v)
+), t AS (SELECT AVG(value) * {Q11_AVG_MULT} AS thresh FROM v)
 SELECT l_partkey, ROUND(value, 4) AS value
 FROM v, t WHERE value > thresh ORDER BY l_partkey
 """

@@ -254,14 +254,18 @@ class _LMScorer:
             for w, c in sorted(Counter(ws).items()):
                 s += c * lp.get(w, d)
             xents.append(round(-s / len(ws), 6))
-        return pa.table(
-            {"doc_id": batch["doc_id"], "xent": pa.array(xents, pa.float64())}
-        )
+        # pass through every non-payload column (doc_id, and lang when the
+        # caller asked for it) so composed stages keep their keys
+        out = batch.drop_columns(["text"])
+        return out.append_column("xent", pa.array(xents, pa.float64()))
 
 
-def lm_perplexity(sf_dir: str, top_v: int = 1 << 16) -> pd.DataFrame:
-    """Per-doc cross-entropy (nats/word) under an add-one-smoothed unigram
-    LM trained on the SAME corpus — the CCNet perplexity-bucketing signal.
+def lm_scores_ds(sf_dir: str, top_v: int = 1 << 16, columns=("doc_id", "text")):
+    """The lm_perplexity pipeline WITHOUT the final sort/collect — a
+    Dataset of per-doc cross-entropies with every non-text input column
+    passed through, so downstream stages (perplexity_buckets) compose
+    on the stream instead of a driver frame. See lm_perplexity for the
+    model-building scale contract.
 
     Pass 1 (model): per-batch Counter partials -> groupby(word).sum —
     the shuffle moves one row per distinct word per block, never tokens.
@@ -328,18 +332,72 @@ def lm_perplexity(sf_dir: str, top_v: int = 1 << 16) -> pd.DataFrame:
     }
     model_ref = ray.put((logp, n_total, vocab))
 
-    out = (
-        _docs(sf_dir)
-        .map_batches(
-            _LMScorer,
-            batch_format="pyarrow",
-            concurrency=4,
-            fn_constructor_kwargs={"model_ref": model_ref},
-        )
-        .sort("doc_id")
-        .to_pandas()
+    return _docs(sf_dir, columns=columns).map_batches(
+        _LMScorer,
+        batch_format="pyarrow",
+        concurrency=4,
+        fn_constructor_kwargs={"model_ref": model_ref},
     )
-    return out
+
+
+def lm_perplexity(sf_dir: str, top_v: int = 1 << 16) -> pd.DataFrame:
+    """Per-doc cross-entropy under the corpus-trained unigram LM — the
+    driver-contract collect of lm_scores_ds (scale contract there)."""
+    return lm_scores_ds(sf_dir, top_v=top_v).sort("doc_id").to_pandas()
+
+
+PPL_N_BUCKETS = 3
+
+
+def perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail bucketing: per lang, rank docs by LM
+    cross-entropy and split into {PPL_N_BUCKETS} NTILE buckets (ties
+    broken by doc_id — the SQL NTILE order), reporting per-(lang,
+    bucket) doc counts and mean cross-entropy. The bucket assignment
+    runs as a groupby(lang).map_groups over slim (doc_id, xent) rows
+    (~16 B/doc in-worker; at 10^12-doc scale swap the exact NTILE for
+    thresholds from the mergeable log-histogram quantile sketch in
+    functions/sketch.py — same output contract, bounded memory)."""
+
+    def ntile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["xent", "doc_id"], kind="mergesort")
+        n = len(df)
+        base, rem = divmod(n, PPL_N_BUCKETS)
+        sizes = [base + 1] * rem + [base] * (PPL_N_BUCKETS - rem)
+        buckets = np.repeat(np.arange(1, PPL_N_BUCKETS + 1), sizes)
+        out = pd.DataFrame(
+            {"lang": df.lang.to_numpy(), "bucket": buckets, "xent": df.xent.to_numpy()}
+        )
+        g = out.groupby("bucket", as_index=False).agg(
+            lang=("lang", "first"), n_docs=("xent", "size"), avg_xent=("xent", "mean")
+        )
+        g["avg_xent"] = g.avg_xent.round(6)
+        return g[["lang", "bucket", "n_docs", "avg_xent"]]
+
+    out = (
+        lm_scores_ds(sf_dir, columns=("doc_id", "lang", "text"))
+        .groupby("lang")
+        .map_groups(ntile, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"bucket": "int64", "n_docs": "int64"})
+
+
+PPL_BUCKETS_SQL = f"""
+WITH ppl AS ({{lm_sql}})
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(xent), 6) AS avg_xent
+FROM (
+  SELECT d.lang,
+         ntile({PPL_N_BUCKETS}) OVER (PARTITION BY d.lang ORDER BY p.xent, p.doc_id) AS bucket,
+         p.xent
+  FROM ppl p JOIN documents d USING (doc_id)
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 LM_PERPLEXITY_SQL = """
@@ -360,6 +418,10 @@ FROM documents d LEFT JOIN (
 ) x USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# the bucket oracle nests the FULL perplexity oracle, so any LM/smoothing
+# drift breaks both checks at once instead of silently diverging
+PPL_BUCKETS_SQL_FULL = PPL_BUCKETS_SQL.format(lm_sql=LM_PERPLEXITY_SQL)
 
 
 # --------------------------------------------------------------------------

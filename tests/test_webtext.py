@@ -249,3 +249,19 @@ def test_tfidf_rare_term_outranks_common(tmp_path):
     # ubiquitous terms score 0 and never beat zebra
     zebra = float(en[en.term == "zebra"].tfidf.iloc[0])
     assert zebra > 0
+
+
+def test_perplexity_buckets_ntile_semantics(ray_session):
+    """NTILE(3) parity: bucket sizes differ by at most one, earlier
+    buckets get the extra rows, and buckets order by cross-entropy
+    (head = lowest xent = most fluent, CCNet's keep bucket)."""
+    from paddle_ray.pipelines.webtext import perplexity_buckets
+
+    out = perplexity_buckets("/root/testdata/sf0.001")
+    for lang, g in out.groupby("lang"):
+        sizes = g.sort_values("bucket").n_docs.tolist()
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # extras go to the front
+        x = g.sort_values("bucket").avg_xent.tolist()
+        assert x == sorted(x)  # bucket 1 = lowest mean cross-entropy
+    assert set(out.bucket) == {1, 2, 3}
