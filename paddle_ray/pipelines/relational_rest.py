@@ -838,11 +838,16 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     every other supplier's latest shipment "held up the order"; count
     such orders per NATION_3 supplier. This is q21's exists/not-exists
     pair re-expressed as an argmax-with-uniqueness. Dataflow: per-block
-    (orderkey, suppkey) max-shipdate partials -> groupby both keys ->
-    coarse-hash map_groups (orderkey % {Q21_COARSE_PARTS} partitions,
-    events_sessionize pattern) doing the per-order argmax vectorized in
-    pandas -> per-suppkey counts. No per-order task explosion; the
-    driver sees only (suppkey, numwait) rows."""
+    (orderkey, suppkey) max-shipdate partials tagged with a coarse
+    partition key -> ONE single-key groupby over {Q21_COARSE_PARTS}
+    coarse partitions (events_sessionize pattern; an orderkey's rows
+    all land in one partition, so the pair-level max merges INSIDE the
+    partition — a global two-key groupby here cost 19 s at sf0.1 purely
+    in shuffle machinery for ~10^5 groups) -> vectorized per-order
+    argmax in pandas -> per-suppkey counts. At 10^12 rows the coarse
+    part count scales with the cluster (it bounds per-group residency
+    at pre-aggregated-pairs / parts). The driver sees only (suppkey,
+    numwait) rows."""
     sup_keys, sup_nk = _supplier_nation_map(sf_dir)
     n3 = np.sort(sup_keys[sup_nk == Q21_NATION])
     bcast = ray.put(n3)
@@ -864,17 +869,15 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
             "part", pc.cast(pc.bit_wise_and(g["l_orderkey"], pa.scalar(Q21_COARSE_PARTS - 1)), pa.int64())
         )
 
-    from ray.data.aggregate import Max
-
-    per_pair = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-        .map_batches(max_partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("mx", alias_name="mx"), Max("part", alias_name="part"))
-    )
+    per_pair = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(max_partial, batch_format="pyarrow", batch_size=None)
 
     def order_argmax(df: pd.DataFrame) -> pd.DataFrame:
         n3_ = ray.get(bcast)
+        # merge the per-block partial maxes within the partition (all of
+        # an orderkey's rows are here, so this is exact)
+        df = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).mx.max()
         stats = df.groupby("l_orderkey").mx.agg(["max", "size"])
         df = df.merge(stats, left_on="l_orderkey", right_index=True)
         at_max = df[(df["size"] >= 2) & (df.mx == df["max"])]
