@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events.events_distinct_users,
         "events_interval_pairs": lambda sf: events.events_interval_pairs(sf, 900),
         "events_running_value": events.events_running_value,
+        "events_latest_per_user": events.events_latest_per_user,
         # heavy hitters: rows-only (Misra-Gries estimate is engine-defined;
         # value companion = events_topk_users' exact shuffle, accuracy in
         # tests/test_sketch.py)
@@ -476,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": events.EVENTS_DISTINCT_USERS_SQL,
         "events_interval_pairs": events.EVENTS_INTERVAL_SQL_T.format(band_s=900),
         "events_running_value": events.EVENTS_RUNNING_SQL,
+        "events_latest_per_user": events.EVENTS_LATEST_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

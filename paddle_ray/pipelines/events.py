@@ -564,3 +564,53 @@ SELECT event_id,
              4) AS running_value
 FROM events ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# CDC compaction: latest row per key (upsert-merge / snapshot shape)
+# --------------------------------------------------------------------------
+
+def events_latest_per_user(sf_dir: str) -> pd.DataFrame:
+    """Latest event per user — the change-data-capture compaction / upsert-
+    merge shape (collapse an update stream to its current snapshot).
+    Winner = max (ts, event_id) per user_id; event_id breaks same-µs ties
+    deterministically. Two-level argmax: each block keeps ONE candidate
+    row per user it sees (vectorized sort + drop_duplicates — the shuffle
+    then moves at most one row per (user, block), never the stream), and
+    the per-user groups that reach map_groups are #blocks-bounded. At
+    10^12 events the shuffle volume is snapshot-sized, not stream-sized.
+    Oracled by EVENTS_LATEST_SQL (row_number() OVER ... DESC = 1)."""
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("user_id", keep="last"), preserve_index=False)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.tail(1)
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type", "value"])
+        .map_batches(block_best, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out = out.rename(
+        columns={"ts": "last_ts", "event_id": "last_event_id", "event_type": "last_event_type", "value": "last_value"}
+    )
+    return out[["user_id", "last_ts", "last_event_id", "last_event_type", "last_value"]].astype(
+        {"user_id": "int64", "last_event_id": "int64"}
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""

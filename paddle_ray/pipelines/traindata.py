@@ -58,20 +58,31 @@ def _grams(text: str, k: int) -> list[str]:
     return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
 
 
-def duplicate_ngram_spans(sf_dir: str, k: int = NGRAM_K) -> pd.DataFrame:
+def duplicate_ngram_spans(sf_dir: str, k: int = NGRAM_K, hashed: bool = False) -> pd.DataFrame:
     """Per-doc duplicated-span stats: how many of a document's k-gram
     positions carry a gram that occurs more than once ACROSS THE WHOLE
     CORPUS (counting positions, so within-doc repeats count too). The
     per-doc dup_frac is the signal Lee et al. threshold to drop or trim
-    documents made of copied text."""
+    documents made of copied text.
+
+    hashed=True is the 100 TB path: grams shuffle as 32-hex-char
+    blake2b-128 digests instead of raw strings (a real-webtext 50-token
+    gram is ~300 B; the digest is 32 B) — identical output up to a
+    ~1e-20 collision probability, asserted equal to the exact path in
+    test_traindata. The oracle runs against the exact path."""
     from ray.data.aggregate import Sum
+
+    def gkey(g: str) -> str:
+        if not hashed:
+            return g
+        return hashlib.blake2b(g.encode(), digest_size=16).hexdigest()
 
     def count_partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
         c: Counter = Counter()
         for t in batch["text"].to_pylist():
-            c.update(_grams(t, k))
+            c.update(gkey(g) for g in _grams(t, k))
         return pa.table(
             {"g": pa.array(list(c.keys()), pa.string()),
              "c": pa.array(list(c.values()), pa.int64())}
@@ -90,7 +101,7 @@ def duplicate_ngram_spans(sf_dir: str, k: int = NGRAM_K) -> pd.DataFrame:
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             for gram in _grams(t, k):
                 ids.append(d)
-                gs.append(gram)
+                gs.append(gkey(gram))
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "g": pa.array(gs, pa.string())})
 
     joined = (

@@ -141,3 +141,30 @@ def test_to_cents_matches_duckdb_round():
     assert got == expect, [
         (v, g, e) for v, g, e in zip(vals, got, expect) if g != e
     ][:5]
+
+
+def test_events_latest_per_user_vs_bruteforce(ray_session):
+    """CDC compaction: winner per user = max (ts, event_id); the two-level
+    argmax must agree with a pandas groupby-tail reference."""
+    import duckdb
+    import pandas as pd
+
+    from paddle_ray.pipelines.events import events_latest_per_user
+
+    sf = "/root/testdata/sf0.001"
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type, value FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    expect = (
+        ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .drop_duplicates("user_id", keep="last")
+        .rename(columns={"ts": "last_ts", "event_id": "last_event_id",
+                         "event_type": "last_event_type", "value": "last_value"})
+        [["user_id", "last_ts", "last_event_id", "last_event_type", "last_value"]]
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "last_event_id": "int64"})
+    )
+    got = events_latest_per_user(sf)
+    pd.testing.assert_frame_equal(got, expect)
+    # snapshot-sized: exactly one row per distinct user
+    assert got.user_id.is_unique and len(got) == ev.user_id.nunique()

@@ -93,3 +93,11 @@ def test_pack_sequences_vs_cumsum_reference(ray_session):
     assert (got.seq_first.to_numpy()[1:] - got.seq_last.to_numpy()[:-1] <= 1).all()
     # boundary-straddling docs exist at a 512-token budget on this corpus
     assert (got.seq_last > got.seq_first).any()
+
+
+def test_duplicate_ngram_spans_hashed_path_identical(ray_session):
+    """The 100 TB hashed-shuffle variant must produce the exact-path
+    output bit-for-bit (blake2b-128 collisions are ~1e-20 here)."""
+    exact = td.duplicate_ngram_spans(SF)
+    hashed = td.duplicate_ngram_spans(SF, hashed=True)
+    pd.testing.assert_frame_equal(hashed, exact)
