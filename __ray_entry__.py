@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_image_stats": _extract_image_stats,
         "curate_corpus": curate.curate_corpus,
         "curate_corpus_v2": curate.curate_corpus_v2,
+        "curate_corpus_v3": curate.curate_corpus_v3,
         # --- relational operators ----------------------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_corpus": curate.CURATE_SQL,
         "curate_corpus_v2": curate.CURATE_V2_SQL,
+        "curate_corpus_v3": curate.CURATE_V3_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

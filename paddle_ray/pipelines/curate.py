@@ -280,3 +280,186 @@ GROUP BY lang ORDER BY lang
 
 
 CURATE_V2_SQL = _curate_v2_sql()
+
+
+# --------------------------------------------------------------------------
+# v3: extraction -> paragraph dedup -> token stats -> importance resample
+# --------------------------------------------------------------------------
+
+def curate_corpus_v3(sf_dir: str) -> pd.DataFrame:
+    """The round-3 curation chain over EXTRACTED text:
+
+        pages -> extraction (actor pool, byte-identical per url)
+              -> paragraph-level global first-occurrence dedup
+                 (scrub.py derivation: own text + two planted boilerplate
+                 paragraphs; 40 B winner-election shuffle + one hash-join
+                 apply pass)
+              -> per-doc token count over the CLEANED text
+              -> deterministic importance resample (traindata.py per-lang
+                 md5 thresholds)
+              -> per-lang rollup (n_docs kept, kept token mass,
+                 boilerplate paragraphs removed)
+
+    Extraction is byte-identical per url (extract_roundtrip oracle), so
+    one SQL oracle over `documents` value-checks the whole composition.
+    Scale notes: extraction output is immediately shrunk to paragraph
+    rows; the winner election shuffles (md5, key) only; paragraph text
+    crosses exactly one join; the resample decision is stateless; the
+    rollup moves one (lang, partials) row per block."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    from .scrub import _N_PARAS, _doc_paras
+    from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    ds = extract_pipeline(pages_from_documents(sf_dir), cfg=cfg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # lang stays OUT of the exploded rows: it is recovered at rollup
+        # time from a slim broadcast doc_id -> lang map, so the paragraph
+        # shuffle carries nothing but (md5, key, tok-count)
+        ids, hs, keys, toks = [], [], [], []
+        for url, text in zip(batch["url"].to_pylist(), batch["extracted_text"].to_pylist()):
+            doc_id = int(url.rsplit("/", 1)[1])
+            for i, p in enumerate(_doc_paras(doc_id, text)):
+                ids.append(doc_id)
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+                keys.append(doc_id * _N_PARAS + i)
+                toks.append(len(p.split()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "para_md5": pa.array(hs, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "n_tok": pa.array(toks, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+    # winner election over slim (md5, key) rows — paragraph text (and even
+    # token counts) stay out of this shuffle
+    winners = (
+        exploded.select_columns(["para_md5", "key"])
+        .groupby("para_md5")
+        .aggregate(Min("key", alias_name="win_key"))
+    )
+
+    joined = exploded.join(winners, join_type="inner", num_partitions=8, on=("para_md5",))
+
+    thresh = {lang: _w_threshold_hex(w) for lang, w in RESAMPLE_WEIGHTS.items()}
+    default_th = _w_threshold_hex(RESAMPLE_DEFAULT_W)
+    import ray as _ray
+
+    # the join hash-partitions by para_md5, so ONE DOC'S ROWS CAN SPAN
+    # BATCHES — counting docs on raw join batches would double-count.
+    # Stage 1 emits per-doc partials; the doc_id groupby merges split
+    # docs exactly before anything counts them.
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        kept = df.key == df.win_key
+        per_doc = (
+            pd.DataFrame(
+                {
+                    "doc_id": df.doc_id,
+                    "n_tok": df.n_tok.where(kept, 0),
+                    "removed": (~kept).astype("int64"),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(per_doc, preserve_index=False)
+
+    per_doc = (
+        joined.map_batches(doc_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_tok", alias_name="n_tok"), Sum("removed", alias_name="removed"))
+    )
+    # lang was dropped by the doc_id groupby key set; recover it from the
+    # deterministic doc_id -> lang map of the source table (slim read)
+    import numpy as np
+
+    from .common import read_table as _read_table
+
+    lang_map = _read_table(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    order = np.argsort(lang_map.doc_id.to_numpy())
+    lm_keys = lang_map.doc_id.to_numpy()[order]
+    lm_langs = lang_map.lang.to_numpy()[order]
+    lm_ref = _ray.put((lm_keys, lm_langs, thresh, default_th))
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        lm_keys_, lm_langs_, th, dth = _ray.get(lm_ref)
+        df = batch.to_pandas()
+        idx = np.searchsorted(lm_keys_, df.doc_id.to_numpy())
+        df["lang"] = lm_langs_[idx]
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest() < th.get(lang, dth)
+            for d, lang in zip(df.doc_id, df.lang)
+        ]
+        df = df[pd.Series(keep, index=df.index)]
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tok", "sum"), paras_removed=("removed", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        per_doc.map_batches(lang_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("paras_removed", alias_name="paras_removed"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_docs": "int64", "sum_tokens": "int64", "paras_removed": "int64"})
+
+
+def _curate_v3_sql() -> str:
+    from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
+
+    arms = "\n         ".join(
+        f"WHEN lang = '{lang}' THEN '{_w_threshold_hex(w)}'"
+        for lang, w in sorted(RESAMPLE_WEIGHTS.items())
+    )
+    return f"""
+WITH base AS (SELECT doc_id, lang, text FROM documents),
+paras AS (
+  SELECT doc_id, 0 AS idx, text AS para FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'subscribe to newsletter variant ' || (doc_id % 7) FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'copyright footer ' || (doc_id % 3) FROM base
+),
+ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+),
+cleaned AS (
+  SELECT doc_id,
+         SUM(CASE WHEN rn = 1
+                  THEN len(regexp_split_to_array(trim(para), '\\s+')) ELSE 0 END) AS n_tok,
+         SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS removed
+  FROM ranked GROUP BY doc_id
+),
+kept AS (
+  SELECT b.lang, c.n_tok, c.removed
+  FROM cleaned c JOIN base b USING (doc_id)
+  WHERE md5(CAST(b.doc_id AS VARCHAR)) < (CASE
+         {arms}
+         ELSE '{_w_threshold_hex(RESAMPLE_DEFAULT_W)}' END)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(removed) AS BIGINT) AS paras_removed
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+CURATE_V3_SQL = _curate_v3_sql()

@@ -429,3 +429,40 @@ def test_interval_pairs_equal_timestamps_strict(tmp_path):
     # strict pairs within 900s: (t0,a)->(t0+10) twice; the t0==t0 pair and
     # anything to t0+5000s are excluded
     assert out.to_dict("records") == [{"user_id": 1, "n_pairs": 2}]
+
+
+def test_curate_v3_paragraph_dedup_and_resample_compose(ray_session):
+    """v3 invariants that the SQL oracle can't isolate: the per-lang doc
+    counts equal the resample keep-set sizes, and boilerplate removal is
+    non-vacuous (later docs lose their planted paragraphs)."""
+    import hashlib
+
+    import duckdb
+
+    from paddle_ray.pipelines.curate import curate_corpus_v3
+    from paddle_ray.pipelines.traindata import (
+        RESAMPLE_DEFAULT_W,
+        RESAMPLE_WEIGHTS,
+        _w_threshold_hex,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = curate_corpus_v3(sf)
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    th = {l: _w_threshold_hex(w) for l, w in RESAMPLE_WEIGHTS.items()}
+    dth = _w_threshold_hex(RESAMPLE_DEFAULT_W)
+    kept = docs[
+        [
+            hashlib.md5(str(d).encode()).hexdigest() < th.get(lang, dth)
+            for d, lang in zip(docs.doc_id, docs.lang)
+        ]
+    ]
+    expect_counts = kept.groupby("lang").size().to_dict()
+    got_counts = dict(zip(out.lang, out.n_docs))
+    assert got_counts == expect_counts
+    # 2 planted boilerplate paragraphs per doc; all but ~10 first-
+    # occurrence owners lose both — removal must be near 2 per kept doc
+    assert out.paras_removed.sum() > 1.5 * out.n_docs.sum()
+    assert out.sum_tokens.sum() > 0
