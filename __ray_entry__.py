@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_quantize_error": similarity.embedding_quantize_error,
         # --- text analysis ------------------------------------------------
         "token_counts": analysis.token_counts,
         "quality_scores": analysis.quality_scores,
@@ -445,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
+        "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,

@@ -454,3 +454,103 @@ SELECT CAST(label AS BIGINT) AS label, CAST(gs.i - 1 AS BIGINT) AS dim,
 FROM embeddings e, LATERAL unnest(generate_series(1, len(embedding))) AS gs(i)
 GROUP BY label, gs.i ORDER BY label, dim
 """
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization + reconstruction error (vector compression)
+# --------------------------------------------------------------------------
+
+PQ_LEVELS = 255  # uint8 code book per dimension
+
+
+def embedding_quantize_error(sf_dir: str) -> pd.DataFrame:
+    """Per-label reconstruction error of per-dimension uint8 scalar
+    quantization — the vector-compression stage every large ANN index
+    runs before sharding (FAISS SQ8 shape). Two passes:
+
+    pass 1: per-dimension (min, max) over the corpus as per-block
+    partial rows (one 2x64-float row per block), reduced driver-side
+    over O(#blocks) rows and broadcast once.
+
+    pass 2: stateless vectorized quantize -> reconstruct -> per-vector
+    MSE -> per-(label, block) partials -> #labels-sized groupby.
+
+    Float-parity contract with the oracle: embeddings are float32 in
+    parquet; both sides promote to float64 BEFORE arithmetic, quantize
+    with floor(x + 0.5) (DuckDB ROUND's half-away rule — numpy round is
+    half-to-even), and report avg MSE scaled by 1e6 so the driver's
+    6-decimal float canonicalization retains ~12 significant digits.
+    Constant dimensions (max == min) encode to code 0 / reconstruct to
+    the minimum, contributing zero error on both sides."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        X = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "mn": pa.array([X.min(axis=0).tolist()]),
+                "mx": pa.array([X.max(axis=0).tolist()]),
+            }
+        )
+
+    emb = lambda cols: sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+    parts = emb(["embedding"]).map_batches(mm_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    mn = np.vstack(parts.mn.to_numpy()).min(axis=0)
+    mx = np.vstack(parts.mx.to_numpy()).max(axis=0)
+    mm_ref = _ray.put((mn, mx))
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        mn_, mx_ = _ray.get(mm_ref)
+        X = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        scale = mx_ - mn_
+        safe = np.where(scale > 0, scale, 1.0)
+        code = np.floor((X - mn_) / safe * PQ_LEVELS + 0.5)
+        code = np.where(scale > 0, code, 0.0)
+        recon = mn_ + code / PQ_LEVELS * safe * (scale > 0)
+        mse = ((X - recon) ** 2).mean(axis=1)
+        t = pa.table(
+            {
+                "label": batch["label"],
+                "n_vecs": pa.array(np.ones(len(X), np.int64)),
+                "sum_mse": pa.array(mse, pa.float64()),
+            }
+        )
+        g = t.group_by("label").aggregate([("n_vecs", "sum"), ("sum_mse", "sum")])
+        return g.rename_columns(["label", "n_vecs", "sum_mse"])
+
+    out = (
+        emb(["embedding", "label"])
+        .map_batches(err_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_mse", alias_name="sum_mse"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    out["avg_mse_e6"] = (out.sum_mse / out.n_vecs * 1e6).round(6)
+    return out[["label", "n_vecs", "avg_mse_e6"]].astype({"label": "int64", "n_vecs": "int64"})
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH d AS (
+  SELECT vec_id, label, CAST(embedding[dim] AS DOUBLE) AS x, dim
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS gs(dim)
+),
+mm AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+q AS (
+  SELECT vec_id, label,
+         CASE WHEN mx > mn
+              THEN pow(x - (mn + floor((x - mn) / (mx - mn) * {PQ_LEVELS} + 0.5)
+                              / {PQ_LEVELS} * (mx - mn)), 2)
+              ELSE 0.0 END AS sqerr
+  FROM d JOIN mm USING (dim)
+),
+r AS (SELECT vec_id, label, AVG(sqerr) AS mse FROM q GROUP BY 1, 2)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(mse) * 1e6, 6) AS avg_mse_e6
+FROM r GROUP BY label ORDER BY label
+"""

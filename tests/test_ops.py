@@ -466,3 +466,28 @@ def test_curate_v3_paragraph_dedup_and_resample_compose(ray_session):
     # occurrence owners lose both — removal must be near 2 per kept doc
     assert out.paras_removed.sum() > 1.5 * out.n_docs.sum()
     assert out.sum_tokens.sum() > 0
+
+
+def test_embedding_quantize_error_bounds(ray_session):
+    """SQ8 reconstruction error must be bounded by the quantization-cell
+    geometry: per-dim cell = range/255, worst per-dim sqerr = (cell/2)^2,
+    so per-vector MSE <= mean over dims of (range_d/510)^2. And the
+    error must be nonzero (float32 data never lands exactly on codes)."""
+    import duckdb
+    import numpy as np
+
+    from paddle_ray.pipelines.similarity import PQ_LEVELS, embedding_quantize_error
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_quantize_error(sf)
+    X = np.asarray(
+        duckdb.sql(f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet')")
+        .df()
+        .embedding.to_list(),
+        dtype=np.float64,
+    )
+    cell = (X.max(axis=0) - X.min(axis=0)) / PQ_LEVELS
+    bound_e6 = ((cell / 2) ** 2).mean() * 1e6
+    assert (out.avg_mse_e6 > 0).all()
+    assert (out.avg_mse_e6 <= bound_e6 + 1e-9).all()
+    assert out.n_vecs.sum() == len(X)
