@@ -577,23 +577,29 @@ def events_latest_per_user(sf_dir: str) -> pd.DataFrame:
     deterministically. Two-level argmax: each block keeps ONE candidate
     row per user it sees (vectorized sort + drop_duplicates — the shuffle
     then moves at most one row per (user, block), never the stream), and
-    the per-user groups that reach map_groups are #blocks-bounded. At
-    10^12 events the shuffle volume is snapshot-sized, not stream-sized.
-    Oracled by EVENTS_LATEST_SQL (row_number() OVER ... DESC = 1)."""
+    the merge runs over COARSE hash partitions (user_id % 64, the
+    events_sessionize pattern — one vectorized pandas pass per
+    partition, not one Python call per user; at 10^8 users a per-user
+    map_groups is pure scheduling overhead). Shuffle volume stays
+    snapshot-sized. Oracled by EVENTS_LATEST_SQL (row_number() OVER ...
+    DESC = 1)."""
+    n_parts = 64
 
     def block_best(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        return pa.Table.from_pandas(df.drop_duplicates("user_id", keep="last"), preserve_index=False)
+        df = df.drop_duplicates("user_id", keep="last")
+        df["part"] = (df.user_id % n_parts).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        return df.tail(1)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last").drop(columns=["part"])
 
     out = (
         _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type", "value"])
         .map_batches(block_best, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
+        .groupby("part")
         .map_groups(pick, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")

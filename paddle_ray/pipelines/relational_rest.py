@@ -124,6 +124,18 @@ def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
 
+    if winners.empty:
+        # all-filtered pipeline -> column-less frame; return the typed
+        # empty schema the oracle produces (q11's sf0.1 lesson)
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype="int64"),
+                "p_name": pd.Series([], dtype="object"),
+                "s_name": pd.Series([], dtype="object"),
+                "s_acctbal": pd.Series([], dtype="float64"),
+                "n_name": pd.Series([], dtype="object"),
+            }
+        )
     # attach names driver-side for the <= #qualifying-parts winners only
     n2name = dict(zip(nation.n_nationkey, nation.n_name))
     sup_attr = sup.set_index("s_suppkey")
@@ -363,9 +375,13 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         .groupby("o_year")
         .aggregate(Sum("volume", alias_name="volume"), Sum("nation_volume", alias_name="nation_volume"))
         .to_pandas()
-        .sort_values("o_year")
-        .reset_index(drop=True)
     )
+    if out.empty:
+        # all-filtered -> column-less frame; typed empty (q11's lesson)
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype="int64"), "mkt_share": pd.Series([], dtype="float64")}
+        )
+    out = out.sort_values("o_year").reset_index(drop=True)
     out["mkt_share"] = (out.nation_volume / out.volume).round(6)
     return out[["o_year", "mkt_share"]].astype({"o_year": "int64"})
 
@@ -435,6 +451,14 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("sum_profit", alias_name="sum_profit"))
         .to_pandas()
     )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "nation": pd.Series([], dtype="object"),
+                "o_year": pd.Series([], dtype="int64"),
+                "sum_profit": pd.Series([], dtype="float64"),
+            }
+        )
     out["nation"] = out.nk.map(n2name)
     out["sum_profit"] = out.sum_profit.round(4)
     return (
@@ -669,15 +693,22 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[matched]
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[matched]
         keep = qty < Q17_QTY_FRAC * avgs
-        return pa.table({"s": pa.array([float(price[keep].sum())], pa.float64())})
+        return pa.table(
+            {
+                "s": pa.array([float(price[keep].sum())], pa.float64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
 
-    total = float(
+    parts2 = (
         _read(sf_dir, "lineitem", columns=li_cols)
         .map_batches(rev_partial, batch_format="pyarrow", batch_size=None)
         .to_pandas()
-        .s.sum()
     )
-    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 4)]})
+    if int(parts2.n.sum()) == 0:
+        # SUM over zero rows is NULL in the oracle, not 0.0
+        return pd.DataFrame({"avg_yearly": pd.Series([None], dtype="float64")})
+    return pd.DataFrame({"avg_yearly": [round(float(parts2.s.sum()) / 7.0, 4)]})
 
 
 Q17_SQL = f"""

@@ -134,9 +134,9 @@ def duplicate_ngram_spans(sf_dir: str, k: int = NGRAM_K, hashed: bool = False) -
     )
 
 
-def _gram_sql(k: int) -> str:
-    return " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
-
+# ONE owner of the gram-SQL builder (webtext.py) — a second copy here
+# could silently desynchronize the two oracle generators
+from .webtext import _gram_sql
 
 DUP_NGRAM_SQL = f"""
 WITH toks AS (
@@ -184,12 +184,13 @@ def importance_resample(sf_dir: str) -> pd.DataFrame:
     thresh = {lang: _w_threshold_hex(w) for lang, w in RESAMPLE_WEIGHTS.items()}
     bcast = ray.put(thresh)
 
+    default_th = _w_threshold_hex(RESAMPLE_DEFAULT_W)
+
     def partial(batch: pa.Table) -> pa.Table:
         th = ray.get(bcast)
         langs = batch["lang"].to_pylist()
         keep = [
-            hashlib.md5(str(d).encode()).hexdigest()
-            < th.get(lang, _w_threshold_hex(RESAMPLE_DEFAULT_W))
+            hashlib.md5(str(d).encode()).hexdigest() < th.get(lang, default_th)
             for d, lang in zip(batch["doc_id"].to_pylist(), langs)
         ]
         t = pa.table(
