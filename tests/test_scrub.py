@@ -88,3 +88,56 @@ def test_paragraph_dedup_matches_bruteforce_first_occurrence(ray_session):
     assert sum(n for n, _ in got.values()) < 3 * len(docs)
     # but every doc's own unique text survives (n_kept >= 1) in this corpus
     assert all(n >= 1 for n, _ in got.values())
+
+
+def test_paragraph_dedup_adversarial_cross_position_duplicates(ray_session):
+    """Adversarial corpus: a doc whose OWN text equals another doc's
+    planted boilerplate (cross-position duplicate), plus two docs with
+    identical own text. First-occurrence order is global (doc_id, idx),
+    so doc 0's para0 'copyright footer 1' must beat doc 1's para2 of the
+    same string, and doc 3's copy of doc 2's text must lose."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, "copyright footer 1"),          # == doc 1's idx-2 boilerplate
+        (1, "unique text one"),
+        (2, "shared body text"),
+        (3, "shared body text"),            # exact duplicate of doc 2
+        (4, "subscribe to newsletter variant 4"),  # == its OWN idx-1 boilerplate
+    ]
+    d = tempfile.mkdtemp(prefix="para_adv_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = scrub.paragraph_dedup(d)
+        got = {int(r.doc_id): int(r.n_kept) for r in out.itertuples()}
+        # brute-force reference over the same derivation
+        first, expect = {}, {}
+        for i, t in docs:
+            kept = 0
+            for j, p in enumerate(scrub._doc_paras(i, t)):
+                if p not in first:
+                    first[p] = (i, j)
+                    kept += 1
+            expect[i] = kept
+        assert got == expect
+        # the specific adversarial claims
+        assert expect[0] == 3          # doc 0 wins everything incl. the footer string
+        # doc 3 keeps only its variant-3 subscribe line: its own text lost
+        # to doc 2 AND its footer (3 % 3 = 0) lost to doc 0's footer
+        assert expect[3] == 1
+        assert expect[4] == 2          # doc 4's own text == its boilerplate: kept once
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

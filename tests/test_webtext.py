@@ -265,3 +265,24 @@ def test_perplexity_buckets_ntile_semantics(ray_session):
         x = g.sort_values("bucket").avg_xent.tolist()
         assert x == sorted(x)  # bucket 1 = lowest mean cross-entropy
     assert set(out.bucket) == {1, 2, 3}
+
+
+def test_ntile_assignment_matches_duckdb_for_all_group_sizes():
+    """The divmod/np.repeat NTILE replica must equal DuckDB NTILE(3) for
+    every group size 1..40 (first n%3 buckets take the extra row)."""
+    import duckdb
+    import numpy as np
+
+    from paddle_ray.pipelines.webtext import PPL_N_BUCKETS
+
+    for n in range(1, 41):
+        base, rem = divmod(n, PPL_N_BUCKETS)
+        sizes = [base + 1] * rem + [base] * (PPL_N_BUCKETS - rem)
+        mine = np.repeat(np.arange(1, PPL_N_BUCKETS + 1), sizes).tolist()
+        ora = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT ntile({PPL_N_BUCKETS}) OVER (ORDER BY i) FROM range({n}) t(i)"
+            ).fetchall()
+        ]
+        assert mine == ora, n
