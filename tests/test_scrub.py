@@ -138,6 +138,9 @@ def test_paragraph_dedup_adversarial_cross_position_duplicates(ray_session):
         # doc 3 keeps only its variant-3 subscribe line: its own text lost
         # to doc 2 AND its footer (3 % 3 = 0) lost to doc 0's footer
         assert expect[3] == 1
-        assert expect[4] == 2          # doc 4's own text == its boilerplate: kept once
+        # doc 4's own text == its OWN subscribe boilerplate (kept once, at
+        # idx 0) and its footer (4 % 3 = 1) lost to doc 0's own text —
+        # only the one merged string survives
+        assert expect[4] == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
