@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": relational_more.q16_supplier_cnt,
         "q22_sales_opportunity": relational_more.q22_sales_opportunity,
         "orders_rollup": relational_more.orders_rollup,
+        "orders_cube": relational_more.orders_cube,
         "lang_modal_source": relational_more.lang_modal_source,
         "year_reconcile": relational_more.year_reconcile,
         "orders_running_total": relational_more.orders_running_total,
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_cnt": relational_more.Q16_SQL,
         "q22_sales_opportunity": relational_more.Q22_SQL,
         "orders_rollup": relational_more.ROLLUP_SQL,
+        "orders_cube": relational_more.CUBE_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
         "orders_running_total": relational_more.RUNNING_TOTAL_SQL,

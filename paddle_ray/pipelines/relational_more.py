@@ -597,3 +597,86 @@ SELECT o_orderstatus, bucket, CAST(n AS BIGINT) AS n
 FROM wide UNPIVOT (n FOR bucket IN (high_count, low_count))
 ORDER BY o_orderstatus, bucket
 """
+
+
+# --------------------------------------------------------------------------
+# CUBE shape (all grouping-set marginals from one distributed pass)
+# --------------------------------------------------------------------------
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(status, priority): detail rows + BOTH one-dimension marginals
+    + grand total ('ALL' marks each collapsed level) — the grouping-sets
+    shape ROLLUP doesn't cover (the per-priority marginal). Same scale
+    contract as orders_rollup: ONE distributed pass computes the finest
+    grouping; every coarser set reduces from that #status x #priority
+    frame driver-side, never a second corpus scan. Oracled by CUBE_SQL
+    (DuckDB GROUP BY CUBE)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .common import to_cents
+
+        cents = pa.array(to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "cents": g["cents_sum"],
+                "n": g["cents_count"],
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by_status = (
+        fine.groupby("o_orderstatus", as_index=False)
+        .agg(cents=("cents", "sum"), n=("n", "sum"))
+        .assign(o_orderpriority="ALL")
+    )
+    by_priority = (
+        fine.groupby("o_orderpriority", as_index=False)
+        .agg(cents=("cents", "sum"), n=("n", "sum"))
+        .assign(o_orderstatus="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "cents": [fine.cents.sum()],
+            "n": [fine.n.sum()],
+        }
+    )
+    out = pd.concat([fine, by_status, by_priority, grand], ignore_index=True)
+    out["total"] = (out.cents / 100.0).round(4)
+    out["n_orders"] = out.n.astype("int64")
+    return (
+        out[["o_orderstatus", "o_orderpriority", "n_orders", "total"]]
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0, 4) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""

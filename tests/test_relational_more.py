@@ -283,3 +283,23 @@ def test_year_reconcile_empty_side(tmp_path):
     assert list(out.yr) == [1997]
     assert list(out.n_orders) == [0]
     assert list(out.n_shipped) == [1]
+
+
+def test_orders_cube_marginals_consistent(ray_session):
+    """CUBE algebra: each one-dimension marginal and the grand total must
+    equal the sum of the detail cells they cover (exact int cents via the
+    rounded totals), and the row count is detail + |status| + |priority| + 1."""
+    from paddle_ray.pipelines.relational_more import orders_cube
+
+    out = orders_cube("/root/testdata/sf0.001")
+    detail = out[(out.o_orderstatus != "ALL") & (out.o_orderpriority != "ALL")]
+    by_status = out[(out.o_orderstatus != "ALL") & (out.o_orderpriority == "ALL")]
+    by_priority = out[(out.o_orderstatus == "ALL") & (out.o_orderpriority != "ALL")]
+    grand = out[(out.o_orderstatus == "ALL") & (out.o_orderpriority == "ALL")]
+    assert len(grand) == 1
+    assert len(out) == len(detail) + len(by_status) + len(by_priority) + 1
+    assert by_status.n_orders.sum() == detail.n_orders.sum() == int(grand.n_orders.iloc[0])
+    assert by_priority.n_orders.sum() == detail.n_orders.sum()
+    for r in by_priority.itertuples():
+        cells = detail[detail.o_orderpriority == r.o_orderpriority]
+        assert round(cells.total.sum(), 4) == r.total
