@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": analysis.corr_quantity_price,
         "orders_by_year_status": analysis.orders_by_year_status,
         "lang_source_list": analysis.lang_source_list,
+        "table_checksum": analysis.table_checksum,
         # --- webtext curation (repetition / quality gate / LM / decontam) --
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,
         "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
+        "table_checksum": analysis.TABLE_CHECKSUM_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,

@@ -533,3 +533,86 @@ def approx_quantile_chars(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# order-independent table checksum (anti-entropy / replica verification)
+# --------------------------------------------------------------------------
+
+# per-ROW values are reduced mod 2^31 BEFORE summation, so the engine's
+# int64 partial-sum tree stays exact up to 2^32 blocks (sum < #blocks x
+# 2^31 < 2^63) and the oracle's HUGEINT SUM agrees after one final mod —
+# a 2^62 modulus overflowed the distributed Sum at >2 partials
+CHECKSUM_MOD = 1 << 31
+
+
+def table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent per-lang content checksum of `documents`: sum
+    (mod 2^62) of each row's md5-prefix integer over a canonical
+    field serialization. The anti-entropy primitive for verifying two
+    copies of a corpus (replica sync, migration, resume output vs
+    one-shot output) WITHOUT sorting or shuffling content — per-block
+    partial sums are commutative, so the only shuffle is a #langs-sized
+    groupby of int64 partials. Oracled by TABLE_CHECKSUM_SQL (identical
+    serialization and modulus)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, sums, counts = {}, {}, {}
+        for d, t, lang, s, n in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["n_chars"].to_pylist(),
+        ):
+            # canonical serialization: unit-separator-joined fields in
+            # schema order — any field change flips the row hash
+            row = f"{d}\x1f{t}\x1f{lang}\x1f{s}\x1f{n}"
+            h = int(hashlib.md5(row.encode()).hexdigest()[:15], 16) % CHECKSUM_MOD
+            sums[lang] = sums.get(lang, 0) + h
+            counts[lang] = counts.get(lang, 0) + 1
+        ks = sorted(sums)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "checksum": pa.array([sums[k] for k in ks], pa.int64()),
+                "n_rows": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["checksum"] = df.checksum % CHECKSUM_MOD
+        return df
+
+    out = (
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("checksum", alias_name="checksum"), Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+        .pipe(finish)
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype({"checksum": "int64", "n_rows": "int64"})
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT lang,
+       CAST(SUM(CAST(CONCAT('0x', substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+       ), 1, 15)) AS BIGINT) % {CHECKSUM_MOD}) % {CHECKSUM_MOD} AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY lang ORDER BY lang
+"""

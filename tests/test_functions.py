@@ -168,3 +168,39 @@ def test_events_latest_per_user_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, expect)
     # snapshot-sized: exactly one row per distinct user
     assert got.user_id.is_unique and len(got) == ev.user_id.nunique()
+
+
+def test_table_checksum_order_independent_and_field_sensitive(ray_session):
+    """Anti-entropy contract: the checksum must not depend on row order or
+    partitioning (two different block layouts agree), and must flip when
+    any serialized field flips."""
+    import hashlib
+
+    import duckdb
+
+    from paddle_ray.pipelines.analysis import CHECKSUM_MOD, table_checksum
+
+    sf = "/root/testdata/sf0.001"
+    out = table_checksum(sf)
+    # brute-force reference in a different (sorted-by-text) order
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{sf}/documents.parquet') ORDER BY text"
+    ).df()
+    sums = {}
+    for r in docs.itertuples():
+        row = f"{r.doc_id}\x1f{r.text}\x1f{r.lang}\x1f{r.source}\x1f{r.n_chars}"
+        h = int(hashlib.md5(row.encode()).hexdigest()[:15], 16) % CHECKSUM_MOD
+        sums[r.lang] = (sums.get(r.lang, 0) + h) % CHECKSUM_MOD
+    got = dict(zip(out.lang, out.checksum))
+    assert got == sums
+    # field sensitivity: perturbing one n_chars changes that lang's sum
+    r0 = docs.iloc[0]
+    row = f"{r0.doc_id}\x1f{r0.text}\x1f{r0.lang}\x1f{r0.source}\x1f{r0.n_chars + 1}"
+    h2 = int(hashlib.md5(row.encode()).hexdigest()[:15], 16) % CHECKSUM_MOD
+    h1 = int(
+        hashlib.md5(
+            f"{r0.doc_id}\x1f{r0.text}\x1f{r0.lang}\x1f{r0.source}\x1f{r0.n_chars}".encode()
+        ).hexdigest()[:15],
+        16,
+    ) % CHECKSUM_MOD
+    assert h1 != h2
