@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_year_status": analysis.orders_by_year_status,
         "lang_source_list": analysis.lang_source_list,
         "table_checksum": analysis.table_checksum,
+        "word_entropy": analysis.word_entropy,
         # --- webtext curation (repetition / quality gate / LM / decontam) --
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
@@ -459,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,
         "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
         "table_checksum": analysis.TABLE_CHECKSUM_SQL,
+        "word_entropy": analysis.WORD_ENTROPY_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,

@@ -616,3 +616,67 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# word-distribution entropy (quality signal: gibberish / boilerplate both
+# sit at distribution extremes)
+# --------------------------------------------------------------------------
+
+def word_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon entropy (nats) of the word distribution — the
+    classic webtext quality signal: keyword-stuffed/repetitive pages
+    score low, random-gibberish pages score near log(n). Stateless
+    per-batch kernel, no shuffle; float contract: p = c/n computed in
+    float64, summed per doc and rounded to 6 (magnitudes ~3, reorder
+    noise ~1e-15 — well inside the rounding). Oracled by
+    WORD_ENTROPY_SQL (identical expression)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from .common import sized_read_parquet
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, ns, hs = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = t.split()
+            n = len(ws)
+            if n == 0:
+                continue  # oracle's WHERE trim(text) != '' arm
+            s = 0.0
+            for c in Counter(ws).values():
+                p = c * 1.0 / n
+                s += p * math.log(p)
+            ids.append(d)
+            ns.append(n)
+            hs.append(round(-s, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(ns, pa.int64()),
+                "entropy": pa.array(hs, pa.float64()),
+            }
+        )
+
+    return (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+WORD_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) != ''
+),
+cw AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n FROM cw GROUP BY 1)
+SELECT cw.doc_id, CAST(n.n AS BIGINT) AS n_words,
+       ROUND(-SUM((c * 1.0 / n.n) * ln(c * 1.0 / n.n)), 6) AS entropy
+FROM cw JOIN n USING (doc_id)
+GROUP BY cw.doc_id, n.n ORDER BY cw.doc_id
+"""

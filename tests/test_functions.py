@@ -204,3 +204,43 @@ def test_table_checksum_order_independent_and_field_sensitive(ray_session):
         16,
     ) % CHECKSUM_MOD
     assert h1 != h2
+
+
+def test_word_entropy_bounds_and_extremes(ray_session):
+    """Entropy is bounded by [0, ln(n_distinct)]; a constant-word doc
+    scores exactly 0 and a all-distinct doc scores exactly ln(n)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import word_entropy
+
+    d = tempfile.mkdtemp(prefix="entropy_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["spam spam spam spam", "a b c d e f g h", "a a b b"], pa.string()
+                    ),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = word_entropy(d)
+        got = dict(zip(out.doc_id, out.entropy))
+        assert got[0] == 0.0
+        assert got[1] == round(math.log(8), 6)
+        assert got[2] == round(math.log(2), 6)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    sf = word_entropy("/root/testdata/sf0.001")
+    # tolerance = the round-6 granularity: an all-distinct doc's exact
+    # ln(n) can round UP past the bound by <= 5e-7
+    assert ((sf.entropy >= 0) & (sf.entropy <= sf.n_words.map(math.log) + 5e-7)).all()
