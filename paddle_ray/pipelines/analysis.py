@@ -548,8 +548,8 @@ CHECKSUM_MOD = 1 << 31
 
 def table_checksum(sf_dir: str) -> pd.DataFrame:
     """Order-independent per-lang content checksum of `documents`: sum
-    (mod 2^62) of each row's md5-prefix integer over a canonical
-    field serialization. The anti-entropy primitive for verifying two
+    of each row's mod-2^31-reduced md5-prefix integer over a canonical
+    field serialization, reduced mod 2^31 again at the end. The anti-entropy primitive for verifying two
     copies of a corpus (replica sync, migration, resume output vs
     one-shot output) WITHOUT sorting or shuffling content — per-block
     partial sums are commutative, so the only shuffle is a #langs-sized
@@ -630,7 +630,13 @@ def word_entropy(sf_dir: str) -> pd.DataFrame:
     per-batch kernel, no shuffle; float contract: p = c/n computed in
     float64, summed per doc and rounded to 6 (magnitudes ~3, reorder
     noise ~1e-15 — well inside the rounding). Oracled by
-    WORD_ENTROPY_SQL (identical expression)."""
+    WORD_ENTROPY_SQL (identical expression). Empty-doc arm: both sides
+    drop docs with no ASCII-non-space character (the oracle's
+    regexp_matches guard ≙ Python's split() -> [] on ASCII text; a
+    plain trim(text) != '' would keep '\\t\\n' docs and split them into
+    [''] phantom tokens). Unicode whitespace diverges between Python
+    split and RE2 \\S — the corpus ASCII contract (see _words in
+    webtext.py) applies."""
     import math
     from collections import Counter
 
@@ -671,7 +677,7 @@ def word_entropy(sf_dir: str) -> pd.DataFrame:
 WORD_ENTROPY_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-  FROM documents WHERE trim(text) != ''
+  FROM documents WHERE regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
 ),
 cw AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
 n AS (SELECT doc_id, SUM(c) AS n FROM cw GROUP BY 1)

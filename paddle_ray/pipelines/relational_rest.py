@@ -112,15 +112,27 @@ def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
         df = df.drop_duplicates("l_partkey", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["bal", "l_suppkey"], ascending=[False, True], kind="mergesort")
-        return df.head(1)
+    # winner election over COARSE hash partitions (partkey % 64), not one
+    # map_groups callback per part — the per-key group-explosion shape
+    # measured at 19 s of pure scheduling on q21's ~10^5 groups; the
+    # per-block pruning in `pairs` already bounds rows to one per
+    # (part, block), so each partition holds a small frame
+    def pick_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_partkey", "bal", "l_suppkey"], ascending=[True, False, True], kind="mergesort"
+        )
+        return df.drop_duplicates("l_partkey", keep="first").drop(columns=["part"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(ids % 64, pa.int64()))
 
     winners = (
         _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
         .map_batches(pairs, batch_format="pyarrow", batch_size=None)
-        .groupby("l_partkey")
-        .map_groups(pick, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(pick_part, batch_format="pandas")
         .to_pandas()
     )
 
@@ -538,13 +550,26 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
         )
     thresh = float(parts.s.sum()) / n_parts * Q11_AVG_MULT
 
-    out = per_part.filter(expr=f"value > {thresh!r}").to_pandas()
+    # round BEFORE the threshold compare (q15's tie contract): value is a
+    # summation-order-dependent float on both sides; comparing the
+    # 4-decimal rounding removes ulp-level engine/oracle boundary flips
+    # (sums of 2-decimal prices sit ~1e-10 off the 1e-4 grid, so the
+    # half-to-even/half-away difference never binds)
+    def round4(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("value"), "value", pc.round(batch["value"], 4)
+        )
+
+    out = (
+        per_part.map_batches(round4, batch_format="pyarrow", batch_size=None)
+        .filter(expr=f"value > {thresh!r}")
+        .to_pandas()
+    )
     if out.empty:
         return pd.DataFrame(
             {"l_partkey": pd.Series([], dtype="int64"), "value": pd.Series([], dtype="float64")}
         )
     out = out.sort_values("l_partkey").reset_index(drop=True)
-    out["value"] = out.value.round(4)
     return out.astype({"l_partkey": "int64"})
 
 
@@ -556,7 +581,7 @@ WITH v AS (
   GROUP BY l_partkey
 ), t AS (SELECT AVG(value) * {Q11_AVG_MULT} AS thresh FROM v)
 SELECT l_partkey, ROUND(value, 4) AS value
-FROM v, t WHERE value > thresh ORDER BY l_partkey
+FROM v, t WHERE ROUND(value, 4) > thresh ORDER BY l_partkey
 """
 
 
@@ -747,6 +772,10 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         pkeys_, brands_, sizes_ = ray.get(bcast)
+        if len(pkeys_) == 0:
+            # _probe's empty-dim contract: no parts -> zero revenue, not
+            # an IndexError from pkeys_[-1] on an empty array
+            return pa.table({"s": pa.array([0.0], pa.float64())})
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(pkeys_, pk), 0, len(pkeys_) - 1)
         matched = pkeys_[idx] == pk

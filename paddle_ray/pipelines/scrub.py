@@ -324,21 +324,33 @@ def paragraph_dedup(sf_dir: str) -> pd.DataFrame:
         winners, join_type="inner", num_partitions=8, on=("para_md5",)
     )
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("idx", kind="mergesort")
-        kept = df[df.key == df.win_key]
-        clean = _PARA_SEP.join(kept.para)
-        return pd.DataFrame(
-            {
-                "doc_id": [int(df.doc_id.iloc[0])],
-                "n_kept": [int(len(kept))],
-                "clean_md5": [hashlib.md5(clean.encode()).hexdigest() if len(kept) else None],
-            }
-        )
+    # reassembly runs over COARSE hash partitions (doc_id % 64, the
+    # events_sessionize pattern) — one vectorized pandas pass per
+    # partition, not one Python callback per document (that per-key
+    # map_groups shape cost q21 19 s of pure scheduling at sf0.1)
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(ids % n_parts, pa.int64()))
+
+    def reassemble_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        kept = df.key == df.win_key
+        out_ids, out_n, out_md5 = [], [], []
+        for doc_id, g in df.assign(_kept=kept).groupby("doc_id", sort=True):
+            paras = g.para[g._kept]
+            out_ids.append(int(doc_id))
+            out_n.append(int(len(paras)))
+            out_md5.append(
+                hashlib.md5(_PARA_SEP.join(paras).encode()).hexdigest() if len(paras) else None
+            )
+        return pd.DataFrame({"doc_id": out_ids, "n_kept": out_n, "clean_md5": out_md5})
 
     out = (
-        joined.groupby("doc_id")
-        .map_groups(reassemble, batch_format="pandas")
+        joined.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(reassemble_part, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -252,7 +252,12 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
     and-chunk packing: documents concatenate in doc_id order and split
     into fixed `budget`-token sequences; a doc whose tokens straddle a
     boundary spans several sequences. seq_first/seq_last are the global
-    sequence indices of the doc's first/last token. Distributed prefix
+    sequence indices of the doc's first/last token. Zero-token docs
+    (empty/whitespace-only) contribute nothing to the stream and are
+    EXCLUDED from the output on both sides — their [seq_first,
+    seq_last] window is undefined (the SQL arm mirrors this with an
+    n_tokens > 0 filter; a bare regexp_split_to_array would count ''
+    as one phantom token and shift every later doc). Distributed prefix
     scan: per-shard (doc_id // {PACK_SHARD}) token totals -> driver
     offset table (O(#shards) rows) -> broadcast -> per-shard vectorized
     cumsum. Nothing corpus-sized lands on the driver before the final
@@ -297,19 +302,17 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
         off = ray.get(off_ref)
         g = g.sort_values("doc_id", kind="mergesort")
         toks = g.text.map(lambda t: len(t.split())).to_numpy(dtype=np.int64)
-        if (toks <= 0).any():
-            raise ValueError(
-                "pack_sequences: zero-token document — the [seq_first, seq_last] "
-                "window is undefined for empty docs; filter them upstream"
-            )
         end = toks.cumsum() + int(off[int(g.shard.iloc[0])])
         start = end - toks
+        # zero-token docs: no tokens in the stream (cumsum unaffected),
+        # no output row — mirrors the oracle's n_tokens > 0 filter
+        nz = toks > 0
         return pd.DataFrame(
             {
-                "doc_id": g.doc_id.to_numpy(),
-                "n_tokens": toks,
-                "seq_first": start // budget,
-                "seq_last": (end - 1) // budget,
+                "doc_id": g.doc_id.to_numpy()[nz],
+                "n_tokens": toks[nz],
+                "seq_first": start[nz] // budget,
+                "seq_last": (end[nz] - 1) // budget,
             }
         )
 
@@ -329,7 +332,10 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
 
 PACK_SEQUENCES_SQL = f"""
 WITH t AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+              THEN len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0 END AS n_tokens
   FROM documents
 ),
 c AS (
@@ -341,5 +347,5 @@ c AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start // {PACK_BUDGET} AS BIGINT) AS seq_first,
        CAST((start + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS seq_last
-FROM c ORDER BY doc_id
+FROM c WHERE n_tokens > 0 ORDER BY doc_id
 """
