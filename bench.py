@@ -55,17 +55,24 @@ def _flagship_cfg(num_cpus: int):
 
     # PINNED pools (min == max): the autoscaling ramp from a small min left
     # actors ~50% idle over a short job. EXACT constant fractions across
-    # CPU budgets — extraction N/2, caption N/4, and N/4 left UNRESERVED
-    # for stateless tasks (ReadParquet/shuffle/write) — so a scaling pair
-    # (N, 4N) scales every resource class by exactly 4x and the efficiency
-    # ratio compares like with like. The unreserved quarter is also the
-    # deadlock guard: pools that pin every CPU starve the task operators
-    # forever on parquet inputs (bit us at num_cpus=4). Requires
+    # CPU budgets — extraction N/2 at 1 CPU, caption N/4 actors at 0.5 CPU
+    # (= N/8 reserved; the captioner does ~5% of the work, and whole-CPU
+    # caption actors were cause 1 of the r3 480k scaling decomposition),
+    # streaming-write appenders N/2 at 0.25 CPU (= N/8), leaving N/4
+    # UNRESERVED for stateless tasks (ReadParquet/sniff/route) — so a
+    # scaling pair (N, 4N) scales every resource class by exactly 4x and
+    # the efficiency ratio compares like with like. The unreserved slack
+    # is also the deadlock guard: pools that pin every CPU starve the task
+    # operators forever on parquet inputs (bit us at num_cpus=4). Requires
     # num_cpus >= 4; below that the 3-stage pipeline cannot be pinned.
     assert num_cpus >= 4, "pinned-pool config needs >= 4 CPUs"
     lay = num_cpus // 2
-    cap = num_cpus // 4
-    return ExtractConfig(layout_pool_size=(lay, lay), caption_pool_size=(cap, cap))
+    cap = max(1, num_cpus // 4)
+    return ExtractConfig(
+        layout_pool_size=(lay, lay),
+        caption_pool_size=(cap, cap),
+        caption_num_cpus=0.5,
+    )
 
 
 def _flagship_pages(sf_dir: str, synth_docs: int):

@@ -66,7 +66,12 @@ class ExtractConfig:
     # (the kwarg is omitted entirely so CPU-only clusters schedule).
     layout_num_cpus: float = 1.0
     layout_num_gpus: float = 0.0
-    caption_num_cpus: float = 1.0
+    # caption actors reserve HALF a CPU by default: the captioner does ~5%
+    # of the flagship's cpu-work, and integer-CPU actors pinned N/4 of a
+    # 4-CPU session for that 5% (the r3 480k decomposition's cause 1 of
+    # the 0.745 scaling read) — fractional reservation returns the slack
+    # to the extractor pool / task operators at every session size
+    caption_num_cpus: float = 0.5
     caption_num_gpus: float = 0.0
     # caption pool mirrors the reference's 4 instances but may scale wider
     # (the mock captioner is CPU-cheap; a fixed 4 bottlenecked the stream);
@@ -74,6 +79,11 @@ class ExtractConfig:
     # a whole request batch, not one GPU inference
     caption_pool_size: tuple = (1, 8)
     caption_batch_size: int = 128
+    # --- checkpointed write (state/checkpoint.py): "streaming" overlaps
+    # the per-partition sort+write with extraction via appender actors;
+    # "barrier" is the original groupby(partition_id) all-to-all
+    write_mode: str = "streaming"
+    write_spill_bytes: int = 128 << 20
     # --- seal / formula recognition sub-pipelines (≙ use_seal_recognition
     # / use_formula_recognition, pipeline_config.yaml:5,7 — the reference
     # ships them DISABLED in prod; per-request knobs model.py:404-406 +

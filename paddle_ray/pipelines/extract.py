@@ -7,8 +7,10 @@
          layout model), drops the heavy `html` column
       -> Captioner actor pool (in-row bbox join + merge)             [actor pool]
       -> deterministic output: either
-           a) checkpointed_write: groupby(partition_id) one-file-per-
-              partition parquet + manifests (url-sorted in-partition), or
+           a) checkpointed_write: streaming partition-exchange (appender
+              actors overlapped with extraction; state/checkpoint.py) —
+              one-file-per-partition parquet + manifests (url-sorted
+              in-partition), or
            b) sort("url") for an in-memory deterministic Dataset.
 
 The only shuffle is the per-partition write groupby (or the final sort),
@@ -164,7 +166,13 @@ def extract_pipeline(
         )
 
     if out_dir:
-        return ckpt.checkpointed_write(ds, out_dir, resume=resume)
+        return ckpt.checkpointed_write(
+            ds,
+            out_dir,
+            resume=resume,
+            mode=cfg.write_mode,
+            **({"spill_bytes": cfg.write_spill_bytes} if cfg.write_mode == "streaming" else {}),
+        )
     if cfg.deterministic_sort:
         ds = ds.sort("url")
     return ds

@@ -17,8 +17,24 @@ even at 10^12 rows), broadcast it, and filter input rows by
 ``partition_id`` inside ``map_batches`` (a broadcast anti-join; no
 shuffle — SURVEY.md §2.7).
 
-The per-partition write itself runs as ``groupby(partition_id).map_groups``
-so each partition is written exactly once by exactly one task.
+Two write modes share the manifest/atomic-rename/in-partition-url-sort
+contract byte for byte:
+
+- ``mode="streaming"`` (default): partition-exchange write. A small pool
+  of appender ACTORS each owns the partition ids with
+  ``pid % n_writers == w``; a stateless ``map_batches`` router splits
+  every extracted batch by owner and appends it (ack'd per batch, so the
+  stream has backpressure), overlapping routing/buffering/spill with
+  extraction instead of waiting for it to finish. ``finalize()`` then
+  sorts + writes each owned partition in parallel across the pool. This
+  replaces the old all-to-all ``groupby(partition_id)`` barrier, which
+  serialized the whole sort+write tail after the last extract batch
+  (measured as the dominant cause of the 0.745 < 0.8 scaling efficiency
+  at 480k docs — VERDICT r3 #2; the reference's 1-slot producer/consumer
+  overlap, `server/model_repo/layout-parsing/1/model.py:252-298`, is the
+  same bounded-overlap idea at partition granularity).
+- ``mode="barrier"``: the original ``groupby(partition_id).map_groups``
+  write, kept as the zero-actor-state fallback/debug path.
 """
 
 from __future__ import annotations
@@ -166,16 +182,169 @@ def write_partition(group: pa.Table, out_dir: str, sort_cols=("url",)) -> pa.Tab
     )
 
 
-def checkpointed_write(ds, out_dir: str, resume: bool = True):
+class _PartitionAppender:
+    """Streaming-write actor: owns the partitions with
+    ``pid % n_writers == writer_index`` and buffers their rows as batches
+    arrive (overlapped with upstream extraction). Buffers above
+    ``spill_bytes`` per partition spill to a run file inside the partition
+    directory, so streaming-phase memory is bounded regardless of
+    partition size; ``finalize()`` is still partition-sized (same residency
+    as the barrier path's ``map_groups`` group) — partition count is the
+    knob that bounds it.
+
+    Exactly-once under Ray Data task retries: every append carries an
+    idempotency key derived from the slice's url column (urls are the
+    engine's row identity — the manifest/resume contract is url-keyed), so
+    a retried router task re-sending an already-acked slice is a no-op.
+    A writer-actor LOSS is not patched here: the job's recovery unit for
+    writer state is the checkpoint itself (rerun resumes from completed
+    manifests, exactly like any other mid-job crash)."""
+
+    def __init__(self, out_dir: str, sort_cols=("url",), spill_bytes: int = 128 << 20):
+        self.out_dir = out_dir
+        self.sort_cols = tuple(sort_cols)
+        self.spill_bytes = spill_bytes
+        self._buf: dict[int, list[pa.Table]] = {}
+        self._buf_bytes: dict[int, int] = {}
+        self._runs: dict[int, list[str]] = {}
+        self._seen: set[str] = set()
+
+    def append(self, part: pa.Table, key: str) -> int:
+        if key in self._seen:
+            return 0
+        self._seen.add(key)
+        import numpy as np
+
+        pids = part.column("partition_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")
+        sorted_t = part.take(pa.array(order))
+        sorted_pids = pids[order]
+        bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pids)]])
+        for s, e in zip(starts, ends):
+            pid = int(sorted_pids[s])
+            sl = sorted_t.slice(int(s), int(e - s))
+            self._buf.setdefault(pid, []).append(sl)
+            nb = self._buf_bytes.get(pid, 0) + sl.nbytes
+            if nb >= self.spill_bytes:
+                self._spill(pid)
+                nb = 0
+            self._buf_bytes[pid] = nb
+        return part.num_rows
+
+    def _spill(self, pid: int) -> None:
+        # run files are unsorted (finalize re-sorts the whole partition
+        # anyway) and tracked ONLY in memory: a crashed attempt's stale
+        # runs are never globbed into a later attempt's output
+        t = pa.concat_tables(self._buf.pop(pid))
+        part_dir = os.path.join(self.out_dir, f"part-{pid:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        run = os.path.join(part_dir, f"run-{uuid.uuid4().hex}.parquet")
+        pq.write_table(t, run)
+        self._runs.setdefault(pid, []).append(run)
+
+    def finalize(self) -> pa.Table:
+        from ..core.schema import MANIFEST_SCHEMA
+
+        rows = []
+        for pid in sorted(set(self._buf) | set(self._runs)):
+            tables = [pq.read_table(p) for p in self._runs.get(pid, [])]
+            tables += self._buf.pop(pid, [])
+            g = pa.concat_tables(tables)
+            rows.append(write_partition(g, self.out_dir, self.sort_cols))
+            for p in self._runs.pop(pid, []):
+                os.unlink(p)
+        self._buf_bytes.clear()
+        if not rows:
+            return MANIFEST_SCHEMA.empty_table()
+        return pa.concat_tables(rows)
+
+
+def _slice_key(t: pa.Table) -> str:
+    """Idempotency key for one routed slice: blake2b over the url column
+    (+ row count). Assumes urls identify rows — the same assumption the
+    manifest digest / resume contract already makes."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(t.num_rows).encode())
+    for chunk in t.column("url").chunks:
+        for u in chunk:
+            h.update(b"\x00")
+            h.update(str(u).encode("utf-8", "surrogatepass"))
+    return h.hexdigest()
+
+
+def make_router(writers):
+    """Stateless map_batches fn: split each batch by owning writer
+    (pid % n_writers) and append, blocking on the acks so the streaming
+    executor's backpressure extends through the write."""
+    n = len(writers)
+
+    def route(batch: pa.Table) -> pa.Table:
+        out = pa.table({"routed_rows": pa.array([batch.num_rows], pa.int64())})
+        if batch.num_rows == 0:
+            return out
+        import numpy as np
+        import ray
+
+        w = batch.column("partition_id").to_numpy(zero_copy_only=False) % n
+        refs = []
+        for i in np.unique(w):
+            sl = batch.filter(pa.array(w == i))
+            refs.append(writers[int(i)].append.remote(sl, _slice_key(sl)))
+        ray.get(refs)
+        return out
+
+    return route
+
+
+def streaming_write(
+    ds,
+    out_dir: str,
+    n_writers: int | None = None,
+    writer_num_cpus: float = 0.25,
+    spill_bytes: int = 128 << 20,
+):
+    """Partition-exchange write (module docstring). Executes the stream
+    EAGERLY (routing must drain before finalize) and returns the manifest
+    summary Dataset. Writer pool defaults to half the session CPUs at a
+    quarter CPU each — enough reservation to spread writers across nodes
+    on a real cluster, small enough not to starve the extract pools."""
+    import ray
+    import ray.data as rd
+
+    if n_writers is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_writers = max(2, cpus // 2)
+    Appender = ray.remote(_PartitionAppender)
+    writers = [
+        Appender.options(num_cpus=writer_num_cpus).remote(out_dir, spill_bytes=spill_bytes)
+        for _ in range(n_writers)
+    ]
+    ds.map_batches(make_router(writers), batch_format="pyarrow").materialize()
+    manifests = ray.get([w.finalize.remote() for w in writers])
+    for w in writers:
+        ray.kill(w)
+    return rd.from_arrow(pa.concat_tables(manifests))
+
+
+def checkpointed_write(ds, out_dir: str, resume: bool = True, mode: str = "streaming", **kw):
     """Write ds (must carry partition_id + url [+ content_hash]) to out_dir
     with per-partition manifests. Returns the manifest summary Dataset
     (small). On resume, completed partitions are filtered BEFORE extraction
     upstream (see pipelines/extract.py) — the filter here is a second
-    guard for correctness."""
+    guard for correctness. mode: "streaming" (partition-exchange, default)
+    or "barrier" (groupby map_groups) — see module docstring."""
     done = completed_partitions(out_dir) if resume else set()
     if done:
         ds = ds.map_batches(make_resume_filter(done), batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
+    if mode == "streaming":
+        return streaming_write(ds, out_dir, **kw)
+    if mode != "barrier":
+        raise ValueError(f"unknown write mode {mode!r} (streaming|barrier)")
     return ds.groupby("partition_id").map_groups(
         lambda g: write_partition(g, out_dir), batch_format="pyarrow"
     )

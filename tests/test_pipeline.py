@@ -372,7 +372,7 @@ def test_gpu_resource_knobs_reach_the_actor_pools():
             op = op.input_dependencies[0]
 
     args = remote_args(ds)
-    assert {"num_cpus": 1.0, "num_gpus": 0.5} in args    # captioner pool
+    assert {"num_cpus": 0.5, "num_gpus": 0.5} in args    # captioner pool (0.5 CPU default)
     assert {"num_cpus": 1.0, "num_gpus": 0.25} in args   # layout pool
 
     cpu_only = remote_args(
@@ -417,3 +417,79 @@ def test_seal_formula_subpipelines_config_gated():
     )._one("u", "pdf", payload)
     assert "OFFICIAL SEAL" in seal_only["extracted_text"]
     assert "E = mc^2" not in seal_only["extracted_text"]
+
+
+def test_streaming_write_equals_barrier_write(tmp_path):
+    """The two checkpointed-write modes must be indistinguishable to a
+    reader: same partition files, same in-partition url order, same
+    manifest digests."""
+    import pyarrow.parquet as pq
+
+    pages, _ = synth_pages(120, pdf_every=12, outlier_every=0)
+    out_s = str(tmp_path / "streaming")
+    out_b = str(tmp_path / "barrier")
+    man_s = (
+        extract_pipeline(pages, cfg=ExtractConfig(write_mode="streaming"), out_dir=out_s)
+        .to_pandas()
+        .sort_values("partition_id")
+        .reset_index(drop=True)
+    )
+    man_b = (
+        extract_pipeline(pages, cfg=ExtractConfig(write_mode="barrier"), out_dir=out_b)
+        .to_pandas()
+        .sort_values("partition_id")
+        .reset_index(drop=True)
+    )
+    assert man_s.partition_id.tolist() == man_b.partition_id.tolist()
+    assert man_s.content_digest.tolist() == man_b.content_digest.tolist()
+    assert man_s.row_count.tolist() == man_b.row_count.tolist()
+    for pid in man_s.partition_id:
+        a = pq.read_table(f"{out_s}/part-{pid:05d}/data.parquet")
+        b = pq.read_table(f"{out_b}/part-{pid:05d}/data.parquet")
+        assert a.equals(b), f"partition {pid} differs between modes"
+    ok, bad = ckpt.verify_output(out_s)
+    assert ok and not bad
+
+
+def test_streaming_write_spill_path(tmp_path):
+    """A tiny spill threshold forces every partition through run files;
+    output must still be byte-equal to the in-memory path and the run
+    files must be cleaned up at finalize."""
+    import pyarrow.parquet as pq
+
+    pages, expected = synth_pages(100, pdf_every=0, outlier_every=0)
+    out = str(tmp_path / "spill")
+    man = extract_pipeline(
+        pages, cfg=ExtractConfig(write_mode="streaming", write_spill_bytes=1), out_dir=out
+    ).to_pandas()
+    assert man.row_count.sum() == 100
+    assert not glob.glob(f"{out}/part-*/run-*.parquet"), "run files leaked"
+    final = ckpt.read_output(out).to_pandas()
+    assert len(final) == 100
+    for url, text in zip(final.url, final.extracted_text):
+        assert text == expected[url]
+    ok, bad = ckpt.verify_output(out)
+    assert ok and not bad
+
+
+def test_streaming_append_is_idempotent(tmp_path):
+    """A retried router task re-sends the same slice with the same key —
+    the appender must drop it (exactly-once under Ray task retry)."""
+    import pyarrow as pa
+
+    from paddle_ray.state.checkpoint import _PartitionAppender, _slice_key
+
+    t = pa.table(
+        {
+            "url": [f"https://x/{i}" for i in range(10)],
+            "partition_id": pa.array([i % 3 for i in range(10)], pa.int32()),
+            "extracted_text": [f"t{i}" for i in range(10)],
+        }
+    )
+    w = _PartitionAppender(str(tmp_path))
+    key = _slice_key(t)
+    assert w.append(t, key) == 10
+    assert w.append(t, key) == 0  # retry: dropped
+    man = w.finalize()
+    assert man.num_rows == 3  # partitions 0,1,2
+    assert sum(man["row_count"].to_pylist()) == 10
