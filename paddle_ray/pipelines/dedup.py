@@ -86,9 +86,16 @@ def dedup_minhash_lsh(
     bands: int = 16,
     threshold: float = 0.8,
     k_shingle: int = 5,
+    docs: rd.Dataset | None = None,
 ) -> pd.DataFrame:
     """Near-duplicate PAIRS via MinHash-LSH. Returns (id_a, id_b, est_jaccard)
     with id_a < id_b, est >= threshold, sorted. Deterministic.
+
+    `docs` overrides the (doc_id, text) source Dataset so compositions can
+    dedup an upstream stage's output (curate_corpus_v4 runs it over the
+    quality-gated extraction stream); per-doc signatures and band buckets
+    are subset-stable, so every pair found over the full corpus is found
+    over any subset containing both endpoints.
 
     Dataflow: per-batch signatures -> explode to (band_id, band_hash,
     doc_id, sig) rows -> groupby band bucket -> pairwise verify inside
@@ -157,7 +164,8 @@ def dedup_minhash_lsh(
                     b_out.append(int(ids[j]))
         return pd.DataFrame({"id_a": a_out, "id_b": b_out})
 
-    sigs_ds = _docs(sf_dir).map_batches(sig_rows, batch_format="pyarrow").materialize()
+    src_ds = docs if docs is not None else _docs(sf_dir)
+    sigs_ds = src_ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
     cand_ds = (
         sigs_ds.select_columns(["doc_id", "keys"])
         .map_batches(explode_slim, batch_format="pyarrow", batch_size=None)
@@ -830,7 +838,12 @@ def _cluster_edges(
 
     from ray.data.aggregate import Sum
 
+    # the loop body must run at least once: the final read targets
+    # labels_{rnd+1}, which only round rnd writes (ADVICE r3)
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     rnd = 0
+    n_changed = None
     try:
         for rnd in range(max_iters):
             # per round: graph propagation (min over neighbors' labels)
@@ -890,6 +903,15 @@ def _cluster_edges(
             ).aggregate(Sum("changed", alias_name="c"))["c"]
             if n_changed == 0:
                 break
+        else:
+            # exhausted without converging: unconverged labels are silently
+            # wrong clusters (ADVICE r3) — fail loudly with the knob named
+            if n_changed and n_changed > 0:
+                raise RuntimeError(
+                    f"connected components did not converge in {max_iters} "
+                    f"rounds ({n_changed} labels still changing); raise "
+                    "max_iters (pointer jumping needs ~log2(diameter) rounds)"
+                )
 
         out = (
             sized_read_parquet(

@@ -251,7 +251,7 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
         matched, cnk = _probe(cust_keys_, cust_nk_, ck)
         t = batch.filter(pa.array(matched))
         snk = t["supp_nk"].to_numpy(zero_copy_only=False)
-        cross = snk != cnk  # (1,2) or (2,1) only — same-nation volume is not "shipping"
+        cross = snk != cnk  # (A,B) or (B,A) only, A/B = Q7_NATION_A/B — same-nation volume is not "shipping"
         t = t.filter(pa.array(cross))
         g = pa.table(
             {

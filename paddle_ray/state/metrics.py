@@ -108,22 +108,28 @@ def get_metrics_actor():
     return _ACTOR_HANDLE
 
 
-def batch_report_key(stage_name: str, out: pa.Table) -> str:
+def batch_report_key(
+    stage_name: str, out: pa.Table, fallback: pa.Table | None = None
+) -> str:
     """Content-derived idempotency key for one reported batch. Ray Data
     resubmits a crashed actor's block as a NEW task, so task-id keying
     would not dedup the retry — the batch CONTENT is the stable identity:
     row count + FIRST and LAST rows (stage outputs carry unique urls/doc
     ids, so a same-stage collision needs identical length AND identical
     rows at both ends — ADVICE r2: first-row-only collided for batches
-    sharing a leading row). Empty batches get a random nonce instead:
-    they contribute no counters except wall_s, and two empty batches of
-    one stage are legitimately distinct reports, not a retry to dedup."""
+    sharing a leading row). An empty OUTPUT batch is keyed by the INPUT
+    batch content when the caller passes it (`fallback`): a crashed-and-
+    retried task reprocesses the identical input, so the retry's wall_s
+    dedups correctly (ADVICE r3 — a random nonce lost that guarantee).
+    Only when both sides are empty does the key collapse to a per-stage
+    constant (two distinct empty-in/empty-out reports then merge — a
+    bounded wall_s undercount, preferred over retry double-counting)."""
     import hashlib
 
     if len(out) == 0:
-        import uuid
-
-        return f"{stage_name}-empty-{uuid.uuid4().hex}"
+        if fallback is not None and len(fallback) > 0:
+            return "e-" + batch_report_key(stage_name, fallback)
+        return f"{stage_name}-empty"
     h = hashlib.blake2b(digest_size=12)
     h.update(stage_name.encode())
     h.update(str(len(out)).encode())
@@ -150,7 +156,7 @@ def wrap_with_metrics(stage_name: str, fn):
             actor = state.get("actor")
             if actor is None:
                 actor = state["actor"] = get_metrics_actor()
-            key = batch_report_key(stage_name, out)
+            key = batch_report_key(stage_name, out, fallback=batch)
             if "partition_id" not in out.column_names or len(out) == 0:
                 actor.report.remote(stage_name, -1, len(out), 0, 0, 0, wall, key=key)
                 return out

@@ -491,3 +491,99 @@ def test_embedding_quantize_error_bounds(ray_session):
     assert (out.avg_mse_e6 > 0).all()
     assert (out.avg_mse_e6 <= bound_e6 + 1e-9).all()
     assert out.n_vecs.sum() == len(X)
+
+
+def test_cluster_edges_guards(ray_session):
+    """ADVICE r3: max_iters=0 must raise (labels_1 never written), and
+    exhausting rounds without convergence must fail loudly instead of
+    returning silently-unconverged labels (a 30-node chain needs more
+    than one pointer-jump round)."""
+    chain = pd.DataFrame([(i, i + 1) for i in range(100, 130)], columns=["id_a", "id_b"])
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup._cluster_edges(chain, max_iters=0, driver_edge_cap=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup._cluster_edges(chain, max_iters=1, driver_edge_cap=0)
+
+
+def test_curate_v4_composition_matches_oracle_planted(tmp_path, ray_session):
+    """v4 on a planted corpus with known near-dup structure: exact
+    duplicates within one source collapse to the min-doc_id
+    representative, identical text across DIFFERENT sources is NOT
+    deduped (the within-source contract), and the engine equals the SQL
+    oracle end-to-end (gate -> LSH dedup -> resample -> streaming write
+    -> read-back rollup)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import curate
+
+    # 30-word base passing the Gopher gate (>=25 words, dup_frac<=0.55,
+    # stopword ratio >=0.02, mean word len in [3.0, 8.0])
+    def soup(seed: int) -> str:
+        words = [f"word{seed}x{i}" for i in range(24)]
+        return " ".join(["the"] + words[:12] + ["with"] + words[12:] + ["from", "this", "that"])
+
+    dup_text = soup(1)
+    rows = [
+        # same-source exact-dup triple -> keep doc 10 only
+        {"doc_id": 10, "text": dup_text, "source": "s0"},
+        {"doc_id": 11, "text": dup_text, "source": "s0"},
+        {"doc_id": 12, "text": dup_text, "source": "s0"},
+        # identical text, different source -> kept (within-source dedup)
+        {"doc_id": 13, "text": dup_text, "source": "s1"},
+        # unique docs
+        {"doc_id": 14, "text": soup(2), "source": "s0"},
+        {"doc_id": 15, "text": soup(3), "source": "s1"},
+        # fails the gate (too short) -> never reaches dedup
+        {"doc_id": 16, "text": "too short", "source": "s0"},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["n_chars"] = df.text.str.len()
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+
+    out = curate.curate_corpus_v4(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.sql(curate.CURATE_V4_SQL).df()
+    pd.testing.assert_frame_equal(
+        out, ora.astype({"n_docs": "int64", "sum_tokens": "int64"})
+    )
+    # structural checks independent of the oracle: en keep-weight is 0.9,
+    # so of the 5 dedup survivors {10,13,14,15} + nothing else, at most
+    # those md5-passing remain; 11/12 must never be counted
+    import hashlib
+
+    from paddle_ray.pipelines.traindata import RESAMPLE_WEIGHTS, _w_threshold_hex
+
+    th = _w_threshold_hex(RESAMPLE_WEIGHTS["en"])
+    survivors = [i for i in (10, 13, 14, 15) if hashlib.md5(str(i).encode()).hexdigest() < th]
+    assert int(out.n_docs.sum()) == len(survivors)
+
+
+def test_curate_v4_sf_matches_oracle(ray_session):
+    """v4 at sf0.001 equals its oracle (the driver gates sf0.01; this is
+    the fast local replica) and the dedup stage is non-vacuous there
+    (the corpus carries one same-source >=0.95 shingle-jaccard pair)."""
+    import duckdb
+
+    from paddle_ray.pipelines import curate
+
+    sf = "/root/testdata/sf0.001"
+    out = curate.curate_corpus_v4(sf)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.sql(curate.CURATE_V4_SQL).df()
+    pd.testing.assert_frame_equal(
+        out, ora.astype({"n_docs": "int64", "sum_tokens": "int64"})
+    )
+    head = curate.CURATE_V4_SQL.rsplit(",\nkept AS", 1)[0]
+    n_dropped = int(con.sql(head + "\nSELECT COUNT(*) AS n FROM dropped").df().n[0])
+    assert n_dropped >= 1

@@ -286,3 +286,56 @@ def test_ntile_assignment_matches_duckdb_for_all_group_sizes():
             ).fetchall()
         ]
         assert mine == ora, n
+
+
+# --- r4 decontamination scale contract (Bloom + join; external bench) -------
+
+def test_decontaminate_external_bench_table(tmp_path, ray_session):
+    """bench_dir mode (the real deployment contract): the benchmark is a
+    SEPARATE table; every corpus doc — including doc_id % 97 == 0 — is a
+    candidate, and hits count against the external shingles only."""
+    bench_dir = tmp_path / "bench"
+    bench_dir.mkdir()
+    bdf = pd.DataFrame({"doc_id": [0], "text": ["held out eval question text"]})
+    pq.write_table(pa.Table.from_pandas(bdf, preserve_index=False),
+                   bench_dir / "documents.parquet")
+    rows = [
+        # doc 0 would be the derived-mode bench slice; in bench_dir mode
+        # it is a regular candidate and shares 'held out eval'
+        {"doc_id": 0, "text": "zz held out eval yy"},
+        {"doc_id": 1, "text": "shares eval question text twice eval question text"},
+        {"doc_id": 2, "text": "totally clean words here now"},
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = webtext.decontaminate(d, bench_dir=str(bench_dir)).set_index("doc_id")
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_hits"] == 1  # 'held out eval'
+    # doc 1: 'eval question text' (distinct, appears twice -> counts once)
+    assert out.loc[1, "n_hits"] == 1
+
+
+def test_decontaminate_bloom_fp_never_changes_output(tmp_path, ray_session, monkeypatch):
+    """Shrink the Bloom to 256 bits so nearly every gram is a false
+    positive: the exact verify join must still produce the identical
+    result (fp costs shuffle bytes, never wrong rows)."""
+    rows = [
+        {"doc_id": 0, "text": "one two three four five six"},
+        {"doc_id": 1, "text": "zz one two three yy"},
+        {"doc_id": 2, "text": "totally clean words here now"},
+    ]
+    d = _write_docs(tmp_path, rows)
+    base = webtext.decontaminate(d)
+    monkeypatch.setattr(webtext, "DECON_BLOOM_BITS", 256)
+    tiny = webtext.decontaminate(d)
+    pd.testing.assert_frame_equal(base, tiny)
+
+
+def test_bench_set_broadcast_cap_fails_loudly(tmp_path, ray_session, monkeypatch):
+    """build_bench_shingles (the v2 composition's in-process set) must
+    refuse a corpus-scale 'benchmark' instead of silently broadcasting
+    it, and must name the scale path."""
+    rows = [{"doc_id": 0, "text": "a benchmark slice with quite a few words"}]
+    d = _write_docs(tmp_path, rows)
+    monkeypatch.setattr(webtext, "BENCH_SET_MAX_BYTES", 4)
+    with pytest.raises(RuntimeError, match="Bloom"):
+        webtext.build_bench_shingles(d)

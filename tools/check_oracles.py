@@ -3,7 +3,13 @@ entry and its oracle_sql() side-by-side, compare row count, schema (column
 names), and an order-insensitive value hash (columns sorted by name, rows
 sorted, values stringified with float rounding).
 
-Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+Usage: python tools/check_oracles.py [--shard I/M] [sf_dir] [only_query ...]
+
+--shard I/M (1-based I) keeps every M-th query starting at the I-th, so M
+parallel gate processes cover the suite disjointly, e.g.
+  for i in 1 2 3 4; do python tools/check_oracles.py --shard $i/4 & done; wait
+(each process owns its own Ray session; run shards on a machine with the
+CPU headroom for M x num_cpus=8).
 """
 
 from __future__ import annotations
@@ -51,8 +57,19 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    shard_i, shard_m = 1, 1
+    if argv and argv[0] == "--shard":
+        if len(argv) < 2 or "/" not in argv[1]:
+            print("FAIL --shard needs I/M (e.g. --shard 2/4)")
+            sys.exit(1)
+        shard_i, shard_m = (int(x) for x in argv[1].split("/", 1))
+        if not (1 <= shard_i <= shard_m):
+            print(f"FAIL shard index {shard_i} out of range 1..{shard_m}")
+            sys.exit(1)
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -85,7 +102,9 @@ def main():
         # a typo'd filter must NOT produce a green "0 checks" run
         print(f"FAIL unknown query name(s): {sorted(unknown)}")
         n_fail += len(unknown)
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
+        if shard_m > 1 and qi % shard_m != shard_i - 1:
+            continue
         if only and name not in only:
             continue
         t0 = time.time()
