@@ -38,6 +38,7 @@ from paddle_ray.pipelines import (
     scrub,
     traindata,
     similarity,
+    webgraph,
     webtext,
 )
 from paddle_ray.pipelines.extract import extract_from_documents, extract_synth
@@ -303,7 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events / windows (CDC compaction + sessionize + tumbling) ----
         "events_latest_per_user": events.events_latest_per_user,
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
-        "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
+        # --- web-graph (r4: distributed PageRank power iterations) --------
+        "pagerank": webgraph.pagerank,
         # --- relational/join family representatives ------------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q10_returned_revenue": joins.q10_returned_revenue,
@@ -369,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
         # --- remaining events / windows ------------------------------------
+        "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
         "events_running_value": events.events_running_value,
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
         "events_json_props": events.events_json_props,
@@ -475,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
+        "pagerank": webgraph.PAGERANK_SQL,
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,

@@ -1,0 +1,173 @@
+"""Link-graph operators over a deterministically-derived document graph:
+distributed PageRank power iterations.
+
+The crawl-prioritization / host-authority signal every web-curation
+pipeline keeps next to its quality scores (the original PageRank paper;
+CommonCrawl publishes host-level harmonic-centrality ranks for exactly
+this use). The sf `documents` corpus has no link column, so the edge
+list is DERIVED deterministically from doc_id (the scrub.py
+deterministic-derivation oracle pattern): every doc emits two out-links,
+
+    dst1 = (doc_id * doc_id + 3) % n      (quadratic -> ~2-to-1, skew)
+    dst2 = (doc_id // 7) % n              (7-to-1 -> hub nodes)
+
+so out-degree is exactly 2 everywhere (no dangling-mass term needed —
+a real crawl graph adds one) while in-degree is non-uniform enough
+that ranks genuinely spread (the SQL oracle reproduces the identical
+derivation, full kernel-chain value coverage with zero golden
+constants).
+
+Scale contract
+--------------
+- Edges are derived per batch and never materialized driver-side; each
+  power iteration is: edges ⋈ ranks on src (native hash join, rank rows
+  are 16 B) -> per-block (dst, contrib) pre-aggregation -> #nodes-sized
+  groupby -> left-outer join back to the node list (nodes with no
+  in-links keep the teleport term). Document text never enters the
+  operator (doc_id-only read).
+- Each round's rank Dataset is materialize()d: iterating a LAZY dataset
+  re-executes a growing history tail (the dedup_clusters pregel lesson,
+  BASELINE r2) — the snapshot is node-sized, 16 B/row.
+- The driver sees only the final (doc_id, rank) collect; at a web-scale
+  node count the caller writes the Dataset instead (`collect=False`).
+
+Float parity with the oracle: iteration-1 ranks are bit-exact on both
+sides (same literal expression over the same doubles); iteration 2 sums
+neighbor ranks in engine-block vs SQL-scan order, so the output is
+reported relative to the uniform rank (r * n ~ 1.0) and rounded to 6
+decimals — ~7 significant digits of agreement headroom (the
+embedding_quantize_error contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .common import sized_read_parquet
+
+PR_DAMPING = 0.85
+PR_ITERS = 2
+
+
+def _ids(sf_dir: str):
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+def _edges_batch(batch: pa.Table, n: int) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst1 = (ids * ids + 3) % n
+    dst2 = (ids // 7) % n
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst1, dst2]), pa.int64()),
+        }
+    )
+
+
+def pagerank(sf_dir: str, iters: int = PR_ITERS, damping: float = PR_DAMPING) -> pd.DataFrame:
+    """`iters` PageRank power iterations over the derived doc graph
+    (uniform 1/n init, out-degree 2 by construction). Returns
+    (doc_id, rank) with rank = r * n (relative to uniform), rounded to
+    6 decimals. Oracled by PAGERANK_SQL (iters=2)."""
+    from ray.data.aggregate import Sum
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nodes = _ids(sf_dir)
+    n = nodes.count()
+    edges = nodes.map_batches(
+        lambda b: _edges_batch(b, n), batch_format="pyarrow"
+    ).materialize()
+
+    teleport = (1.0 - damping) / n
+
+    # rank_0 = 1/n everywhere, represented implicitly: the first
+    # iteration's neighbor sum is indegree/n, folded into the same join
+    # topology by starting from an explicit uniform rank table
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "r": pa.array(np.full(len(b), 1.0 / n))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        # key the rank table by src for the native hash join with edges
+        rank_by_src = ranks.map_batches(
+            lambda b: pa.table({"src": b["doc_id"], "r": b["r"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        contribs = edges.join(rank_by_src, join_type="inner", num_partitions=8, on=("src",))
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": batch["dst"],
+                    "c": pa.array(
+                        batch["r"].to_numpy(zero_copy_only=False) / 2.0, pa.float64()
+                    ),
+                }
+            )
+            g = t.group_by("doc_id").aggregate([("c", "sum")])
+            return g.rename_columns(["doc_id", "c"])
+
+        insum = (
+            contribs.map_batches(contrib_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        joined = nodes.join(insum, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+        def update(batch: pa.Table) -> pa.Table:
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c), 0.0, c)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "r": pa.array(teleport + damping * c, pa.float64()),
+                }
+            )
+
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    out = ranks.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["rank"] = (out.r * n).round(6)
+    return out[["doc_id", "rank"]].astype({"doc_id": "int64"})
+
+
+PAGERANK_SQL = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * doc_id + 3) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id // 7) % (SELECT COUNT(*) FROM documents)
+  FROM documents
+),
+r1 AS (
+  SELECT d.doc_id,
+         (1.0 - {PR_DAMPING}) / n.n
+           + {PR_DAMPING} * COALESCE(i.s, 0) / 2 AS r
+  FROM documents d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(1.0 / n.n) AS s FROM e CROSS JOIN n GROUP BY e.dst
+  ) i ON i.dst = d.doc_id
+),
+r2 AS (
+  SELECT d.doc_id,
+         (1.0 - {PR_DAMPING}) / n.n
+           + {PR_DAMPING} * COALESCE(i.s, 0) / 2 AS r
+  FROM documents d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(r1.r) AS s FROM e JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst
+  ) i ON i.dst = d.doc_id
+)
+SELECT r2.doc_id, ROUND(r2.r * n.n, 6) AS rank
+FROM r2 CROSS JOIN n ORDER BY doc_id
+"""

@@ -587,3 +587,21 @@ def test_curate_v4_sf_matches_oracle(ray_session):
     head = curate.CURATE_V4_SQL.rsplit(",\nkept AS", 1)[0]
     n_dropped = int(con.sql(head + "\nSELECT COUNT(*) AS n FROM dropped").df().n[0])
     assert n_dropped >= 1
+
+
+def test_pagerank_structure(ray_session):
+    """Distributed PageRank invariants the SQL oracle can't isolate:
+    ranks sum to n (probability conservation under no-dangling-mass),
+    no-inlink nodes sit exactly on the teleport floor, the //7 hub
+    construction produces ranks well above uniform, and iters<1 raises."""
+    from paddle_ray.pipelines import webgraph
+
+    out = webgraph.pagerank(SF)
+    n = len(out)
+    assert abs(out["rank"].sum() - n) < 1e-2  # sum r = 1 => sum r*n = n
+    floor = round((1 - webgraph.PR_DAMPING), 6)  # (0.15/n) * n
+    assert out["rank"].min() >= floor - 1e-9
+    assert (out["rank"] == floor).any()  # some node has zero in-links
+    assert out["rank"].max() > 5  # hubs exist by construction
+    with pytest.raises(ValueError, match="iters"):
+        webgraph.pagerank(SF, iters=0)
