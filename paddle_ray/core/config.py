@@ -81,8 +81,15 @@ class ExtractConfig:
     caption_batch_size: int = 128
     # --- checkpointed write (state/checkpoint.py): "streaming" overlaps
     # the per-partition sort+write with extraction via appender actors;
-    # "barrier" is the original groupby(partition_id) all-to-all
-    write_mode: str = "streaming"
+    # "barrier" is the original groupby(partition_id) all-to-all;
+    # "auto" (default) picks by input size — the appender pool costs a
+    # fixed ~1.5-2.5 s (N/2 actor spin-ups + per-slice acks) that a
+    # seconds-scale job never amortizes (measured at sf0.1/32 cpus:
+    # barrier 3.4 s vs streaming 4.4-5.9 s), while at 480k docs the
+    # overlap is worth ~19 s at 16 cpus (BASELINE.md §480k r4). Both
+    # modes are byte-identical by contract (test_pipeline).
+    write_mode: str = "auto"
+    write_streaming_min_rows: int = 50_000
     write_spill_bytes: int = 128 << 20
     # --- seal / formula recognition sub-pipelines (≙ use_seal_recognition
     # / use_formula_recognition, pipeline_config.yaml:5,7 — the reference

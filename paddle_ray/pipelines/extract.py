@@ -49,6 +49,18 @@ def resolve_layout_pool(cfg: ExtractConfig) -> tuple:
     return (1, max(6, min(32, (n * 3) // 4)))
 
 
+def resolve_write_mode(cfg: ExtractConfig, pages_ds: rd.Dataset) -> str:
+    """Pick the checkpointed-write mode for "auto" (see ExtractConfig):
+    the appender pool's fixed spin-up + ack cost only amortizes past
+    ~cfg.write_streaming_min_rows input rows; below it the barrier
+    groupby is strictly faster and byte-identical. The count is cheap
+    where it matters: parquet reads answer from footer metadata and
+    from_arrow datasets know their length — no data pass."""
+    if cfg.write_mode != "auto":
+        return cfg.write_mode
+    return "streaming" if pages_ds.count() >= cfg.write_streaming_min_rows else "barrier"
+
+
 def read_pages(source, columns=None) -> rd.Dataset:
     """source: parquet path(s) | pyarrow Table | Dataset.
 
@@ -166,12 +178,13 @@ def extract_pipeline(
         )
 
     if out_dir:
+        mode = resolve_write_mode(cfg, pages_ds)
         return ckpt.checkpointed_write(
             ds,
             out_dir,
             resume=resume,
-            mode=cfg.write_mode,
-            **({"spill_bytes": cfg.write_spill_bytes} if cfg.write_mode == "streaming" else {}),
+            mode=mode,
+            **({"spill_bytes": cfg.write_spill_bytes} if mode == "streaming" else {}),
         )
     if cfg.deterministic_sort:
         ds = ds.sort("url")

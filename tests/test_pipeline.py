@@ -493,3 +493,21 @@ def test_streaming_append_is_idempotent(tmp_path):
     man = w.finalize()
     assert man.num_rows == 3  # partitions 0,1,2
     assert sum(man["row_count"].to_pylist()) == 10
+
+
+def test_write_mode_auto_resolution(ray_session):
+    """"auto" picks the barrier write below write_streaming_min_rows and
+    the streaming appender pool at/above it (both byte-identical by the
+    equality test above; this locks the size-aware selection)."""
+    import ray.data as rd
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.pipelines.extract import resolve_write_mode
+
+    small = rd.range(10)
+    cfg = ExtractConfig(write_streaming_min_rows=50)
+    assert resolve_write_mode(cfg, small) == "barrier"
+    big = rd.range(50)
+    assert resolve_write_mode(cfg, big) == "streaming"
+    assert resolve_write_mode(ExtractConfig(write_mode="streaming"), small) == "streaming"
+    assert resolve_write_mode(ExtractConfig(write_mode="barrier"), big) == "barrier"
