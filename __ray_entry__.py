@@ -244,9 +244,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v4": curate.curate_corpus_v4,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
+        # r4: new-shard-vs-snapshot ingestion dedup (left-anti hash join)
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_minhash_lsh": _dedup_minhash_golden,
         "dedup_simhash": _dedup_simhash_golden,
-        "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # exact word-shingle ground truth + the minhash subset relation
         # (both value-oracled; converts the minhash family from rows-only)
         "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
@@ -268,6 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
         ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
+        # r4: IVF-bucketed near-dup — the scale path the label-group
+        # variant's residency cap names; oracle shares the assignment
+        "embedding_neardup_ivf": lambda sf: similarity.embedding_neardup_ivf(
+            sf, EMB_NEARDUP_THRESHOLD
+        ),
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize_error": similarity.embedding_quantize_error,
         # r4: one distributed Lloyd iteration (assign + update)
@@ -286,7 +292,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": webtext.perplexity_buckets,
         # r4: Bloom-prefilter + distributed verify join (fixed-size bcast)
         "decontaminate": webtext.decontaminate,
-        "stratified_sample": webtext.stratified_sample,
         "tfidf_top_terms": webtext.tfidf_top_terms,
         # --- scrub family (PII / URL canonicalization / paragraph dedup) --
         "pii_redact": scrub.pii_redact,
@@ -296,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
         "importance_resample": traindata.importance_resample,
         "pack_sequences": traindata.pack_sequences,
+        # r4: BPE merge-round pair election (tokenizer vocab training)
+        "bpe_pair_counts": traindata.bpe_pair_counts,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
@@ -306,13 +313,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
         # --- web-graph (r4: distributed PageRank power iterations) --------
         "pagerank": webgraph.pagerank,
-        # --- relational/join family representatives ------------------------
-        "q1_pricing_summary": relational.q1_pricing_summary,
+        # --- relational/join family representative --------------------------
         "q10_returned_revenue": joins.q10_returned_revenue,
         # ============ BELOW THE DRIVER WINDOW (slot 51+) ===================
         # (all still gated by tools/check_oracles.py; driver-green in
         #  CORRECTNESS_r01/r03 artifacts)
         # --- relational operators ----------------------------------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "orders_by_status": relational.orders_by_status,
@@ -356,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational_rest.q19_disjunctive_revenue,
         "q20_heavy_shippers": relational_rest.q20_heavy_shippers,
         "q21_waiting_suppliers": relational_rest.q21_waiting_suppliers,
+        # --- remaining dedup (machinery also exercised by dedup_clusters) --
+        "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
@@ -365,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_year_status": analysis.orders_by_year_status,
         "lang_source_list": analysis.lang_source_list,
         # --- remaining webtext ---------------------------------------------
+        "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
         # --- probabilistic ANN variants (rows-only; exact companions above)
@@ -446,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_doc_keys": joins.DISTINCT_DOC_KEYS_SQL,
         "union_short_long_docs": joins.UNION_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "jaccard_pairs_by_source": dedup.JACCARD_PAIRS_SQL_T.format(threshold=JACCARD_THRESHOLD),
         "shingle_jaccard_pairs": dedup.SHINGLE_JACCARD_SQL_T.format(
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
@@ -475,6 +486,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),
+        "embedding_neardup_ivf": similarity.IVF_NEARDUP_SQL_T.format(
+            threshold=EMB_NEARDUP_THRESHOLD, k=similarity.IVF_NEARDUP_CENTROIDS
+        ),
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
@@ -503,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": scrub.URL_HOST_SQL,
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,
+        "bpe_pair_counts": traindata.BPE_PAIR_SQL,
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,

@@ -77,6 +77,72 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text) ORDER BY doc_i
 
 
 # --------------------------------------------------------------------------
+# incremental dedup: new crawl shard vs existing corpus snapshot
+# --------------------------------------------------------------------------
+
+INCR_ID_OFFSET = 1_000_000
+
+
+def _incoming_text(doc_id: int, text: str) -> str:
+    """Deterministic incoming-shard derivation (the scrub.py oracle
+    pattern): every third incoming doc re-crawls an existing page
+    byte-identically; the rest carry fresh content."""
+    return text if doc_id % 3 == 0 else f"{text} fresh {doc_id}"
+
+
+def dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Continuous-ingestion dedup: which docs of an INCOMING crawl shard
+    are new against the EXISTING corpus snapshot (the daily-crawl
+    pattern — dedup the delta against the index, never re-dedup the
+    corpus). The incoming shard is derived deterministically from the
+    snapshot (module pattern above) so the SQL oracle reproduces it.
+
+    Returns the ingest list: incoming doc_ids whose content hash does
+    not appear in the snapshot, sorted. Scale contract: both sides
+    shuffle (hash, doc_id) rows only — text is dropped before the
+    LEFT-ANTI hash join; nothing is broadcast (the snapshot index is
+    unbounded at 100 TB, so it must be the join's build side, never a
+    driver set)."""
+    import ray.data as _rd
+
+    def base_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    def incoming_hash(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(d + INCR_ID_OFFSET)
+            hs.append(hashlib.sha256(_incoming_text(d, t).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    base = _docs(sf_dir).map_batches(base_hash, batch_format="pyarrow")
+    incoming = _docs(sf_dir).map_batches(incoming_hash, batch_format="pyarrow")
+    out = (
+        incoming.join(base, join_type="left_anti", num_partitions=8, on=("h",))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH incoming AS (
+  SELECT doc_id + {INCR_ID_OFFSET} AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' fresh ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+)
+SELECT i.doc_id FROM incoming i
+WHERE sha256(i.text) NOT IN (SELECT sha256(text) FROM documents)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 

@@ -342,6 +342,28 @@ def knn_ivf(
 # embedding cosine near-dup within label groups — oracled
 # --------------------------------------------------------------------------
 
+def _blockwise_pairs(ids: np.ndarray, m: np.ndarray, threshold: float, block: int = 2048):
+    """Upper-triangle cosine pairs >= threshold over normalized rows, in
+    O(block x n) memory — never the full n x n gram matrix (a 100k-vector
+    group would be 80 GB otherwise). Shared by embedding_neardup (label
+    groups) and embedding_neardup_ivf (centroid buckets)."""
+    n = len(ids)
+    a_out, b_out, s_out = [], [], []
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        sims = m[i0:i1] @ m.T  # (block, n)
+        rows, cols = np.nonzero(sims >= threshold)
+        upper = cols > (rows + i0)  # strict upper triangle only
+        rows, cols = rows[upper], cols[upper]
+        a_out.append(ids[rows + i0])
+        b_out.append(ids[cols])
+        s_out.append(sims[rows, cols])
+    ids_a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+    ids_b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+    sims_v = np.concatenate(s_out) if s_out else np.array([], dtype=np.float64)
+    return ids_a, ids_b, sims_v
+
+
 def embedding_neardup(
     sf_dir: str, threshold: float = 0.95, max_group_bytes: int | None = None
 ) -> pd.DataFrame:
@@ -367,22 +389,7 @@ def embedding_neardup(
         g = g.sort_values("vec_id")
         ids = g.vec_id.to_numpy()
         m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
-        n = len(ids)
-        # blockwise upper-triangle sweep: memory O(BLOCK x n), never the
-        # full n x n gram matrix (100k-vector group = 80 GB otherwise)
-        a_out, b_out, s_out = [], [], []
-        for i0 in range(0, n, BLOCK):
-            i1 = min(i0 + BLOCK, n)
-            sims = m[i0:i1] @ m.T  # (block, n)
-            rows, cols = np.nonzero(sims >= threshold)
-            upper = cols > (rows + i0)  # strict upper triangle only
-            rows, cols = rows[upper], cols[upper]
-            a_out.append(ids[rows + i0])
-            b_out.append(ids[cols])
-            s_out.append(sims[rows, cols])
-        ids_a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
-        ids_b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
-        sims_v = np.concatenate(s_out) if s_out else np.array([], dtype=np.float64)
+        ids_a, ids_b, sims_v = _blockwise_pairs(ids, m, threshold, BLOCK)
         return pd.DataFrame(
             {
                 "id_a": ids_a.astype("int64"),
@@ -406,6 +413,115 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+IVF_NEARDUP_CENTROIDS = 8
+
+
+def embedding_neardup_ivf(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_centroids: int = IVF_NEARDUP_CENTROIDS,
+    max_group_bytes: int | None = None,
+) -> pd.DataFrame:
+    """IVF-bucketed cosine near-dup — THE scale path embedding_neardup's
+    residency cap names: partition vectors into nearest-centroid buckets
+    (deterministic init: centroids = vectors of vec_id < n_centroids,
+    the kmeans_step contract) and find pairs WITHIN buckets only. The
+    by-design tradeoff is that cross-bucket boundary pairs are missed;
+    the SQL oracle constructs the IDENTICAL assignment + within-bucket
+    self-join, so the output is value-checked exactly rather than
+    rows-only. Raising n_centroids shrinks per-bucket residency
+    linearly (in expectation) — the knob the residency failure message
+    names.
+
+    Scale contract: the broadcast is the k x d centroid matrix; the
+    shuffle moves one (cid, vec_id, embedding) row per vector — the
+    embedding crosses exactly one exchange, as in the label-group
+    variant; pair generation is the shared blockwise O(block x n)
+    kernel."""
+    import ray
+
+    from .common import read_table
+
+    init = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_centroids}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(init) < n_centroids:
+        raise ValueError(f"need vec_id 0..{n_centroids - 1} present for deterministic init")
+    C = np.stack(init.embedding.to_numpy()).astype(np.float64)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cref)
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
+            return batch.append_column("cid", pa.array([], pa.int64()))
+        d2 = ((X.astype(np.float64)[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1)
+        return batch.append_column("cid", pa.array(d2.argmin(axis=1), pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .common import GROUP_RESIDENCY_CAP_BYTES, enforce_group_residency
+
+        dim = len(g.embedding.iloc[0]) if len(g) else 0
+        enforce_group_residency(
+            len(g) * dim * 8 * 2, len(g),
+            f"cid={g.cid.iloc[0]!r}" if len(g) else "<empty>",
+            "embedding_neardup_ivf", "raise n_centroids (finer buckets)",
+            cap_bytes=max_group_bytes or GROUP_RESIDENCY_CAP_BYTES,
+        )
+        g = g.sort_values("vec_id")
+        ids = g.vec_id.to_numpy()
+        m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
+        ids_a, ids_b, sims_v = _blockwise_pairs(ids, m, threshold)
+        return pd.DataFrame(
+            {
+                "id_a": ids_a.astype("int64"),
+                "id_b": ids_b.astype("int64"),
+                "sim": np.round(sims_v, 6),
+            }
+        )
+
+    pairs = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+IVF_NEARDUP_SQL_T = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {k}),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding, c.cvec), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1
+)
+SELECT ax.vec_id AS id_a, ay.vec_id AS id_b,
+       ROUND(list_cosine_similarity(list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                                    list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS sim
+FROM a ax JOIN a ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+JOIN embeddings x ON x.vec_id = ax.vec_id
+JOIN embeddings y ON y.vec_id = ay.vec_id
+WHERE list_cosine_similarity(list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                             list_transform(y.embedding, v -> CAST(v AS DOUBLE))) >= {threshold}
 ORDER BY id_a, id_b
 """
 

@@ -159,6 +159,74 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# BPE pair election (the inner step of byte-pair-encoding vocab training)
+# --------------------------------------------------------------------------
+
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(sf_dir: str, k: int = BPE_TOP_K) -> pd.DataFrame:
+    """Global adjacent character-pair frequencies within words — the
+    corpus statistic one BPE merge round elects its next symbol from
+    (Sennrich et al. 2016; a full tokenizer trainer iterates this with
+    merged symbols). Returns the top-k pairs by (count desc, pair asc) —
+    a deterministic total order, so a tie straddling the k boundary cuts
+    identically on both sides.
+
+    Scale contract: per-block Counter partials shuffle as (pair, count)
+    rows — the distinct-pair space is bounded by |charset|^2, so both
+    the shuffle and the final collect are alphabet-sized, never
+    corpus-sized. Oracled by BPE_PAIR_SQL."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for w in t.split():
+                c.update(w[i : i + 2] for i in range(len(w) - 1))
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"pair": pd.Series([], dtype="object"), "cnt": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"cnt": "int64"})
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS word
+  FROM documents
+),
+p AS (
+  SELECT substr(word, i, 2) AS pair
+  FROM w, LATERAL unnest(generate_series(1, len(word) - 1)) AS gs(i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # deterministic importance resampling (mixture reweighting)
 # --------------------------------------------------------------------------
 

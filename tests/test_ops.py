@@ -605,3 +605,40 @@ def test_pagerank_structure(ray_session):
     assert out["rank"].max() > 5  # hubs exist by construction
     with pytest.raises(ValueError, match="iters"):
         webgraph.pagerank(SF, iters=0)
+
+
+def test_embedding_neardup_ivf_subset_of_exact(ray_session):
+    """IVF-bucketed pairs must be a SUBSET of the all-pairs ground truth
+    at the same threshold (bucketing can only lose cross-bucket pairs,
+    never invent or mis-score one), with identical sims on the shared
+    pairs; and the residency cap fails loudly naming the n_centroids
+    knob."""
+    import pytest
+
+    ivf = similarity.embedding_neardup_ivf(SF, threshold=0.4)
+    assert len(ivf) > 0  # non-vacuous at sf0.001
+
+    # exact all-pairs ground truth via one bucket (n_centroids=1: every
+    # vector lands in centroid 0's bucket -> brute force)
+    exact = similarity.embedding_neardup_ivf(SF, threshold=0.4, n_centroids=1)
+    key = lambda df: {(a, b): s for a, b, s in zip(df.id_a, df.id_b, df.sim)}
+    ki, ke = key(ivf), key(exact)
+    assert set(ki) <= set(ke)
+    assert all(ke[p] == ki[p] for p in ki)
+
+    with pytest.raises(Exception, match="n_centroids"):
+        similarity.embedding_neardup_ivf(SF, threshold=0.4, max_group_bytes=64)
+
+
+def test_dedup_incremental_derivation(ray_session):
+    """Every third incoming doc re-crawls an existing page, so exactly
+    the non-multiples-of-3 ids are ingested (the corpus has no
+    cross-doc exact dups — test_dedup_exact_no_dups_in_testdata)."""
+    out = dedup.dedup_incremental(SF)
+    ids = out.doc_id.to_numpy() - dedup.INCR_ID_OFFSET
+    assert (ids % 3 != 0).all()
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    expect = sum(1 for i in range(n) if i % 3 != 0)
+    assert len(out) == expect

@@ -103,3 +103,21 @@ def test_duplicate_ngram_spans_hashed_path_identical(ray_session):
     exact = td.duplicate_ngram_spans(SF, hashed=False)
     hashed = td.duplicate_ngram_spans(SF, hashed=True)
     pd.testing.assert_frame_equal(hashed, exact)
+
+
+def test_bpe_pair_counts_matches_local(ray_session):
+    """Distributed pair election equals a single-process Counter over the
+    same corpus, including the (cnt desc, pair asc) tie order at the k
+    boundary."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = td.bpe_pair_counts(SF, k=30)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    c = Counter()
+    for t in texts:
+        for w in t.split():
+            c.update(w[i : i + 2] for i in range(len(w) - 1))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert list(zip(got.pair, got.cnt)) == expect
