@@ -282,9 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": analysis.token_counts,
         "quality_scores": analysis.quality_scores,
         "lang_id": analysis.lang_id,
-        "lang_doc_stats": analysis.lang_doc_stats,
         "word_entropy": analysis.word_entropy,
         "table_checksum": analysis.table_checksum,
+        # r4: CDC snapshot diff (which rows changed, and how)
+        "table_diff": analysis.table_diff,
         # --- webtext curation (repetition / quality gate / LM / decontam) --
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
@@ -366,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- remaining dedup (machinery also exercised by dedup_clusters) --
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
+        "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
         "hll_distinct_users": analysis.hll_distinct_users,
@@ -503,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,
         "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
         "table_checksum": analysis.TABLE_CHECKSUM_SQL,
+        "table_diff": analysis.TABLE_DIFF_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,

@@ -686,3 +686,101 @@ SELECT cw.doc_id, CAST(n.n AS BIGINT) AS n_words,
 FROM cw JOIN n USING (doc_id)
 GROUP BY cw.doc_id, n.n ORDER BY cw.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff (the other half of the anti-entropy pair: checksum
+# says WHETHER two snapshots differ, diff says WHICH rows and HOW)
+# --------------------------------------------------------------------------
+
+DIFF_MOD_EVERY = 101   # modified: o_totalprice += 1.0
+DIFF_DEL_EVERY = 97    # deleted from v2
+DIFF_INS_EVERY = 89    # inserted into v2 under key + offset
+DIFF_INS_OFFSET = 10_000_000
+
+
+def table_diff(sf_dir: str) -> pd.DataFrame:
+    """Row-level diff of two snapshots of `orders` — the CDC/replica-
+    repair primitive that follows a checksum mismatch. Snapshot v2 is
+    derived deterministically from v1 (the scrub.py oracle pattern):
+    keys % {DEL} are deleted, keys % {MOD} get o_totalprice + 1.0,
+    and keys % {INS} insert a new row under key + offset — so the SQL
+    oracle reproduces the identical pair of tables.
+
+    Returns (o_orderkey, change in {added, deleted, modified}), sorted.
+    Scale contract: both sides shuffle (key, price) rows only (~16 B);
+    the full-outer hash join is the one exchange; unchanged rows are
+    dropped INSIDE the post-join map_batches, so the driver collect is
+    diff-sized, never table-sized."""
+    import numpy as np
+
+    from .common import sized_read_parquet
+    from .relational_more import N_JOIN_PARTS
+
+    def v1_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["o_orderkey"], "p1": batch["o_totalprice"]})
+
+    def v2_rows(batch: pa.Table) -> pa.Table:
+        ks = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ps = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ks % DIFF_DEL_EVERY != 0
+        k2 = ks[keep]
+        p2 = np.where(k2 % DIFF_MOD_EVERY == 0, ps[keep] + 1.0, ps[keep])
+        ins = ks[ks % DIFF_INS_EVERY == 0] + DIFF_INS_OFFSET
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k2, ins]), pa.int64()),
+                "p2": pa.array(
+                    np.concatenate([p2, np.full(len(ins), 42.0)]), pa.float64()
+                ),
+            }
+        )
+
+    def _orders(fn):
+        return sized_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    joined = _orders(v1_rows).join(
+        _orders(v2_rows), join_type="full_outer", num_partitions=N_JOIN_PARTS, on=("k",)
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        p1, p2 = df.p1.to_numpy(), df.p2.to_numpy()
+        added = np.isnan(p1)
+        deleted = np.isnan(p2)
+        modified = ~added & ~deleted & (p1 != p2)
+        keep = added | deleted | modified
+        change = np.where(added, "added", np.where(deleted, "deleted", "modified"))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df.k.to_numpy()[keep].astype("int64"), pa.int64()),
+                "change": pa.array(change[keep], pa.string()),
+            }
+        )
+
+    out = joined.map_batches(classify, batch_format="pyarrow", batch_size=None).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"), "change": pd.Series([], dtype="object")}
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True).astype({"o_orderkey": "int64"})
+
+
+TABLE_DIFF_SQL = f"""
+WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+v2 AS (
+  SELECT k, CASE WHEN k % {DIFF_MOD_EVERY} = 0 THEN p + 1.0 ELSE p END AS p
+  FROM v1 WHERE k % {DIFF_DEL_EVERY} != 0
+  UNION ALL
+  SELECT k + {DIFF_INS_OFFSET}, 42.0 FROM v1 WHERE k % {DIFF_INS_EVERY} = 0
+)
+SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'deleted'
+            ELSE 'modified' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p != v2.p
+ORDER BY o_orderkey
+"""

@@ -642,3 +642,29 @@ def test_dedup_incremental_derivation(ray_session):
     n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     expect = sum(1 for i in range(n) if i % 3 != 0)
     assert len(out) == expect
+
+
+def test_table_diff_change_counts(ray_session):
+    """Change-type counts must match the derivation arithmetic exactly:
+    added = #keys%89==0 (inserted under the offset), deleted =
+    #keys%97==0, modified = #keys%101==0 that were NOT deleted."""
+    import pyarrow.parquet as pq
+
+    out = analysis.table_diff(SF)
+    keys = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).column(
+        "o_orderkey"
+    ).to_pylist()
+    exp_added = sum(1 for k in keys if k % analysis.DIFF_INS_EVERY == 0)
+    exp_deleted = sum(1 for k in keys if k % analysis.DIFF_DEL_EVERY == 0)
+    exp_modified = sum(
+        1
+        for k in keys
+        if k % analysis.DIFF_MOD_EVERY == 0 and k % analysis.DIFF_DEL_EVERY != 0
+    )
+    got = out.change.value_counts().to_dict()
+    assert got.get("added", 0) == exp_added
+    assert got.get("deleted", 0) == exp_deleted
+    assert got.get("modified", 0) == exp_modified
+    # added rows live under the insert offset, everything else below it
+    assert (out[out.change == "added"].o_orderkey >= analysis.DIFF_INS_OFFSET).all()
+    assert (out[out.change != "added"].o_orderkey < analysis.DIFF_INS_OFFSET).all()
