@@ -306,12 +306,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": traindata.bpe_pair_counts,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
-        "csv_roundtrip": io_roundtrip.csv_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows (CDC compaction + sessionize + tumbling) ----
         "events_latest_per_user": events.events_latest_per_user,
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
+        # r4: allowed-lateness watermark accounting (Beam/Flink semantic)
+        "events_watermark": events.events_watermark,
         # --- web-graph (r4: distributed PageRank power iterations) --------
         "pagerank": webgraph.pagerank,
         # --- relational/join family representative --------------------------
@@ -382,7 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- probabilistic ANN variants (rows-only; exact companions above)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
-        # --- remaining events / windows ------------------------------------
+        # --- remaining io / events / windows ---------------------------------
+        "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
         "events_running_value": events.events_running_value,
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
@@ -534,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_pairs": events.EVENTS_INTERVAL_SQL_T.format(band_s=900),
         "events_running_value": events.EVENTS_RUNNING_SQL,
         "events_latest_per_user": events.EVENTS_LATEST_SQL,
+        "events_watermark": events.EVENTS_WATERMARK_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

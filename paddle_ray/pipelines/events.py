@@ -620,3 +620,101 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# event-time watermark: late-data accounting for windowed aggregation
+# --------------------------------------------------------------------------
+
+WM_WINDOW_S = 3600
+WM_LATENESS_S = 1800  # allowed lateness past window close
+WM_DELAY_STEP_S = 600  # derived arrival delay: (event_id % 5) * step
+
+
+def events_watermark(
+    sf_dir: str, window_s: int = WM_WINDOW_S, lateness_s: int = WM_LATENESS_S
+) -> pd.DataFrame:
+    """Tumbling EVENT-TIME windows under a watermark policy: an event is
+    accepted iff it ARRIVES no later than `lateness_s` after its window
+    closes; later arrivals are counted as dropped-late (the Beam/Flink
+    allowed-lateness semantic — the piece a batch tumbling window
+    doesn't model). The events table has no arrival column, so arrival
+    delay is DERIVED deterministically (module pattern:
+    delay = (event_id % 5) * {WM_DELAY_STEP_S} s, up to 2400 s — enough
+    to push ~3% of rows past the watermark at the default settings,
+    non-vacuous at every sf) and the SQL oracle reproduces the same
+    derivation.
+
+    Output per window: accepted count, late-dropped count, accepted
+    value sum. Scale contract: stateless per-batch integer-us kernels +
+    per-(window, block) partials -> #windows-sized groupby; nothing
+    row-sized crosses the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(batch["ts"], pa.int64())
+        w_us = pa.scalar(window_s * 1_000_000, pa.int64())
+        ws = pc.multiply(pc.divide(epoch_us, w_us), pa.scalar(window_s, pa.int64()))
+        # pyarrow.compute has no modulo kernel — derive the delay in numpy
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        delay_us = pa.array((ids % 5) * WM_DELAY_STEP_S * 1_000_000, pa.int64())
+        arrival_us = pc.add(epoch_us, delay_us)
+        deadline_us = pc.multiply(
+            pc.add(ws, pa.scalar(window_s + lateness_s, pa.int64())),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        ok = pc.less_equal(arrival_us, deadline_us)
+        ok_i = pc.cast(ok, pa.int64())
+        t = pa.table(
+            {
+                "window_start": ws,
+                "n_accepted": ok_i,
+                "n_late": pc.subtract(pa.scalar(1, pa.int64()), ok_i),
+                "sum_value": pc.if_else(ok, batch["value"], pa.scalar(0.0, pa.float64())),
+            }
+        )
+        g = t.group_by("window_start").aggregate(
+            [("n_accepted", "sum"), ("n_late", "sum"), ("sum_value", "sum")]
+        )
+        return g.rename_columns(["window_start", "n_accepted", "n_late", "sum_value"])
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("window_start")
+        .aggregate(
+            Sum("n_accepted", alias_name="n_accepted"),
+            Sum("n_late", alias_name="n_late"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out.sum_value.round(4)
+    return out.astype({"window_start": "int64", "n_accepted": "int64", "n_late": "int64"})
+
+
+EVENTS_WATERMARK_SQL_T = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         (event_id % 5) * CAST({delay_step} AS BIGINT) * 1000000 AS delay_us,
+         value,
+         (epoch_us(ts) // (CAST({window_s} AS BIGINT) * 1000000)) * {window_s} AS ws
+  FROM events
+)
+SELECT ws AS window_start,
+       CAST(SUM(CASE WHEN us + delay_us <= (ws + {window_s} + {lateness_s}) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(SUM(CASE WHEN us + delay_us <= (ws + {window_s} + {lateness_s}) * 1000000
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN us + delay_us <= (ws + {window_s} + {lateness_s}) * 1000000
+                      THEN value ELSE 0 END), 4) AS sum_value
+FROM e GROUP BY ws ORDER BY window_start
+"""
+
+EVENTS_WATERMARK_SQL = EVENTS_WATERMARK_SQL_T.format(
+    window_s=WM_WINDOW_S, lateness_s=WM_LATENESS_S, delay_step=WM_DELAY_STEP_S
+)

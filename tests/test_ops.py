@@ -668,3 +668,24 @@ def test_table_diff_change_counts(ray_session):
     # added rows live under the insert offset, everything else below it
     assert (out[out.change == "added"].o_orderkey >= analysis.DIFF_INS_OFFSET).all()
     assert (out[out.change != "added"].o_orderkey < analysis.DIFF_INS_OFFSET).all()
+
+
+def test_events_watermark_accounting(ray_session):
+    """Watermark invariants: accepted + late == total events per window,
+    late events are non-vacuous (the max derived delay exceeds the
+    allowed lateness), and late count must be exactly the rows with
+    delay 2400 s arriving past window_end + 1800 s (delays <= 1800 s can
+    never be late at these settings)."""
+    import pyarrow.parquet as pq
+
+    out = events.events_watermark(SF)
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    n_total = t.num_rows
+    assert out.n_accepted.sum() + out.n_late.sum() == n_total
+    assert out.n_late.sum() > 0
+    us = t.column("ts").cast("int64").to_numpy()
+    ids = t.column("event_id").to_numpy()
+    off = us % (events.WM_WINDOW_S * 1_000_000)  # position inside window
+    delay = (ids % 5) * events.WM_DELAY_STEP_S * 1_000_000
+    late = off + delay > (events.WM_WINDOW_S + events.WM_LATENESS_S) * 1_000_000
+    assert out.n_late.sum() == int(late.sum())
