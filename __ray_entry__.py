@@ -265,9 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH with n_planes=0 puts every row in the one bucket of the one
         # table -> exact result, value-oracled against the brute-force SQL
         # (locks the code/candidate/score/merge machinery end-to-end)
-        "knn_lsh_exhaustive": lambda sf: similarity.knn_lsh(
-            sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
-        ),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, EMB_NEARDUP_THRESHOLD),
         # r4: IVF-bucketed near-dup — the scale path the label-group
         # variant's residency cap names; oracle shares the assignment
@@ -282,7 +279,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": analysis.token_counts,
         "quality_scores": analysis.quality_scores,
         "lang_id": analysis.lang_id,
-        "word_entropy": analysis.word_entropy,
         "table_checksum": analysis.table_checksum,
         # r4: CDC snapshot diff (which rows changed, and how)
         "table_diff": analysis.table_diff,
@@ -294,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: Bloom-prefilter + distributed verify join (fixed-size bcast)
         "decontaminate": webtext.decontaminate,
         "tfidf_top_terms": webtext.tfidf_top_terms,
+        # r4: FineWeb-style head/mid/tail tier extraction + per-tier
+        # deterministic keep rates (the graft's tiering axis)
+        "quality_tiers": webtext.quality_tiers,
         # --- scrub family (PII / URL canonicalization / paragraph dedup) --
         "pii_redact": scrub.pii_redact,
         "url_host_stats": scrub.url_host_stats,
@@ -304,15 +303,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,
         # r4: BPE merge-round pair election (tokenizer vocab training)
         "bpe_pair_counts": traindata.bpe_pair_counts,
+        # r4: per-lang quality-ranked token-budget cut (distributed
+        # threshold/top-k-by-weight, not a per-lang sort)
+        "token_budget_select": traindata.token_budget_select,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows (CDC compaction + sessionize + tumbling) ----
         "events_latest_per_user": events.events_latest_per_user,
-        "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
         # r4: allowed-lateness watermark accounting (Beam/Flink semantic)
         "events_watermark": events.events_watermark,
+        # r4: exact distributed quantiles by iterative histogram refinement
+        "exact_ts_quantiles": events.exact_ts_quantiles,
         # --- web-graph (r4: distributed PageRank power iterations) --------
         "pagerank": webgraph.pagerank,
         # --- relational/join family representative --------------------------
@@ -368,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- remaining dedup (machinery also exercised by dedup_clusters) --
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
+        "word_entropy": analysis.word_entropy,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
@@ -380,12 +384,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
-        # --- probabilistic ANN variants (rows-only; exact companions above)
+        # --- remaining exact ANN companions + probabilistic variants
+        # (exhaustive-parameter LSH = value-locked; machinery siblings in
+        #  the driver window: knn_bruteforce / knn_ivf_exhaustive)
+        "knn_lsh_exhaustive": lambda sf: similarity.knn_lsh(
+            sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
+        ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
+        "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
         "events_running_value": events.events_running_value,
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
         "events_json_props": events.events_json_props,
@@ -537,6 +547,9 @@ def oracle_sql() -> dict[str, str]:
         "events_running_value": events.EVENTS_RUNNING_SQL,
         "events_latest_per_user": events.EVENTS_LATEST_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
+        "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
+        "quality_tiers": webtext.QUALITY_TIERS_SQL,
+        "token_budget_select": traindata.TOKEN_BUDGET_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -101,3 +101,16 @@ def enforce_group_residency(
             f"oracle/ground-truth surface); for hot groups use {scale_path}, or "
             f"raise max_group_bytes explicitly if the worker really has the heap."
         )
+
+
+def w_threshold_hex(w: float) -> str:
+    """First-8-hex-digit md5 threshold such that P[md5(key) < thresh] ~ w
+    (md5 hex is fixed-length lowercase, so lexicographic compare IS
+    numeric compare; the 8-digit prefix + 24 zeros keeps literals short
+    and exact). Shared by the deterministic-sampling operators
+    (importance_resample, quality_tiers) and their SQL oracles. Only
+    valid for w < 1.0 — w == 1.0 would format as 9 hex digits and break
+    the fixed-width compare; callers special-case keep-all."""
+    if not (0.0 <= w < 1.0):
+        raise ValueError(f"w must be in [0, 1), got {w}")
+    return f"{int(w * (1 << 32)):08x}" + "0" * 24

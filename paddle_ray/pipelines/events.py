@@ -9,10 +9,12 @@ ts-sorted rows. All windows are oracle-checkable in SQL.
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -718,3 +720,124 @@ FROM e GROUP BY ws ORDER BY window_start
 EVENTS_WATERMARK_SQL = EVENTS_WATERMARK_SQL_T.format(
     window_s=WM_WINDOW_S, lateness_s=WM_LATENESS_S, delay_step=WM_DELAY_STEP_S
 )
+
+
+# --------------------------------------------------------------------------
+# exact distributed quantiles via iterative histogram refinement
+# --------------------------------------------------------------------------
+
+EQ_QUANTILES = (0.5, 0.9, 0.99)
+EQ_BUCKETS = 1024
+
+
+def exact_ts_quantiles(sf_dir: str, quantiles: tuple[float, ...] = EQ_QUANTILES) -> pd.DataFrame:
+    """EXACT order statistics of the event-timestamp column (epoch us)
+    without ever sorting or collecting the column: iterative histogram
+    refinement, the classic distributed exact-quantile algorithm (and
+    the scale companion to lang_quantile_chars' per-group map_groups and
+    approx_quantile_chars' mergeable sketch — this one is exact AND
+    never moves more than #buckets x #blocks int64 partials per pass).
+
+    Per pass, every pending quantile's candidate range [lo, hi] is
+    histogrammed into {EQ_BUCKETS} equal integer steps in ONE shared
+    map_batches sweep; the driver walks each histogram to the bucket
+    containing the target rank and narrows the range by ~1024x. A range
+    of W resolves in ceil(log_1024 W) passes (epoch-us spans ~2^45 =>
+    4-5 passes). Rank contract: quantile q = the ceil(q*n)-th smallest
+    value (1-based) == DuckDB quantile_disc. The single-int64 column is
+    materialized once and re-swept per pass; at extreme scale re-read
+    the pruned parquet column per pass instead (noted, not needed here).
+    Output value is reported relative to the column MIN (value_us - min)
+    so the gate's float canonicalization keeps full integer precision."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"us": pc.cast(batch["ts"], pa.int64())})
+
+    col = (
+        _events(sf_dir, columns=["ts"])
+        .map_batches(to_us, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = col.aggregate(Count(), Min("us"), Max("us"))
+    n, gmin, gmax = int(stats["count()"]), int(stats["min(us)"]), int(stats["max(us)"])
+    # state per quantile: [rank(1-based), lo, hi, n_below_lo]; resolved -> value
+    state = {q: [math.ceil(q * n), gmin, gmax, 0] for q in quantiles}
+    resolved: dict[float, int] = {}
+
+    while len(resolved) < len(state):
+        pend = {q: s for q, s in state.items() if q not in resolved}
+        plan = {  # (lo, hi, ceil(width / EQ_BUCKETS))
+            q: (s[1], s[2], max(1, (s[2] - s[1] + EQ_BUCKETS) // EQ_BUCKETS))
+            for q, s in pend.items()
+        }
+        pref = ray.put(plan)
+        qkeys = sorted(pend)
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            pl = ray.get(pref)
+            x = batch["us"].to_numpy(zero_copy_only=False)
+            qi_o, b_o, c_o = [], [], []
+            for qi, q in enumerate(sorted(pl)):
+                lo, hi, step = pl[q]
+                m = (x >= lo) & (x <= hi)
+                b = (x[m] - lo) // step
+                cnt = np.bincount(b, minlength=EQ_BUCKETS)
+                nz = np.nonzero(cnt)[0]
+                qi_o.extend([qi] * len(nz))
+                b_o.extend(nz.tolist())
+                c_o.extend(cnt[nz].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(qi_o, pa.int64()),
+                    "bucket": pa.array(b_o, pa.int64()),
+                    "cnt": pa.array(c_o, pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        hist = (
+            col.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["qi", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        for qi, q in enumerate(qkeys):
+            rank, lo, hi, below = state[q]
+            step = plan[q][2]
+            g = hist[hist.qi == qi].sort_values("bucket")
+            cum = below
+            for _, row in g.iterrows():
+                if cum + row.cnt >= rank:
+                    b = int(row.bucket)
+                    if step == 1:
+                        resolved[q] = lo + b
+                    else:
+                        state[q] = [rank, lo + b * step, min(hi, lo + (b + 1) * step - 1), cum]
+                    break
+                cum += int(row.cnt)
+
+    return pd.DataFrame(
+        {
+            "q": list(quantiles),
+            "rank": [state[q][0] for q in quantiles],
+            "value_rel_us": [resolved[q] - gmin for q in quantiles],
+        }
+    ).astype({"rank": "int64", "value_rel_us": "int64"})
+
+
+EXACT_TS_QUANTILES_SQL = f"""
+WITH v AS (SELECT epoch_us(ts) AS us FROM events),
+agg AS (SELECT COUNT(*) AS n, MIN(us) AS mn FROM v),
+r AS (
+  SELECT q, CAST(CEIL(q * agg.n) AS BIGINT) AS rank
+  FROM (SELECT unnest([{', '.join(str(q) for q in EQ_QUANTILES)}]) AS q) qs
+  CROSS JOIN agg
+),
+s AS (SELECT us, row_number() OVER (ORDER BY us) AS rn FROM v)
+SELECT r.q, r.rank, CAST(s.us - (SELECT mn FROM agg) AS BIGINT) AS value_rel_us
+FROM r JOIN s ON s.rn = r.rank ORDER BY r.q
+"""

@@ -237,11 +237,11 @@ RESAMPLE_DEFAULT_W = 0.5
 
 
 def _w_threshold_hex(w: float) -> str:
-    """First-8-hex-digit threshold such that P[md5(doc_id) < thresh] ~ w.
-    md5 hex strings are fixed-length lowercase, so lexicographic compare
-    IS numeric compare on the 128-bit value; comparing against an
-    8-digit prefix + 24 zeros keeps the literal short and exact."""
-    return f"{int(w * (1 << 32)):08x}" + "0" * 24
+    """See common.w_threshold_hex (moved there so webtext can share it
+    without a circular import)."""
+    from .common import w_threshold_hex
+
+    return w_threshold_hex(w)
 
 
 def importance_resample(sf_dir: str) -> pd.DataFrame:
@@ -419,3 +419,164 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST((start + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS seq_last
 FROM c WHERE n_tokens > 0 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-language token-budget selection (quality-ranked corpus-mix cut)
+# --------------------------------------------------------------------------
+
+TB_BUDGET = 1500  # tokens kept per language (constant => one SQL oracle at any sf)
+TB_BUCKETS = 1000  # coarse stop-ratio buckets for the distributed threshold pass
+TB_BOUNDARY_CAP = 2_000_000  # loud-fail cap on boundary-bucket residency
+
+
+def token_budget_select(sf_dir: str, budget: int = TB_BUDGET) -> pd.DataFrame:
+    """Select, per language, the highest-quality documents until a token
+    budget is exhausted — the corpus-mix cut a tiered training plan
+    makes after scoring ("take the best N billion tokens per lang").
+    Quality rank = stopword ratio descending (the same stoplist/division
+    the quality ops use, so the float is bit-identical to the oracle's),
+    doc_id ascending as the tiebreak; a doc is kept iff the running
+    token total up to and including it is <= `budget`. Zero-token docs
+    are excluded on both sides.
+
+    Distributed threshold ("top-k by weight") — NOT a per-lang sort:
+    pass 1 histograms token mass into {TB_BUCKETS} coarse stop-ratio
+    buckets per lang (shuffle is #langs x #buckets int64 partials);
+    the driver walks each lang's buckets in descending order to find the
+    boundary bucket where the budget lands. Pass 2 streams again:
+    everything in a strictly-higher bucket is kept outright (floor() is
+    monotone, so higher bucket => strictly higher stop ratio => earlier
+    in the oracle's order, and the whole region fits the budget by
+    construction); only the boundary bucket's docs — a ~1/{TB_BUCKETS}
+    slice — are resolved exactly by (stop DESC, doc_id) prefix-sum,
+    driver-side below a {TB_BOUNDARY_CAP}-row loud-fail cap (past it,
+    re-bucket the boundary bucket recursively — same machinery, one more
+    pass). Oracle: TOKEN_BUDGET_SQL's window cumsum reproduces the kept
+    set exactly."""
+    from ..functions.textstats import STOPWORDS
+
+    def signals(batch: pa.Table) -> pa.Table:
+        stops, ntoks = [], []
+        for text in batch["text"].to_pylist():
+            ws = text.split()
+            n = len(ws)
+            ntoks.append(n)
+            stops.append(
+                sum(1 for w in ws if w.lower() in STOPWORDS) / n if n else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tok": pa.array(ntoks, pa.int64()),
+                "stop": pa.array(stops, pa.float64()),
+            }
+        )
+
+    base = (
+        _docs(sf_dir, columns=("doc_id", "lang", "text"))
+        .map_batches(signals, batch_format="pyarrow")
+        .filter(expr="n_tok > 0")
+        .materialize()  # consumed twice (histogram pass + apply pass)
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = np.minimum(
+            (batch["stop"].to_numpy(zero_copy_only=False) * TB_BUCKETS).astype(np.int64),
+            TB_BUCKETS,  # stop == 1.0 lands in its own top bucket
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "bucket": pa.array(b, pa.int64()),
+                "toks": batch["n_tok"],
+            }
+        )
+        g = t.group_by(["lang", "bucket"]).aggregate([("toks", "sum")])
+        return g.rename_columns(["lang", "bucket", "toks"])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        base.map_batches(bucket_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()
+    )
+    # boundary[lang] = (boundary_bucket, budget remaining inside it);
+    # langs whose total fits the budget entirely have no boundary
+    boundary: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        cum = 0
+        for _, row in g.sort_values("bucket", ascending=False).iterrows():
+            if cum + row.toks > budget:
+                boundary[lang] = (int(row.bucket), int(budget - cum))
+                break
+            cum += int(row.toks)
+    bref = ray.put(boundary)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bref)
+        langs = batch["lang"].to_pylist()
+        b = np.minimum(
+            (batch["stop"].to_numpy(zero_copy_only=False) * TB_BUCKETS).astype(np.int64),
+            TB_BUCKETS,
+        )
+        # 2 = kept outright, 1 = boundary bucket (resolve exactly), 0 = dropped
+        cls = np.full(len(langs), 2, np.int8)
+        for i, (lang, bk) in enumerate(zip(langs, b)):
+            if lang in bd:
+                bb = bd[lang][0]
+                cls[i] = 2 if bk > bb else (1 if bk == bb else 0)
+        return batch.append_column("cls", pa.array(cls, pa.int8()))
+
+    tagged = base.map_batches(classify, batch_format="pyarrow")
+    kept = tagged.filter(expr="cls == 2").to_pandas()
+    bnd = tagged.filter(expr="cls == 1").to_pandas()
+    if len(bnd) > TB_BOUNDARY_CAP:
+        raise RuntimeError(
+            f"boundary bucket holds {len(bnd)} rows (> {TB_BOUNDARY_CAP}); "
+            "re-bucket the boundary bucket recursively before collecting"
+        )
+    picked = []
+    for lang, g in bnd.groupby("lang"):
+        rem = boundary[lang][1]
+        g = g.sort_values(["stop", "doc_id"], ascending=[False, True])
+        cum = g.n_tok.cumsum()
+        picked.append(g[cum <= rem])
+    out = pd.concat([kept, *picked], ignore_index=True) if picked else kept
+    out["stop_ratio"] = out.stop.round(6)
+    out = (
+        out[["doc_id", "lang", "n_tok", "stop_ratio"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "n_tok": "int64"})
+
+
+TOKEN_BUDGET_SQL_T = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(ts) AS n_tok,
+         len(list_filter(ts, t -> lower(t) IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+           * 1.0 / len(ts) AS stop
+  FROM toks WHERE len(ts) > 0
+),
+r AS (
+  SELECT doc_id, lang, n_tok, stop,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY stop DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+)
+SELECT doc_id, lang, n_tok, ROUND(stop, 6) AS stop_ratio
+FROM r WHERE cum <= {budget} ORDER BY doc_id
+"""
+
+TOKEN_BUDGET_SQL = TOKEN_BUDGET_SQL_T.format(budget=TB_BUDGET)

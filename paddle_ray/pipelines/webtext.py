@@ -948,3 +948,147 @@ FROM scored WHERE rn <= {k} ORDER BY lang, term
 """
 
 TFIDF_SQL = TFIDF_SQL_T.format(k=TFIDF_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# quality-tier extraction (FineWeb/DataComp-style tiered corpus split)
+# --------------------------------------------------------------------------
+
+# head = comfortably above the Gopher gate (higher stopword bar, lower
+# duplicate-word bar); mid = passes the gate; tail = fails it. Thresholds
+# tuned so all three tiers are populated at every test sf (~13% / 19% /
+# 67% on the synthetic corpus); real-webtext deployments calibrate them
+# per extraction recipe (FineWeb keeps ~10% as "head").
+TIER_HEAD_MIN_STOP = 0.06
+TIER_HEAD_MAX_DUP = 0.50
+# per-tier deterministic keep rates (md5(doc_id) threshold — the same
+# cluster-size-invariant sampling importance_resample uses): keep all of
+# head, half of mid, a 10% audit slice of tail
+TIER_KEEP = {"head": 1.0, "mid": 0.5, "tail": 0.1}
+
+
+def quality_tiers(sf_dir: str) -> pd.DataFrame:
+    """Tier extraction: split the corpus into head/mid/tail quality
+    tiers from the Gopher-gate signals (token count, duplicate-word
+    fraction, stopword ratio, mean word length — `quality_gate` is the
+    shared single source of truth) and apply a per-tier deterministic
+    keep rate. Output: per-tier doc counts, kept-doc counts, token
+    mass, and kept token mass — the numbers a tiered training-mix plan
+    is built from (FineWeb-style: train mostly on head, sample mid,
+    audit tail).
+
+    Scale contract: one stateless pass; per-(tier, block) integer
+    partials -> a 3-row groupby. Nothing row-sized crosses the shuffle,
+    and the md5 keep decision is independent of parallelism, so the
+    kept set is identical at any cluster size (the resumability
+    property a 100 TB sampling pass needs). Oracle: QUALITY_TIERS_SQL
+    reproduces signals, tier rule and md5 threshold exactly."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .common import w_threshold_hex
+
+    th = {t: w_threshold_hex(w) for t, w in TIER_KEEP.items() if w < 1.0}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiers, kept, toks = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = _words(text)
+            ok, dup, stop, _ = quality_gate(ws)
+            if ok and stop >= TIER_HEAD_MIN_STOP and dup <= TIER_HEAD_MAX_DUP:
+                tier = "head"
+            elif ok:
+                tier = "mid"
+            else:
+                tier = "tail"
+            tiers.append(tier)
+            toks.append(len(ws))
+            kp = tier not in th or hashlib.md5(str(did).encode()).hexdigest() < th[tier]
+            kept.append(kp)
+        t = pa.table(
+            {
+                "tier": pa.array(tiers, pa.string()),
+                "n_docs": pa.array([1] * len(tiers), pa.int64()),
+                "n_kept": pa.array([1 if k else 0 for k in kept], pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "kept_tokens": pa.array(
+                    [n if k else 0 for k, n in zip(kept, toks)], pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("tier").aggregate(
+            [("n_docs", "sum"), ("n_kept", "sum"), ("n_tokens", "sum"), ("kept_tokens", "sum")]
+        )
+        return g.rename_columns(["tier", "n_docs", "n_kept", "n_tokens", "kept_tokens"])
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tier")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+        )
+        .to_pandas()
+        .sort_values("tier")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_docs": "int64", "n_kept": "int64", "n_tokens": "int64", "kept_tokens": "int64"}
+    )
+
+
+def _quality_tiers_sql() -> str:
+    from .common import w_threshold_hex
+
+    mid_th = w_threshold_hex(TIER_KEEP["mid"])
+    tail_th = w_threshold_hex(TIER_KEEP["tail"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) END AS dup,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE len(list_filter(ts, t -> lower(t) IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+           * 1.0 / len(ts) END AS stop,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) END AS mwl
+  FROM toks
+),
+t AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {QF_MIN_WORDS} AND dup <= {QF_MAX_DUP_FRAC}
+                   AND stop >= {QF_MIN_STOP_RATIO}
+                   AND mwl BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+              THEN CASE WHEN stop >= {TIER_HEAD_MIN_STOP} AND dup <= {TIER_HEAD_MAX_DUP}
+                        THEN 'head' ELSE 'mid' END
+              ELSE 'tail' END AS tier
+  FROM m
+),
+k AS (
+  SELECT tier, n,
+         CASE WHEN tier = 'head' THEN TRUE
+              WHEN tier = 'mid' THEN md5(CAST(doc_id AS VARCHAR)) < '{mid_th}'
+              ELSE md5(CAST(doc_id AS VARCHAR)) < '{tail_th}' END AS kept
+  FROM t
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM k GROUP BY tier ORDER BY tier
+"""
+
+
+QUALITY_TIERS_SQL = _quality_tiers_sql()

@@ -689,3 +689,30 @@ def test_events_watermark_accounting(ray_session):
     delay = (ids % 5) * events.WM_DELAY_STEP_S * 1_000_000
     late = off + delay > (events.WM_WINDOW_S + events.WM_LATENESS_S) * 1_000_000
     assert out.n_late.sum() == int(late.sum())
+
+
+def test_exact_ts_quantiles_matches_sorted_column():
+    """Histogram refinement must land on the exact ceil(q*n)-th order
+    statistic — checked against an actual sort of the column."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = events.exact_ts_quantiles(sf)
+    us = np.sort(
+        pq.read_table(f"{sf}/events.parquet", columns=["ts"])
+        .column("ts")
+        .cast("int64")
+        .to_numpy()
+    )
+    n = len(us)
+    for _, row in out.iterrows():
+        rank = int(np.ceil(row.q * n))
+        assert row["rank"] == rank
+        assert row.value_rel_us == us[rank - 1] - us[0]
+
+
+def test_exact_ts_quantiles_narrow_range():
+    """A quantile whose value window is tiny must resolve in one pass
+    (step clamps to 1) — exercises the step==1 early-resolve arm."""
+    out = events.exact_ts_quantiles("/root/testdata/sf0.001", quantiles=(0.01, 0.999))
+    assert len(out) == 2 and (out.value_rel_us >= 0).all()

@@ -6,6 +6,7 @@ import hashlib
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 
 from paddle_ray.pipelines import traindata as td
 
@@ -121,3 +122,51 @@ def test_bpe_pair_counts_matches_local(ray_session):
             c.update(w[i : i + 2] for i in range(len(w) - 1))
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     assert list(zip(got.pair, got.cnt)) == expect
+
+
+def test_token_budget_select_bruteforce():
+    """The coarse-histogram + boundary-resolve cut must equal the
+    straightforward per-lang (stop DESC, doc_id) cumsum <= budget."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.functions.textstats import STOPWORDS
+
+    sf = "/root/testdata/sf0.001"
+    out = td.token_budget_select(sf)
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    rows = []
+    for did, lang, text in zip(docs.doc_id, docs.lang, docs.text):
+        ws = text.split()
+        if not ws:
+            continue
+        stop = sum(1 for w in ws if w.lower() in STOPWORDS) / len(ws)
+        rows.append((did, lang, len(ws), stop))
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_tok", "stop"])
+    keep = []
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["stop", "doc_id"], ascending=[False, True])
+        keep.append(g[g.n_tok.cumsum() <= td.TB_BUDGET])
+    exp = pd.concat(keep).sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == exp.doc_id.tolist()
+    assert out.n_tok.tolist() == exp.n_tok.tolist()
+    # per-lang budget respected, and maximal (next-best doc would overflow)
+    for lang, g in out.groupby("lang"):
+        used = g.n_tok.sum()
+        assert used <= td.TB_BUDGET
+        rest = df[(df.lang == lang) & ~df.doc_id.isin(g.doc_id)]
+        if len(rest):
+            nxt = rest.sort_values(["stop", "doc_id"], ascending=[False, True]).iloc[0]
+            assert used + nxt.n_tok > td.TB_BUDGET
+
+
+def test_w_threshold_hex_domain():
+    from paddle_ray.pipelines.common import w_threshold_hex
+
+    assert w_threshold_hex(0.5).startswith("80000000")
+    assert len(w_threshold_hex(0.1)) == 32
+    with pytest.raises(ValueError):
+        w_threshold_hex(1.0)
+    with pytest.raises(ValueError):
+        w_threshold_hex(-0.1)

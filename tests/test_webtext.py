@@ -339,3 +339,44 @@ def test_bench_set_broadcast_cap_fails_loudly(tmp_path, ray_session, monkeypatch
     monkeypatch.setattr(webtext, "BENCH_SET_MAX_BYTES", 4)
     with pytest.raises(RuntimeError, match="Bloom"):
         webtext.build_bench_shingles(d)
+
+
+def test_quality_tiers_invariants_and_bruteforce():
+    """Lock the distributed tier split against a single-process replica
+    built from the SAME shared primitives (_words/quality_gate/md5
+    threshold) — catches partial-aggregation or keep-rate drift."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import w_threshold_hex
+
+    sf = "/root/testdata/sf0.001"
+    out = webtext.quality_tiers(sf)
+    assert set(out.tier) == {"head", "mid", "tail"}  # all tiers populated
+    assert (out.n_kept <= out.n_docs).all()
+    assert (out.kept_tokens <= out.n_tokens).all()
+    # head keeps everything (TIER_KEEP['head'] == 1.0)
+    head = out.set_index("tier").loc["head"]
+    assert head.n_kept == head.n_docs and head.kept_tokens == head.n_tokens
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    th = {t: w_threshold_hex(w) for t, w in webtext.TIER_KEEP.items() if w < 1.0}
+    agg = {t: [0, 0, 0, 0] for t in ("head", "mid", "tail")}
+    for did, text in zip(docs.doc_id, docs.text):
+        ws = webtext._words(text)
+        ok, dup, stop, _ = webtext.quality_gate(ws)
+        if ok and stop >= webtext.TIER_HEAD_MIN_STOP and dup <= webtext.TIER_HEAD_MAX_DUP:
+            tier = "head"
+        elif ok:
+            tier = "mid"
+        else:
+            tier = "tail"
+        kp = tier not in th or hashlib.md5(str(did).encode()).hexdigest() < th[tier]
+        a = agg[tier]
+        a[0] += 1
+        a[1] += 1 if kp else 0
+        a[2] += len(ws)
+        a[3] += len(ws) if kp else 0
+    for _, row in out.iterrows():
+        assert agg[row.tier] == [row.n_docs, row.n_kept, row.n_tokens, row.kept_tokens]
