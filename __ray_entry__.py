@@ -237,11 +237,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_synth_digest": _extract_synth_digest,
         "extract_image_stats": _extract_image_stats,
         # --- end-to-end curation compositions ------------------------------
-        "curate_corpus": curate.curate_corpus,
         "curate_corpus_v2": curate.curate_corpus_v2,
         "curate_corpus_v3": curate.curate_corpus_v3,
         # r4: gate -> minhash dedup -> resample -> streaming write
         "curate_corpus_v4": curate.curate_corpus_v4,
+        # r4: the graft axis end-to-end — extraction -> head/mid/tail tier
+        # split -> url-keyed per-tier keep -> per-(tier, lang) rollup
+        "extract_tiered": curate.extract_tiered,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         # r4: new-shard-vs-snapshot ingestion dedup (left-anti hash join)
@@ -324,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (all still gated by tools/check_oracles.py; driver-green in
         #  CORRECTNESS_r01/r03 artifacts)
         # --- relational operators ----------------------------------------
+        # v1 composition demoted (r03-green; superseded by v2/v3/v4 which
+        # exercise strictly more of the same machinery inside the window)
+        "curate_corpus": curate.curate_corpus,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -454,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_v2": curate.CURATE_V2_SQL,
         "curate_corpus_v3": curate.CURATE_V3_SQL,
         "curate_corpus_v4": curate.CURATE_V4_SQL,
+        "extract_tiered": curate.EXTRACT_TIERED_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

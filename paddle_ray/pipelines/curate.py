@@ -758,3 +758,171 @@ FROM kept GROUP BY lang ORDER BY lang
 
 
 CURATE_V3_SQL = _curate_v3_sql()
+
+
+# --------------------------------------------------------------------------
+# extract_tiered — tier extraction composed with the real extraction path
+# --------------------------------------------------------------------------
+
+
+def extract_tiered(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
+    """Tier extraction over the EXTRACTED corpus — the graft's headline
+    axis as one pipeline:
+
+        pages -> extraction actor pool (html DOM extract, byte-identical
+                 text per url; captioning off)
+              -> Gopher-signal tier split (webtext.tier_of — the shared
+                 head/mid/tail rule quality_tiers uses)
+              -> per-tier deterministic keep (md5(url) < threshold —
+                 url-keyed because url is the natural key of a web
+                 corpus; parallelism/cluster-size invariant)
+              -> [out_dir] kept docs written as tier-partitioned parquet
+                 (tier=head/ tier=mid/ tier=tail/ subdirs — the physical
+                 layout a tiered training mix reads per-tier without
+                 scanning the rest)
+              -> per-(tier, lang) rollup: docs, kept docs, token mass,
+                 kept token mass.
+
+    Scale contract: one extraction pass; the tier stage is stateless and
+    appends three small columns; the only shuffle is the rollup's
+    #tiers x #langs integer partials (per-(tier, lang) pre-aggregated
+    inside each block). The tier-partitioned write streams kept rows
+    only — dropped tail docs never reach the sink. Oracle:
+    EXTRACT_TIERED_SQL rederives signals, tier rule and url-keyed md5
+    keep from documents.text, which extraction recovers byte-identically
+    (extract_roundtrip's contract)."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .common import w_threshold_hex
+    from .webtext import TIER_KEEP, _words, tier_of
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    ds = extract_pipeline(pages_from_documents(sf_dir), cfg=cfg)
+    th = {t: w_threshold_hex(w) for t, w in TIER_KEEP.items() if w < 1.0}
+
+    def tier_stage(batch: pa.Table) -> pa.Table:
+        tiers, toks, kept = [], [], []
+        for url, text in zip(batch["url"].to_pylist(), batch["extracted_text"].to_pylist()):
+            ws = _words(text)
+            tier = tier_of(ws)
+            tiers.append(tier)
+            toks.append(len(ws))
+            kept.append(tier not in th or hashlib.md5(url.encode()).hexdigest() < th[tier])
+        return pa.table(
+            {
+                "url": batch["url"],
+                "lang": batch["lang"],
+                "extracted_text": batch["extracted_text"],
+                "tier": pa.array(tiers, pa.string()),
+                "n_tok": pa.array(toks, pa.int64()),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    tiered = ds.map_batches(tier_stage, batch_format="pyarrow")
+    if out_dir is not None:
+        tiered.filter(expr="kept").select_columns(
+            ["url", "lang", "tier", "n_tok", "extracted_text"]
+        ).write_parquet(out_dir, partition_cols=["tier"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["kept"].to_numpy(zero_copy_only=False)
+        n = batch["n_tok"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "tier": batch["tier"],
+                "lang": batch["lang"],
+                "n_docs": pa.array(np.ones(len(k), np.int64)),
+                "n_kept": pa.array(k.astype(np.int64)),
+                "n_tokens": pa.array(n),
+                "kept_tokens": pa.array(np.where(k, n, 0)),
+            }
+        )
+        g = t.group_by(["tier", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_kept", "sum"), ("n_tokens", "sum"), ("kept_tokens", "sum")]
+        )
+        return g.rename_columns(["tier", "lang", "n_docs", "n_kept", "n_tokens", "kept_tokens"])
+
+    out = (
+        tiered.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["tier", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+        )
+        .to_pandas()
+        .sort_values(["tier", "lang"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_docs": "int64", "n_kept": "int64", "n_tokens": "int64", "kept_tokens": "int64"}
+    )
+
+
+def _extract_tiered_sql() -> str:
+    from .common import w_threshold_hex
+    from .webtext import (
+        QF_MAX_DUP_FRAC,
+        QF_MAX_MEAN_WL,
+        QF_MIN_MEAN_WL,
+        QF_MIN_STOP_RATIO,
+        QF_MIN_WORDS,
+        TIER_HEAD_MAX_DUP,
+        TIER_HEAD_MIN_STOP,
+        TIER_KEEP,
+    )
+
+    mid_th = w_threshold_hex(TIER_KEEP["mid"])
+    tail_th = w_threshold_hex(TIER_KEEP["tail"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) END AS dup,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE len(list_filter(ts, t -> lower(t) IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+           * 1.0 / len(ts) END AS stop,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) END AS mwl
+  FROM toks
+),
+t AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n >= {QF_MIN_WORDS} AND dup <= {QF_MAX_DUP_FRAC}
+                   AND stop >= {QF_MIN_STOP_RATIO}
+                   AND mwl BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+              THEN CASE WHEN stop >= {TIER_HEAD_MIN_STOP} AND dup <= {TIER_HEAD_MAX_DUP}
+                        THEN 'head' ELSE 'mid' END
+              ELSE 'tail' END AS tier
+  FROM m
+),
+k AS (
+  SELECT tier, lang, n,
+         CASE WHEN tier = 'head' THEN TRUE
+              WHEN tier = 'mid'
+                THEN md5('https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR)) < '{mid_th}'
+              ELSE md5('https://fixtures.local/doc/' || CAST(doc_id AS VARCHAR)) < '{tail_th}' END AS kept
+  FROM t
+)
+SELECT tier, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM k GROUP BY tier, lang ORDER BY tier, lang
+"""
+
+
+EXTRACT_TIERED_SQL = _extract_tiered_sql()

@@ -967,6 +967,17 @@ TIER_HEAD_MAX_DUP = 0.50
 TIER_KEEP = {"head": 1.0, "mid": 0.5, "tail": 0.1}
 
 
+def tier_of(ws: list[str]) -> str:
+    """head/mid/tail tier of a token list — single source of truth shared
+    by quality_tiers and curate.extract_tiered so the tier rule cannot
+    drift between the raw-text and extraction-composed surfaces (both SQL
+    oracles restate it from the same constants)."""
+    ok, dup, stop, _ = quality_gate(ws)
+    if ok and stop >= TIER_HEAD_MIN_STOP and dup <= TIER_HEAD_MAX_DUP:
+        return "head"
+    return "mid" if ok else "tail"
+
+
 def quality_tiers(sf_dir: str) -> pd.DataFrame:
     """Tier extraction: split the corpus into head/mid/tail quality
     tiers from the Gopher-gate signals (token count, duplicate-word
@@ -995,13 +1006,7 @@ def quality_tiers(sf_dir: str) -> pd.DataFrame:
         tiers, kept, toks = [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             ws = _words(text)
-            ok, dup, stop, _ = quality_gate(ws)
-            if ok and stop >= TIER_HEAD_MIN_STOP and dup <= TIER_HEAD_MAX_DUP:
-                tier = "head"
-            elif ok:
-                tier = "mid"
-            else:
-                tier = "tail"
+            tier = tier_of(ws)
             tiers.append(tier)
             toks.append(len(ws))
             kp = tier not in th or hashlib.md5(str(did).encode()).hexdigest() < th[tier]

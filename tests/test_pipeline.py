@@ -511,3 +511,31 @@ def test_write_mode_auto_resolution(ray_session):
     assert resolve_write_mode(cfg, big) == "streaming"
     assert resolve_write_mode(ExtractConfig(write_mode="streaming"), small) == "streaming"
     assert resolve_write_mode(ExtractConfig(write_mode="barrier"), big) == "barrier"
+
+
+def test_extract_tiered_partitioned_write(tmp_path):
+    """The tier-partitioned sink must (a) lay out tier=head/mid/tail
+    subdirs, (b) contain EXACTLY the kept rows (dropped tail docs never
+    reach the sink), and (c) agree with the rollup's kept counts; the
+    per-tier doc/token totals must match quality_tiers (same text, same
+    tier rule — only the keep keying differs: url here, doc_id there)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.curate import extract_tiered
+    from paddle_ray.pipelines.webtext import quality_tiers
+
+    out = str(tmp_path / "tiers")
+    roll = extract_tiered(SF, out_dir=out)
+    subdirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(out, "tier=*")))
+    assert subdirs == ["tier=head", "tier=mid", "tier=tail"]
+    written = pq.read_table(out).to_pandas()
+    per_tier = written.groupby("tier").agg(n=("url", "size"), toks=("n_tok", "sum"))
+    for _, row in roll.groupby("tier", as_index=False).sum(numeric_only=True).iterrows():
+        assert per_tier.loc[row.tier, "n"] == row.n_kept
+        assert per_tier.loc[row.tier, "toks"] == row.kept_tokens
+    qt = quality_tiers(SF).set_index("tier")
+    rt = roll.groupby("tier").sum(numeric_only=True)
+    assert (rt.n_docs == qt.n_docs).all()
+    assert (rt.n_tokens == qt.n_tokens).all()
+    # head keeps everything under either keying
+    assert rt.loc["head", "n_kept"] == rt.loc["head", "n_docs"]
