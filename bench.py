@@ -115,6 +115,7 @@ def run_benchmarks() -> dict:
         "dedup_minhash_lsh",
         "knn_bruteforce",
         "token_counts",
+        "quality_tiers",
         "events_tumbling",
         "events_sessionize",
         "asof_events_orders",

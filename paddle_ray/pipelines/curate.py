@@ -432,7 +432,9 @@ V4_N_PARTITIONS = 16
 V4_VERIFY_PAIR_CAP = 5_000_000
 
 
-def curate_corpus_v4(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
+def curate_corpus_v4(
+    sf_dir: str, out_dir: str | None = None, spill_dir: str | None = None
+) -> pd.DataFrame:
     """The round-4 end-to-end curation composition (VERDICT r3 #6) — the
     pipeline you'd run at 100x scale, ending in the production streaming
     write path:
@@ -460,7 +462,8 @@ def curate_corpus_v4(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
     shingle-jaccard graph and one recursive-CTE SQL checks the chain.
 
     Scale contract: the gated stream is pinned once (object-store
-    materialize; at 100 TB checkpoint this stage to parquet instead —
+    materialize; at 100 TB pass spill_dir= to checkpoint this stage to
+    parquet and stream it back per consumer instead —
     same topology); LSH shuffles sketches, never text; the verify is
     driver-side but PAIR-MEMBER-sized (capped loudly at
     {V4_VERIFY_PAIR_CAP} pairs with the distributed sig-join named);
@@ -510,8 +513,17 @@ def curate_corpus_v4(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
         )
 
     # pinned once: consumed by the LSH sig pass AND the final keep/write
-    # pass (re-deriving would run extraction twice)
-    qualified = ds.map_batches(qualify, batch_format="pyarrow", batch_size=None).materialize()
+    # pass (re-deriving would run extraction twice). spill_dir is the
+    # 100 TB contract: checkpoint the gated stream to parquet and stream
+    # it back per consumer instead of pinning it in the object store.
+    qualified = ds.map_batches(qualify, batch_format="pyarrow", batch_size=None)
+    if spill_dir is not None:
+        qualified.write_parquet(spill_dir)
+        import ray.data as _rd
+
+        qualified = _rd.read_parquet(spill_dir)
+    else:
+        qualified = qualified.materialize()
 
     cand = dedup_minhash_lsh(
         sf_dir,

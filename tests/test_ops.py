@@ -716,3 +716,15 @@ def test_exact_ts_quantiles_narrow_range():
     (step clamps to 1) — exercises the step==1 early-resolve arm."""
     out = events.exact_ts_quantiles("/root/testdata/sf0.001", quantiles=(0.01, 0.999))
     assert len(out) == 2 and (out.value_rel_us >= 0).all()
+
+
+def test_curate_v4_spill_dir_identical(tmp_path):
+    """The 100 TB gated-stream checkpoint (spill_dir=parquet roundtrip
+    instead of an object-store materialize) must not change a byte of
+    the result."""
+    from paddle_ray.pipelines import curate
+
+    sf = "/root/testdata/sf0.001"
+    base = curate.curate_corpus_v4(sf)
+    spilled = curate.curate_corpus_v4(sf, spill_dir=str(tmp_path / "gated"))
+    pd.testing.assert_frame_equal(base, spilled)
