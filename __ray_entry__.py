@@ -235,9 +235,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digest runs the identical 300-doc grammar extraction and is
         # value-oracled; the standalone rows-only entry added nothing)
         "extract_synth_digest": _extract_synth_digest,
-        "extract_image_stats": _extract_image_stats,
+        # (extract_image_stats demoted below the fold — r03-green; image
+        #  plumbing also exercised in-window by extract_synth_digest +
+        #  media_features)
         # --- end-to-end curation compositions ------------------------------
-        "curate_corpus_v2": curate.curate_corpus_v2,
+        # (v2 demoted below the fold with v1 — r03-green, machinery nested
+        #  inside v3/v4)
         "curate_corpus_v3": curate.curate_corpus_v3,
         # r4: gate -> minhash dedup -> resample -> streaming write
         "curate_corpus_v4": curate.curate_corpus_v4,
@@ -295,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: FineWeb-style head/mid/tail tier extraction + per-tier
         # deterministic keep rates (the graft's tiering axis)
         "quality_tiers": webtext.quality_tiers,
+        # r4: per-domain doc cap (anti domain-dominance; local k-prune per
+        # block so a hot domain ships k rows per block, never its corpus)
+        "domain_cap": webtext.domain_cap,
         # --- scrub family (PII / URL canonicalization / paragraph dedup) --
         "pii_redact": scrub.pii_redact,
         "url_host_stats": scrub.url_host_stats,
@@ -308,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: per-lang quality-ranked token-budget cut (distributed
         # threshold/top-k-by-weight, not a per-lang sort)
         "token_budget_select": traindata.token_budget_select,
+        # r4: deterministic global training-order shuffle -> (shard, pos)
+        # layout via range-partitioned rank (no global sort materialize)
+        "training_shards": traindata.training_shards,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
@@ -326,9 +335,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (all still gated by tools/check_oracles.py; driver-green in
         #  CORRECTNESS_r01/r03 artifacts)
         # --- relational operators ----------------------------------------
-        # v1 composition demoted (r03-green; superseded by v2/v3/v4 which
-        # exercise strictly more of the same machinery inside the window)
+        # v1/v2 compositions + image stats demoted (r03-green; superseded
+        # by v3/v4 / extract_synth_digest which exercise strictly more of
+        # the same machinery inside the window)
         "curate_corpus": curate.curate_corpus,
+        "curate_corpus_v2": curate.curate_corpus_v2,
+        "extract_image_stats": _extract_image_stats,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -555,7 +567,9 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
         "quality_tiers": webtext.QUALITY_TIERS_SQL,
+        "domain_cap": webtext.DOMAIN_CAP_SQL,
         "token_budget_select": traindata.TOKEN_BUDGET_SQL,
+        "training_shards": traindata.TRAINING_SHARDS_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -580,3 +580,106 @@ FROM r WHERE cum <= {budget} ORDER BY doc_id
 """
 
 TOKEN_BUDGET_SQL = TOKEN_BUDGET_SQL_T.format(budget=TB_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# deterministic training-order shuffle -> shard/position layout
+# --------------------------------------------------------------------------
+
+SHARD_SIZE = 100  # docs per output training shard
+SHUF_BUCKETS = 256  # first-byte-of-md5 range partitions for the rank pass
+
+
+def training_shards(sf_dir: str, shard_size: int = SHARD_SIZE) -> pd.DataFrame:
+    """Deterministic global training-order shuffle + shard layout: order
+    docs by md5(doc_id) (the cluster-size-invariant "random" permutation
+    every run reproduces), then lay them out into fixed-size training
+    shards — (shard, pos) is exactly the webdataset/packed-corpus layout
+    a training job reads. The permutation is independent of block
+    boundaries and parallelism, so a re-run (or a differently-sized
+    cluster) writes byte-identical shards.
+
+    Distributed rank WITHOUT a global sort materialize: md5 keys are
+    uniform, so the first key byte range-partitions the order into
+    {SHUF_BUCKETS} buckets. Pass 1 counts per bucket (<= {SHUF_BUCKETS}
+    int64 partials per block); the driver prefix-sums the 256-row table
+    into bucket offsets. Pass 2 shuffles ONLY (key16, doc_id) rows to
+    their bucket, sorts within the bucket, and adds the broadcast offset
+    — global rank = bucket offset + in-bucket position. Oracle:
+    TRAINING_SHARDS_SQL's window row_number reproduces the permutation."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ks = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.string()),
+                "bucket": pa.array([int(k[:2], 16) for k in ks], pa.int64()),
+            }
+        )
+
+    base = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        keyed, batch_format="pyarrow"
+    ).materialize()  # consumed twice: count pass + rank pass
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"bucket": batch["bucket"], "n": pa.array(np.ones(len(batch), np.int64))}
+        ).group_by("bucket").aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "n"])
+
+    counts = (
+        base.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    offsets = dict(zip(counts.bucket, counts.n.cumsum().shift(1, fill_value=0).astype(int)))
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "shard": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        off = ray.get(off_ref)
+        g = g.sort_values(["k", "doc_id"], kind="mergesort")
+        rn = np.arange(len(g), dtype=np.int64) + int(off[int(g.bucket.iloc[0])])
+        return pd.DataFrame(
+            {
+                "doc_id": g.doc_id.to_numpy(),
+                "shard": rn // shard_size,
+                "pos": rn % shard_size,
+            }
+        )
+
+    out = (
+        base.groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "shard": "int64", "pos": "int64"})
+
+
+TRAINING_SHARDS_SQL_T = """
+WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+o AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn FROM r)
+SELECT doc_id, CAST(rn // {shard_size} AS BIGINT) AS shard,
+       CAST(rn % {shard_size} AS BIGINT) AS pos
+FROM o ORDER BY doc_id
+"""
+
+TRAINING_SHARDS_SQL = TRAINING_SHARDS_SQL_T.format(shard_size=SHARD_SIZE)

@@ -1097,3 +1097,67 @@ FROM k GROUP BY tier ORDER BY tier
 
 
 QUALITY_TIERS_SQL = _quality_tiers_sql()
+
+
+# --------------------------------------------------------------------------
+# per-domain document cap (anti domain-dominance)
+# --------------------------------------------------------------------------
+
+DOMCAP_K = 10  # max docs kept per source domain
+
+
+def domain_cap(sf_dir: str, k: int = DOMCAP_K) -> pd.DataFrame:
+    """Cap the corpus at `k` documents per source domain (earliest
+    doc_id first — "first crawled wins"), the FineWeb/DataComp guard
+    against a single domain dominating the training mix. Output = the
+    kept (doc_id, source) set.
+
+    Distributed top-k-per-group with local prune: each block contributes
+    at most k candidate doc_ids per source (vectorized pandas
+    groupby.head inside the batch fn), so the shuffle carries
+    <= k x #sources x #blocks slim 16 B rows regardless of corpus size;
+    the winners are resolved per source group. A hot domain with 10^9
+    docs still ships only k rows per block. Oracle: row_number() over
+    (partition by source order by doc_id) <= k."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "source": batch["source"].to_pylist(),
+            }
+        )
+        top = df.sort_values("doc_id", kind="mergesort").groupby("source").head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "source": pd.Series([], dtype="str"),
+                }
+            )
+        return g.sort_values("doc_id", kind="mergesort").head(k)[["doc_id", "source"]]
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "source"))
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64"})
+
+
+DOMAIN_CAP_SQL_T = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {k} ORDER BY doc_id
+"""
+
+DOMAIN_CAP_SQL = DOMAIN_CAP_SQL_T.format(k=DOMCAP_K)

@@ -170,3 +170,23 @@ def test_w_threshold_hex_domain():
         w_threshold_hex(1.0)
     with pytest.raises(ValueError):
         w_threshold_hex(-0.1)
+
+
+def test_training_shards_bruteforce():
+    """Range-partitioned rank must equal the straight md5-sort layout:
+    a permutation of all docs, contiguous shards of SHARD_SIZE, and the
+    exact order."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = td.training_shards(sf)
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]).to_pandas().doc_id
+    assert sorted(out.doc_id) == sorted(ids)
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    rank = {d: r for r, d in enumerate(order)}
+    for _, row in out.iterrows():
+        rn = rank[row.doc_id]
+        assert (row.shard, row.pos) == (rn // td.SHARD_SIZE, rn % td.SHARD_SIZE)
+    # every full shard holds exactly SHARD_SIZE docs
+    sizes = out.groupby("shard").size()
+    assert (sizes.iloc[:-1] == td.SHARD_SIZE).all() if len(sizes) > 1 else True

@@ -380,3 +380,39 @@ def test_quality_tiers_invariants_and_bruteforce():
         a[3] += len(ws) if kp else 0
     for _, row in out.iterrows():
         assert agg[row.tier] == [row.n_docs, row.n_kept, row.n_tokens, row.kept_tokens]
+
+
+def test_domain_cap_bruteforce_and_hot_domain(tmp_path):
+    """domain_cap == per-source first-k by doc_id, and the per-block
+    prune never loses a winner even when one domain dominates every
+    block (planted 400-doc hot domain across many blocks)."""
+    out = webtext.domain_cap("/root/testdata/sf0.001")
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    exp = (
+        docs.sort_values("doc_id").groupby("source").head(webtext.DOMCAP_K)
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == exp.doc_id.tolist()
+
+    hot = pd.DataFrame(
+        {
+            "doc_id": range(1000, 1400),
+            "text": ["x"] * 400,
+            "lang": ["en"] * 400,
+            "source": ["hot"] * 400,
+        }
+    )
+    cold = pd.DataFrame(
+        {"doc_id": [7, 3], "text": ["y", "z"], "lang": ["en", "en"], "source": ["cold", "cold"]}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([hot, cold], ignore_index=True), preserve_index=False),
+        d / "documents.parquet",
+    )
+    capped = webtext.domain_cap(str(d), k=3)
+    assert capped[capped.source == "hot"].doc_id.tolist() == [1000, 1001, 1002]
+    assert capped[capped.source == "cold"].doc_id.tolist() == [3, 7]
