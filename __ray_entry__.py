@@ -248,7 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # split -> url-keyed per-tier keep -> per-(tier, lang) rollup
         "extract_tiered": curate.extract_tiered,
         # --- dedup family -------------------------------------------------
-        "dedup_exact": dedup.dedup_exact,
+        # (dedup_exact demoted below the fold — r03-green; the content-hash
+        #  machinery also runs in-window inside dedup_incremental)
         # r4: new-shard-vs-snapshot ingestion dedup (left-anti hash join)
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_minhash_lsh": _dedup_minhash_golden,
@@ -259,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
         # connected components over the >=0.95 char-jaccard graph
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, 0.95),
+        # r4: pairwise cross-source shingle overlap (provenance diagnostic)
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         # --- similarity search -------------------------------------------
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         # IVF with n_probe == n_centroids scans every inverted list ->
@@ -386,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_heavy_shippers": relational_rest.q20_heavy_shippers,
         "q21_waiting_suppliers": relational_rest.q21_waiting_suppliers,
         # --- remaining dedup (machinery also exercised by dedup_clusters) --
+        "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
         "word_entropy": analysis.word_entropy,
@@ -494,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
         ),
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
+        "source_overlap_matrix": dedup.SOURCE_OVERLAP_SQL,
         # golden-constant oracle — simhash_synth_corpus is deterministic
         # and sf-independent; est_jaccard values are exact 128ths
         # (signature-agreement fractions over 128 perms), written as

@@ -1012,3 +1012,115 @@ reach(src, dst) AS (
 SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_root
 FROM reach GROUP BY src ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# cross-source shingle-overlap matrix (corpus-provenance diagnostic)
+# --------------------------------------------------------------------------
+
+SRC_OVERLAP_K = 3
+SRC_OVERLAP_PARTS = 64
+
+
+def source_overlap_matrix(sf_dir: str, k: int = SRC_OVERLAP_K) -> pd.DataFrame:
+    """Pairwise content overlap between sources: for every unordered
+    source pair, the number of DISTINCT word {k}-grams present in both —
+    the provenance diagnostic run before mixing corpora/vendors/crawl
+    snapshots ("how much does dataset A already contain of dataset B?").
+    Shingling is the exact _word_shingles contract shared with the
+    jaccard/minhash family.
+
+    Scale contract: per-block distinct (gram-digest16, source) rows (a
+    batch-local seen-set dedupes re-occurrences before they ship), hash-
+    partitioned by digest into {SRC_OVERLAP_PARTS} coarse parts so every
+    copy of a gram lands in one part; within a part the pair expansion
+    is ONE vectorized self-merge on digest (no per-gram Python loop),
+    then per-part (src_a, src_b, n) partials roll up in a
+    #sources²-bounded groupby. Per-gram work is C(S, 2) for a gram in S
+    sources — bounded because `source` is a bounded provenance label
+    (corpus / vendor / snapshot); for unbounded web domains cap or
+    top-N the source set first (domain_cap). Digest equality stands in
+    for gram equality (blake2b-128; collision odds ~1e-20), same
+    contract as duplicate_ngram_spans' hashed default. Oracle:
+    SOURCE_OVERLAP_SQL counts the identical distinct-gram joins."""
+    from ray.data.aggregate import Sum
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        gs, srcs, parts = [], [], []
+        for src, text in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for g in _word_shingles(text, k):
+                h = hashlib.blake2b(g.encode(), digest_size=16).digest()
+                key = (h, src)
+                if key in seen:
+                    continue
+                seen.add(key)
+                gs.append(h)
+                srcs.append(src)
+                parts.append(h[0] % SRC_OVERLAP_PARTS)
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.binary(16)),
+                "source": pa.array(srcs, pa.string()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_a": pd.Series([], dtype="str"),
+                "src_b": pd.Series([], dtype="str"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        d = g.drop_duplicates(["g", "source"])[["g", "source"]]
+        m = d.merge(d, on="g")
+        m = m[m.source_x < m.source_y]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["source_x", "source_y"], as_index=False)
+            .size()
+            .rename(columns={"source_x": "src_a", "source_y": "src_b", "size": "n_shared"})
+        )
+        return out.astype({"n_shared": "int64"})
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text", "source"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_shared": "int64"})
+
+
+SOURCE_OVERLAP_SQL_T = """
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(words) < {k} THEN [array_to_string(words, ' ')]
+                ELSE list_distinct([array_to_string(words[x:x+{k_minus_1}], ' ')
+                                    for x in range(1, len(words)-{k_minus_2})])
+                END) AS g
+  FROM w
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+SOURCE_OVERLAP_SQL = SOURCE_OVERLAP_SQL_T.format(
+    k=SRC_OVERLAP_K, k_minus_1=SRC_OVERLAP_K - 1, k_minus_2=SRC_OVERLAP_K - 2
+)

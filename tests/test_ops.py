@@ -728,3 +728,28 @@ def test_curate_v4_spill_dir_identical(tmp_path):
     base = curate.curate_corpus_v4(sf)
     spilled = curate.curate_corpus_v4(sf, spill_dir=str(tmp_path / "gated"))
     pd.testing.assert_frame_equal(base, spilled)
+
+
+def test_source_overlap_matrix_bruteforce():
+    """Partitioned pair expansion == single-process per-source shingle
+    sets intersected pairwise."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.dedup import SRC_OVERLAP_K, _word_shingles, source_overlap_matrix
+
+    sf = "/root/testdata/sf0.001"
+    out = source_overlap_matrix(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["source", "text"]).to_pandas()
+    sets: dict = {}
+    for src, text in zip(docs.source, docs.text):
+        sets.setdefault(src, set()).update(_word_shingles(text, SRC_OVERLAP_K))
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        n = len(sets[a] & sets[b])
+        if n:
+            expect[(a, b)] = n
+    got = {(r.src_a, r.src_b): int(r.n_shared) for r in out.itertuples()}
+    assert got == expect
+    assert all(a < b for a, b in got)  # unordered pairs, no diagonal
