@@ -683,3 +683,164 @@ FROM o ORDER BY doc_id
 """
 
 TRAINING_SHARDS_SQL = TRAINING_SHARDS_SQL_T.format(shard_size=SHARD_SIZE)
+
+
+# --------------------------------------------------------------------------
+# full BPE trainer (iterative merge elections over the distinct-word table)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 12
+
+
+def bpe_synth_corpus() -> pd.DataFrame:
+    """Deterministic sf-independent mini-corpus for the BPE-trainer golden
+    oracle (same pattern as dedup.simhash_synth_corpus): a zipf-ish draw
+    over a tiny morphology-rich vocabulary (the classic low/lower/lowest
+    family) so successive merge rounds interact — early merges feed later
+    ones, which a one-round pair count never exercises."""
+    words = [
+        "low", "lower", "lowest", "newer", "newest", "wider", "widest",
+        "train", "trainer", "training", "data", "update",
+    ]
+    rows = []
+    for i in range(240):
+        a = words[(i * 7 + 3) % len(words)]
+        b = words[(i * 13 + 5) % len(words)]
+        c = words[(i * i + i // 3) % len(words)]
+        rows.append({"doc_id": i, "text": f"{a} {b} {c}"})
+    return pd.DataFrame(rows)
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES, docs=None) -> pd.DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016): `n_merges`
+    rounds of (count adjacent symbol pairs weighted by word frequency ->
+    elect the max -> merge it everywhere), the loop bpe_pair_counts is
+    one round of. Returns the learned merge table
+    (round, left, right, merged, cnt) — the artifact a tokenizer ships.
+
+    Scale contract: the corpus is collapsed ONCE into the distinct-WORD
+    frequency table (a corpus-sized groupby whose shuffle rows are
+    (word, count) partials — the standard trick: BPE statistics only
+    depend on word frequencies), and every training round then runs over
+    the vocab-sized symbolized table: per-block weighted pair Counters
+    -> a pair-space-bounded groupby -> a driver argmax on (cnt desc,
+    left, right) -> the elected pair broadcast in the next apply pass.
+    materialize() per round snapshots the symbol state (the pagerank /
+    dedup_clusters lesson: never iterate a lazy Dataset). Election ties
+    break deterministically, so the merge chain is parallelism-
+    invariant. Oracle: BPE_TRAIN_SQL pins the golden chain over the
+    synthetic corpus; pytest locks engine == an independent single-
+    process trainer on both corpora."""
+    from collections import Counter
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if docs is None:
+        docs = _docs(sf_dir)
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "freq": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(word_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+    )
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "syms": pa.array(
+                    [list(w) for w in batch["word"].to_pylist()], pa.list_(pa.string())
+                ),
+                "freq": batch["freq"],
+            }
+        )
+
+    state = vocab.map_batches(symbolize, batch_format="pyarrow").materialize()
+    merges: list[tuple[int, str, str, str, int]] = []
+
+    for rnd in range(1, n_merges + 1):
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for syms, freq in zip(batch["syms"].to_pylist(), batch["freq"].to_pylist()):
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += freq
+            ks = list(c.keys())
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in ks], pa.string()),
+                    "right": pa.array([k[1] for k in ks], pa.string()),
+                    "cnt": pa.array(list(c.values()), pa.int64()),
+                }
+            )
+
+        pairs = (
+            state.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["left", "right"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        if pairs.empty:
+            break
+        best = pairs.sort_values(
+            ["cnt", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        ).iloc[0]
+        left, right, cnt = str(best.left), str(best.right), int(best.cnt)
+        merges.append((rnd, left, right, left + right, cnt))
+        mref = ray.put((left, right))
+
+        def apply_merge(batch: pa.Table) -> pa.Table:
+            a, b = ray.get(mref)
+            out = []
+            for syms in batch["syms"].to_pylist():
+                merged, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())), "freq": batch["freq"]})
+
+        state = state.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["round", "left", "right", "merged", "cnt"]
+    ).astype({"round": "int64", "cnt": "int64"})
+
+
+# Golden merge chain over bpe_synth_corpus — generated by an INDEPENDENT
+# single-process reference trainer (re-derived in
+# tests/test_traindata.py::test_bpe_train_matches_reference, which also
+# asserts engine == reference on the sf corpus), then pinned here so the
+# driver gate locks the distributed chain's bytes. Non-circular: the SQL
+# never ran through the engine.
+BPE_TRAIN_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'w', 'e', 'we', CAST(241 AS BIGINT)),
+  (2, 'i', 'n', 'in', 226),
+  (3, 's', 't', 'st', 202),
+  (4, 'l', 'o', 'lo', 186),
+  (5, 'a', 'in', 'ain', 173),
+  (6, 'r', 'ain', 'rain', 173),
+  (7, 't', 'rain', 'train', 173),
+  (8, 'we', 'st', 'west', 135),
+  (9, 'd', 'e', 'de', 121),
+  (10, 'i', 'de', 'ide', 121),
+  (11, 'n', 'e', 'ne', 121),
+  (12, 'w', 'ide', 'wide', 121)
+) AS t(round, "left", "right", merged, cnt) ORDER BY round
+"""

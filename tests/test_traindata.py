@@ -190,3 +190,62 @@ def test_training_shards_bruteforce():
     # every full shard holds exactly SHARD_SIZE docs
     sizes = out.groupby("shard").size()
     assert (sizes.iloc[:-1] == td.SHARD_SIZE).all() if len(sizes) > 1 else True
+
+
+def _bpe_reference(texts, n_merges):
+    """Independent single-process BPE trainer (Sennrich algorithm) — the
+    non-circular ground truth for bpe_train and the BPE_TRAIN_SQL golden."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(t.split())
+    state = {tuple(w): f for w, f in wf.items()}
+    ref = []
+    for rnd in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append((rnd, a, b, a + b, cnt))
+        new = {}
+        for syms, f in state.items():
+            m, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    m.append(a + b)
+                    i += 2
+                else:
+                    m.append(syms[i])
+                    i += 1
+            new[tuple(m)] = new.get(tuple(m), 0) + f
+        state = new
+    return ref
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed merge chain == the independent reference trainer on
+    BOTH the golden synthetic corpus (pins BPE_TRAIN_SQL's values) and
+    the sf corpus (different alphabet/tie structure)."""
+    import duckdb
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    synth = td.bpe_synth_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(synth, preserve_index=False)).repartition(8)
+    got = [tuple(r) for r in td.bpe_train("ignored", docs=ds).itertuples(index=False)]
+    ref = _bpe_reference(synth.text, td.BPE_MERGES)
+    assert got == ref
+    # the pinned golden SQL is that same chain
+    gold = [tuple(r) for r in duckdb.sql(td.BPE_TRAIN_SQL).df().itertuples(index=False)]
+    assert [(int(a), b, c, d, int(e)) for a, b, c, d, e in gold] == ref
+
+    docs = _docs()
+    got_sf = [
+        tuple(r) for r in td.bpe_train(SF, n_merges=5).itertuples(index=False)
+    ]
+    assert got_sf == _bpe_reference(docs.text, 5)
