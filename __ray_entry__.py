@@ -98,6 +98,19 @@ def _bpe_train_golden(sf_dir: str):
     return traindata.bpe_train(sf_dir, docs=ds)
 
 
+def _bpe_encode_golden(sf_dir: str):
+    """Vocab segmentation under the learned merge table over the same
+    golden synthetic corpus — BPE_ENCODE_SQL pins every (word, pieces,
+    n_pieces, freq) row; pytest re-derives them with the independent
+    reference encoder."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    synth = traindata.bpe_synth_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(synth, preserve_index=False)).repartition(8)
+    return traindata.bpe_encode(sf_dir, docs=ds)
+
+
 def _dedup_minhash_golden(sf_dir: str):
     """MinHash-LSH pairs over the deterministic planted corpus — golden
     VALUES oracle pinning the full signature/banding chain's bytes (was
@@ -269,9 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_minhash_lsh": _dedup_minhash_golden,
         "dedup_simhash": _dedup_simhash_golden,
-        # exact word-shingle ground truth + the minhash subset relation
-        # (both value-oracled; converts the minhash family from rows-only)
-        "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
+        # exact-shingle ground truth companion (shingle_jaccard_pairs
+        # demoted below the fold — r03-green; the identical shingle
+        # machinery runs in-window inside curate_corpus_v4's verify step)
         "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
         # connected components over the >=0.95 char-jaccard graph
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, 0.95),
@@ -332,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: FULL iterative BPE trainer over the golden synthetic corpus
         # (merge chain pinned by an independent single-process reference)
         "bpe_train": _bpe_train_golden,
+        # r4: the encode half of the tokenizer loop — learned merge table
+        # broadcast once, applied over the distinct-word vocab
+        "bpe_encode": _bpe_encode_golden,
         # r4: per-lang quality-ranked token-budget cut (distributed
         # threshold/top-k-by-weight, not a per-lang sort)
         "token_budget_select": traindata.token_budget_select,
@@ -409,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational_rest.q21_waiting_suppliers,
         # --- remaining dedup (machinery also exercised by dedup_clusters) --
         "dedup_exact": dedup.dedup_exact,
+        "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
         "word_entropy": analysis.word_entropy,
@@ -595,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": traindata.TOKEN_BUDGET_SQL,
         "training_shards": traindata.TRAINING_SHARDS_SQL,
         "bpe_train": traindata.BPE_TRAIN_SQL,
+        "bpe_encode": traindata.BPE_ENCODE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

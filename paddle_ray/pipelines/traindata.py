@@ -844,3 +844,106 @@ SELECT * FROM (VALUES
   (12, 'w', 'ide', 'wide', 121)
 ) AS t(round, "left", "right", merged, cnt) ORDER BY round
 """
+
+
+def bpe_encode(
+    sf_dir: str, n_merges: int = BPE_MERGES, docs=None, merges: pd.DataFrame | None = None
+) -> pd.DataFrame:
+    """Apply a learned BPE merge table to segment the corpus vocabulary —
+    the encode half of the tokenizer loop bpe_train is the train half of.
+    Returns (word, pieces, n_pieces, freq) per distinct word, sorted by
+    word; `pieces` is the space-joined subword segmentation.
+
+    Merge-application contract (shared with the trainer and the pytest
+    reference): merges apply exhaustively IN LEARNED ROUND ORDER, which
+    for any training-vocab word reproduces exactly the trainer's final
+    symbol state by induction on rounds.
+
+    Scale contract: encoding runs over the DISTINCT-word table (the same
+    vocab collapse as bpe_train — corpus-sized shuffle rows are (word,
+    count) partials, everything after is vocab-sized), and the merge
+    table is O(n_merges) rows broadcast ONCE via ray.put — never a
+    shuffle side. Per-doc BPE token counts at 100 TB scale are this
+    table hash-joined back on word (the tfidf join pattern), not a
+    per-doc re-encode. Oracle: BPE_ENCODE_SQL pins every golden-corpus
+    segmentation; pytest locks engine == the independent reference
+    encoder on the sf corpus too."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    if docs is None:
+        docs = _docs(sf_dir)
+    if merges is None:
+        merges = bpe_train(sf_dir, n_merges=n_merges, docs=docs)
+    mref = ray.put(list(zip(merges["left"], merges["right"])))
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "freq": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(word_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+    )
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        prs = ray.get(mref)
+        pieces, n_pieces = [], []
+        for w in batch["word"].to_pylist():
+            syms = list(w)
+            for a, b in prs:
+                if len(syms) < 2:
+                    break
+                m, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        m.append(a + b)
+                        i += 2
+                    else:
+                        m.append(syms[i])
+                        i += 1
+                syms = m
+            pieces.append(" ".join(syms))
+            n_pieces.append(len(syms))
+        return pa.table(
+            {
+                "word": batch["word"],
+                "pieces": pa.array(pieces, pa.string()),
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+                "freq": batch["freq"],
+            }
+        )
+
+    out = vocab.map_batches(encode_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("word", kind="mergesort").reset_index(drop=True)
+
+
+# Golden segmentations of the full bpe_synth_corpus vocabulary under the
+# 12-round BPE_TRAIN_SQL merge chain — derived by the same independent
+# single-process reference as BPE_TRAIN_SQL (re-asserted in
+# tests/test_traindata.py::test_bpe_encode_matches_reference). Non-circular.
+BPE_ENCODE_SQL = """
+SELECT * FROM (VALUES
+  ('data', 'd a t a', CAST(4 AS BIGINT), CAST(66 AS BIGINT)),
+  ('low', 'lo w', 2, 66),
+  ('lower', 'lo we r', 3, 53),
+  ('lowest', 'lo west', 2, 67),
+  ('newer', 'ne we r', 3, 53),
+  ('newest', 'ne west', 2, 68),
+  ('train', 'train', 1, 54),
+  ('trainer', 'train e r', 3, 66),
+  ('training', 'train in g', 3, 53),
+  ('update', 'u p d a t e', 6, 53),
+  ('wider', 'wide r', 2, 54),
+  ('widest', 'wide st', 2, 67)
+) AS t(word, pieces, n_pieces, freq) ORDER BY word
+"""

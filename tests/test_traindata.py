@@ -249,3 +249,61 @@ def test_bpe_train_matches_reference(ray_session):
         tuple(r) for r in td.bpe_train(SF, n_merges=5).itertuples(index=False)
     ]
     assert got_sf == _bpe_reference(docs.text, 5)
+
+
+def _ref_encode(word, merges):
+    syms = list(word)
+    for _rnd, a, b, _m, _c in merges:
+        if len(syms) < 2:
+            break
+        m, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                m.append(a + b)
+                i += 2
+            else:
+                m.append(syms[i])
+                i += 1
+        syms = m
+    return syms
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """Distributed vocab segmentation == the independent reference encoder
+    (merges applied in learned round order) on the golden synth corpus
+    (pins BPE_ENCODE_SQL) and the sf corpus; also: the encoder's output
+    is the trainer's final symbol state (train/encode consistency)."""
+    from collections import Counter
+
+    import duckdb
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    synth = td.bpe_synth_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(synth, preserve_index=False)).repartition(8)
+    got = td.bpe_encode("ignored", docs=ds)
+    merges = _bpe_reference(synth.text, td.BPE_MERGES)
+    wf = Counter()
+    for t in synth.text:
+        wf.update(t.split())
+    ref = pd.DataFrame(
+        [
+            {
+                "word": w,
+                "pieces": " ".join(_ref_encode(w, merges)),
+                "n_pieces": len(_ref_encode(w, merges)),
+                "freq": f,
+            }
+            for w, f in sorted(wf.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, ref.astype({"n_pieces": "int64", "freq": "int64"}))
+    gold = duckdb.sql(td.BPE_ENCODE_SQL).df()
+    pd.testing.assert_frame_equal(got, gold.astype({"n_pieces": "int64", "freq": "int64"}))
+
+    docs = _docs()
+    got_sf = td.bpe_encode(SF, n_merges=5)
+    merges_sf = _bpe_reference(docs.text, 5)
+    for row in got_sf.sample(n=min(50, len(got_sf)), random_state=7).itertuples(index=False):
+        assert row.pieces == " ".join(_ref_encode(row.word, merges_sf))
