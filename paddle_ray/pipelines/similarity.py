@@ -691,6 +691,164 @@ GROUP BY a.cid, gs.i ORDER BY cid, dim
 """
 
 
+KMEANS_ITERS = 3
+
+
+def kmeans_train(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> pd.DataFrame:
+    """Multi-iteration distributed Lloyd k-means over the embeddings
+    table — the full training loop behind SemDeDup-style cluster-then-
+    prune curation and IVF coarse-quantizer training (kmeans_step is one
+    round of this loop; its machinery is nested here).
+
+    Each iteration is one streaming pass over the parquet source: the
+    ONLY broadcast is the k x d float64 centroid matrix (ray.put once
+    per round), each block emits <= k (cid, sum-vector, count) partial
+    rows, and the driver reduce is O(k x #blocks) — embeddings never
+    cross a shuffle, and the source is re-scanned per round rather than
+    pinned in the object store (at 100 TB the scan IS the cheap part;
+    pinning the corpus is not). Unrounded float64 centroids feed the
+    next round; rounding happens only at output.
+
+    Empty-cluster contract: raises — the fixed-iteration chained-CTE
+    oracle (KMEANS_TRAIN_SQL) has no carry-forward arm for a centroid
+    with zero members, so silence here could hide divergence. With
+    data-point init (vec_id < k) this does not occur on the test
+    corpora; a production run would re-seed from the largest cluster.
+
+    Tie rule per round: smallest cid (numpy argmin first-index ==
+    oracle's ORDER BY dist, cid; sqrt is monotone so list_distance
+    ordering matches the engine's squared distance)."""
+    import ray
+
+    from .common import read_table
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    init = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k - 1} present for deterministic init")
+    C = np.stack(init.embedding.to_numpy()).astype(np.float64)
+
+    empty_schema = pa.schema(
+        [("cid", pa.int64()), ("sums", pa.list_(pa.float64())), ("n", pa.int64())]
+    )
+    counts: dict[int, int] = {}
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def assign_partial(batch: pa.Table, cref=cref) -> pa.Table:
+            cmat = ray.get(cref)
+            ids, X = _to_matrix(batch)
+            if len(ids) == 0:
+                return empty_schema.empty_table()
+            X64 = X.astype(np.float64)
+            d2 = ((X64[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1)
+            cid = d2.argmin(axis=1)  # first (smallest) index on ties
+            cids, sums, ns = [], [], []
+            for c_ in np.unique(cid):
+                m = X64[cid == c_]
+                cids.append(int(c_))
+                sums.append(m.sum(axis=0).tolist())
+                ns.append(m.shape[0])
+            return pa.table(
+                {
+                    "cid": pa.array(cids, pa.int64()),
+                    "sums": pa.array(sums, pa.list_(pa.float64())),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
+
+        parts = (
+            read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .map_batches(assign_partial, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        got = set(parts.cid.unique())
+        if got != set(range(k)):
+            raise ValueError(
+                f"empty cluster(s) {sorted(set(range(k)) - got)} — the fixed-"
+                "iteration oracle has no carry-forward arm; re-seed to proceed"
+            )
+        counts = {}
+        for c_, g in parts.groupby("cid"):
+            s = np.sum(
+                np.stack([np.asarray(v, dtype=np.float64) for v in g.sums]), axis=0
+            )
+            n = int(g.n.sum())
+            C[int(c_)] = s / n
+            counts[int(c_)] = n
+
+    rows = []
+    for c_ in range(k):
+        rows.extend(
+            {
+                "cid": c_,
+                "dim": d,
+                "centroid": round(float(v), 6),
+                "n_members": counts[c_],
+            }
+            for d, v in enumerate(C[c_])
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["cid", "dim"])
+        .reset_index(drop=True)
+        .astype({"cid": "int64", "dim": "int64", "n_members": "int64"})
+    )
+
+
+def kmeans_train_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Chained-CTE oracle for kmeans_train: c0 -> a1 -> c1 -> ... ->
+    a{iters}, one assignment + one centroid-update CTE per round (a
+    recursive CTE cannot rebuild the changing k x d centroid table).
+    Every arithmetic step matches the engine: cast to DOUBLE before
+    arithmetic, unrounded centroids between rounds, ties ORDER BY
+    dist, cid."""
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""c{r} AS (
+  SELECT cid, array_agg(v ORDER BY dim) AS cvec FROM (
+    SELECT a.cid, gs.i AS dim, AVG(CAST(e.embedding[gs.i] AS DOUBLE)) AS v
+    FROM a{r} a JOIN embeddings e USING (vec_id),
+         LATERAL unnest(generate_series(1, len(e.embedding))) AS gs(i)
+    GROUP BY a.cid, gs.i
+  ) GROUP BY cid
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(a.cid AS BIGINT) AS cid, CAST(gs.i - 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(e.embedding[gs.i] AS DOUBLE)), 6) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM a{iters} a JOIN embeddings e USING (vec_id),
+     LATERAL unnest(generate_series(1, len(e.embedding))) AS gs(i)
+GROUP BY a.cid, gs.i ORDER BY cid, dim
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # int8 scalar quantization + reconstruction error (vector compression)
 # --------------------------------------------------------------------------

@@ -753,3 +753,36 @@ def test_source_overlap_matrix_bruteforce():
     got = {(r.src_a, r.src_b): int(r.n_shared) for r in out.itertuples()}
     assert got == expect
     assert all(a < b for a, b in got)  # unordered pairs, no diagonal
+
+
+def test_kmeans_train_matches_singleprocess_lloyd():
+    """Distributed multi-round Lloyd == an independent single-process
+    reference loop (same init, same tie rule), and round 1 of the loop
+    == kmeans_step (the nested-machinery claim the driver window makes)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.similarity import KMEANS_K, kmeans_step, kmeans_train
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    C = X[:KMEANS_K].copy()
+    for _ in range(3):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        cid = d2.argmin(axis=1)
+        assert set(np.unique(cid)) == set(range(KMEANS_K))
+        counts = {c: int((cid == c).sum()) for c in range(KMEANS_K)}
+        C = np.stack([X[cid == c].sum(axis=0) / counts[c] for c in range(KMEANS_K)])
+
+    out = kmeans_train(SF, k=KMEANS_K, iters=3)
+    got = out.pivot(index="cid", columns="dim", values="centroid").to_numpy()
+    np.testing.assert_allclose(got, np.round(C, 6), atol=2e-6)
+    got_n = out.groupby("cid").n_members.first()
+    assert {c: int(n) for c, n in got_n.items()} == counts
+
+    step = kmeans_step(SF, k=KMEANS_K)
+    one = kmeans_train(SF, k=KMEANS_K, iters=1)
+    pd.testing.assert_frame_equal(step, one)
+
+    with pytest.raises(ValueError):
+        kmeans_train(SF, k=KMEANS_K, iters=0)
