@@ -314,7 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": similarity.kmeans_train,
         # --- text analysis ------------------------------------------------
         "token_counts": analysis.token_counts,
-        "quality_scores": analysis.quality_scores,
+        # (quality_scores demoted below the fold — richer versions of the
+        #  same signal family run in-window via quality_filter/quality_tiers)
         "lang_id": analysis.lang_id,
         "table_checksum": analysis.table_checksum,
         # r4: CDC snapshot diff (which rows changed, and how)
@@ -341,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
         "importance_resample": traindata.importance_resample,
         "pack_sequences": traindata.pack_sequences,
+        # r4: per-doc sliding-window chunking (RAG / fixed-context loader
+        # prep); chunks carry content md5s so the gate checks exact bytes
+        "chunk_documents": traindata.chunk_documents,
         # r4: BPE merge-round pair election (tokenizer vocab training)
         "bpe_pair_counts": traindata.bpe_pair_counts,
         # r4: FULL iterative BPE trainer over the golden synthetic corpus
@@ -429,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
+        "quality_scores": analysis.quality_scores,
         "word_entropy": analysis.word_entropy,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
@@ -598,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": traindata.BPE_PAIR_SQL,
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
+        "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),

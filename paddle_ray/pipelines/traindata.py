@@ -947,3 +947,82 @@ SELECT * FROM (VALUES
   ('widest', 'wide st', 2, 67)
 ) AS t(word, pieces, n_pieces, freq) ORDER BY word
 """
+
+
+# --------------------------------------------------------------------------
+# sliding-window document chunking (RAG / fixed-context pretraining prep)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 32  # tokens per chunk window
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S tokens of overlap between chunks)
+
+
+def chunk_documents(sf_dir: str, window: int = CHUNK_W, stride: int = CHUNK_S) -> pd.DataFrame:
+    """Split every document into overlapping fixed-size token windows —
+    the chunking stage in front of a RAG embedding index or a
+    fixed-context pretraining loader (the per-doc sibling of
+    pack_sequences' concat-and-chunk: here windows never cross document
+    boundaries and overlap by `window - stride` tokens so no span is
+    lost at a chunk edge).
+
+    Chunk i of a doc covers tokens [i*stride, i*stride + window); starts
+    enumerate 0, stride, 2*stride, ... while < n_tokens, so the final
+    chunk may be short and every token appears in >= 1 chunk. Zero-token
+    docs emit no chunks (both sides: the oracle's n > 0 arm mirrors
+    split() -> []).
+
+    Scale contract: stateless per-batch kernel, ZERO shuffle — chunks
+    are emitted with the md5 of their reassembled text rather than the
+    text itself, so the gate compares exact content bytes while the
+    operator output stays O(rows), not O(corpus bytes). A production
+    sink would emit the chunk text column straight to partitioned
+    parquet from the same kernel (no extra pass)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_cid, out_n, out_md5 = [], [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            toks = text.split()
+            for cid, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start : start + window]
+                out_id.append(int(did))
+                out_cid.append(cid)
+                out_n.append(len(piece))
+                out_md5.append(hashlib.md5(" ".join(piece).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "n_tok": pa.array(out_n, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(chunk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CASE WHEN regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+              THEN len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
+       CAST(least(n - gs.i * {CHUNK_S}, {CHUNK_W}) AS BIGINT) AS n_tok,
+       md5(array_to_string(
+             toks[gs.i * {CHUNK_S} + 1 : least(gs.i * {CHUNK_S} + {CHUNK_W}, n)],
+             ' ')) AS chunk_md5
+FROM t, LATERAL unnest(generate_series(0, (n - 1) // {CHUNK_S})) AS gs(i)
+WHERE n > 0
+ORDER BY doc_id, chunk_id
+"""

@@ -307,3 +307,34 @@ def test_bpe_encode_matches_reference(ray_session):
     merges_sf = _bpe_reference(docs.text, 5)
     for row in got_sf.sample(n=min(50, len(got_sf)), random_state=7).itertuples(index=False):
         assert row.pieces == " ".join(_ref_encode(row.word, merges_sf))
+
+
+def test_chunk_documents_covers_every_token():
+    """Sliding-window chunking == brute-force per-doc enumeration: chunk
+    count ceil(n/stride), full-window sizes except the tail, md5 of the
+    exact token slice, and zero-token docs emit nothing."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.traindata import CHUNK_S, CHUNK_W, chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    out = chunk_documents(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    expect = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = text.split()
+        for cid, s in enumerate(range(0, len(toks), CHUNK_S)):
+            piece = toks[s : s + CHUNK_W]
+            expect[(did, cid)] = (len(piece), hashlib.md5(" ".join(piece).encode()).hexdigest())
+    got = {(r.doc_id, r.chunk_id): (r.n_tok, r.chunk_md5) for r in out.itertuples()}
+    assert got == expect
+    n_by_doc = out.groupby("doc_id").chunk_id.max() + 1
+    toks_by_doc = docs.set_index("doc_id").text.map(lambda t: len(t.split()))
+    for did, n in toks_by_doc.items():
+        assert n == 0 or n_by_doc[did] == math.ceil(n / CHUNK_S)
+
+    with pytest.raises(ValueError):
+        chunk_documents(sf, window=0)
