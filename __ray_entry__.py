@@ -345,8 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: per-doc sliding-window chunking (RAG / fixed-context loader
         # prep); chunks carry content md5s so the gate checks exact bytes
         "chunk_documents": traindata.chunk_documents,
-        # r4: BPE merge-round pair election (tokenizer vocab training)
-        "bpe_pair_counts": traindata.bpe_pair_counts,
+        # r4: DSIR hashed-feature importance selection — fixed-point
+        # integer weights so scores are exact int64 on both sides
+        "dsir_select": traindata.dsir_select,
+        # (bpe_pair_counts demoted below the fold — its election machinery
+        #  runs every merge round in-window inside bpe_train)
         # r4: FULL iterative BPE trainer over the golden synthetic corpus
         # (merge chain pinned by an independent single-process reference)
         "bpe_train": _bpe_train_golden,
@@ -457,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
         # one Lloyd round — machinery nested in-window inside kmeans_train
         "kmeans_step": similarity.kmeans_step,
+        # one merge-round election — nested in-window inside bpe_train
+        "bpe_pair_counts": traindata.bpe_pair_counts,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
@@ -604,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
         "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
+        "dsir_select": traindata.DSIR_SELECT_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),

@@ -1026,3 +1026,151 @@ FROM t, LATERAL unnest(generate_series(0, (n - 1) // {CHUNK_S})) AS gs(i)
 WHERE n > 0
 ORDER BY doc_id, chunk_id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed-feature importance selection (target-domain data cut)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed unigram feature space
+DSIR_TARGET_LANG = "en"  # target-domain slice the weights are fit to
+DSIR_SCALE = 1_000_000  # fixed-point weight scale (integer arithmetic)
+
+
+def _dsir_bucket(tok: str) -> int:
+    # int(md5[:8], 16) % B == the oracle's CAST('0x'||substr(md5,1,8) AS
+    # BIGINT) % B (verified both ends)
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+
+def dsir_select(sf_dir: str, target_lang: str = DSIR_TARGET_LANG) -> pd.DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR)
+    over hashed unigram features: fit per-bucket importance weights
+    p_target/p_raw on a B=1024 hashed feature space (target = the
+    `target_lang` slice, raw = the whole corpus), score every document
+    by its summed token weights, and select docs whose per-token average
+    weight is >= 1 (more target-like than the corpus average).
+
+    Exactness contract: weights are FIXED-POINT INTEGERS —
+    w[b] = ((c_tgt[b]+1) * t_raw * SCALE) // ((c_raw[b]+1) * t_tgt)
+    (add-1 smoothing, floor division, arbitrary-precision on the driver,
+    HUGEINT in the oracle) — so per-doc scores are exact int64 sums with
+    ZERO float drift between the engine and DuckDB; a log-space variant
+    would hit cross-engine ln() ulp skew at the 6-decimal gate.
+
+    Scale contract: pass 1 emits per-block (bucket, c_raw, c_tgt)
+    partials — bucket-space-bounded (<= B rows per block) — into a
+    B-sized groupby; the fitted weight table is O(B) ints, broadcast
+    once via ray.put; pass 2 is a stateless per-batch score kernel.
+    Corpus text never crosses a shuffle. Zero-token docs emit no row
+    (undefined average weight; mirrored by the oracle's split guard)."""
+    from ray.data.aggregate import Sum
+
+    B, SCALE = DSIR_BUCKETS, DSIR_SCALE
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        raw = np.zeros(B, np.int64)
+        tgt = np.zeros(B, np.int64)
+        cache: dict[str, int] = {}
+        for lang, text in zip(langs, batch["text"].to_pylist()):
+            is_tgt = lang == target_lang
+            for tok in text.split():
+                b = cache.get(tok)
+                if b is None:
+                    b = cache[tok] = _dsir_bucket(tok)
+                raw[b] += 1
+                if is_tgt:
+                    tgt[b] += 1
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_raw": pa.array(raw[nz], pa.int64()),
+                "c_tgt": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    cnt = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(bucket_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()
+    )
+    t_raw = int(cnt.c_raw.sum())
+    t_tgt = int(cnt.c_tgt.sum())
+    if t_tgt == 0:
+        raise ValueError(f"target slice lang={target_lang!r} has no tokens")
+    w = np.zeros(B, np.int64)
+    for b, c_raw, c_tgt in zip(cnt.bucket, cnt.c_raw, cnt.c_tgt):
+        # python ints: arbitrary precision before the (int64-safe) floor
+        w[int(b)] = (int(c_tgt) + 1) * t_raw * SCALE // ((int(c_raw) + 1) * t_tgt)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_s, out_n = [], [], []
+        cache: dict[str, int] = {}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            toks = text.split()
+            if not toks:
+                continue
+            s = 0
+            for tok in toks:
+                b = cache.get(tok)
+                if b is None:
+                    b = cache[tok] = _dsir_bucket(tok)
+                s += int(wt[b])
+            out_id.append(int(did))
+            out_s.append(s)
+            out_n.append(len(toks))
+        sc = np.asarray(out_s, np.int64)
+        nt = np.asarray(out_n, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+                "n_tok": pa.array(nt, pa.int64()),
+                "selected": pa.array((sc >= nt * SCALE).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM tok
+),
+cnt AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS c_tgt
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM cnt),
+w AS (
+  SELECT bucket,
+         ((c_tgt + 1)::HUGEINT * t_raw * {DSIR_SCALE}) // ((c_raw + 1)::HUGEINT * t_tgt) AS w
+  FROM cnt, tot
+)
+SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(w.w) >= COUNT(*) * {DSIR_SCALE} AS BIGINT) AS selected
+FROM b JOIN w USING (bucket)
+GROUP BY b.doc_id ORDER BY doc_id
+"""

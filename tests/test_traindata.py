@@ -338,3 +338,54 @@ def test_chunk_documents_covers_every_token():
 
     with pytest.raises(ValueError):
         chunk_documents(sf, window=0)
+
+
+def test_dsir_select_matches_bruteforce(ray_session):
+    """dsir_select == single-process DSIR reference: fit fixed-point
+    importance weights w[b] = ((c_tgt+1)*t_raw*SCALE)//((c_raw+1)*t_tgt)
+    over hashed unigram buckets, score docs by summed weights, select
+    score >= n_tok*SCALE. Also locks zero-token exclusion and the
+    empty-target guard."""
+    from paddle_ray.pipelines.traindata import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        DSIR_TARGET_LANG,
+        _dsir_bucket,
+        dsir_select,
+    )
+
+    docs = _docs()
+    c_raw = [0] * DSIR_BUCKETS
+    c_tgt = [0] * DSIR_BUCKETS
+    for lang, text in zip(docs.lang, docs.text):
+        for tok in text.split():
+            b = _dsir_bucket(tok)
+            c_raw[b] += 1
+            if lang == DSIR_TARGET_LANG:
+                c_tgt[b] += 1
+    t_raw, t_tgt = sum(c_raw), sum(c_tgt)
+    w = [
+        (c_tgt[b] + 1) * t_raw * DSIR_SCALE // ((c_raw[b] + 1) * t_tgt)
+        for b in range(DSIR_BUCKETS)
+    ]
+    expect = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = text.split()
+        if not toks:
+            continue
+        s = sum(w[_dsir_bucket(t)] for t in toks)
+        expect[did] = (s, len(toks), int(s >= len(toks) * DSIR_SCALE))
+
+    out = dsir_select(SF)
+    got = {r.doc_id: (r.score, r.n_tok, r.selected) for r in out.itertuples()}
+    assert got == expect
+    # the selection is non-vacuous in both directions on this corpus
+    assert 0 < out.selected.sum() < len(out)
+    # target-language docs should be selected at a higher rate than others
+    sel = docs.merge(out, on="doc_id")
+    rate_tgt = sel[sel.lang == DSIR_TARGET_LANG].selected.mean()
+    rate_oth = sel[sel.lang != DSIR_TARGET_LANG].selected.mean()
+    assert rate_tgt > rate_oth
+
+    with pytest.raises(ValueError):
+        dsir_select(SF, target_lang="zz-no-such-lang")
