@@ -947,3 +947,128 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        ROUND(AVG(mse) * 1e6, 6) AS avg_mse_e6
 FROM r GROUP BY label ORDER BY label
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+SEMDEDUP_K = 8
+
+
+def semdedup(
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    k: int = SEMDEDUP_K,
+    max_group_bytes: int | None = None,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning, within each
+    cluster, every point whose cosine similarity to a CLOSER-TO-CENTROID
+    point is >= tau. This is the keep/prune election the IVF pair lister
+    (embedding_neardup_ivf) feeds in the paper pipeline, using the
+    one-pass shadow rule of the public NeMo-Curator implementation:
+    rank cluster members by (distance to centroid, vec_id); a member is
+    pruned iff ANY higher-ranked member (kept or pruned) is >= tau
+    similar. Non-iterative by construction — no recursive dependency,
+    so one SQL oracle reproduces it exactly.
+
+    Scale contract: centroid init is the module's deterministic
+    vec_id < k rule (kmeans_step contract — at 100 TB the trained
+    kmeans_train centroids slot in unchanged); the broadcast is the
+    k x d matrix; each embedding crosses exactly ONE exchange (the
+    cid groupby, same as embedding_neardup_ivf); the within-cluster
+    shadow test is blockwise O(block x n) — never the n x n gram —
+    under the shared residency guard whose failure message names the
+    finer-bucket knob. Output is O(n) slim rows (vec_id, cid, kept).
+
+    Float contract: ranks order by float64 squared distance (engine)
+    vs list_distance (oracle) — monotone-equal except exact ties,
+    which vec_id breaks on both sides; the tau compare follows the
+    module-wide neardup contract (random-vector corpora don't land on
+    the ulp boundary; thresholds are chosen non-vacuous in tests)."""
+    from .common import GROUP_RESIDENCY_CAP_BYTES, enforce_group_residency
+
+    init = (
+        _emb(sf_dir).filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    )
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k - 1} present for deterministic init")
+    cref = ray.put(np.stack(init.embedding.to_numpy()).astype(np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cref)
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
+            return batch.append_column(
+                "cid", pa.array([], pa.int64())
+            ).append_column("d2c", pa.array([], pa.float64()))
+        d2 = ((X.astype(np.float64)[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1)
+        cid = d2.argmin(axis=1)
+        return batch.append_column("cid", pa.array(cid, pa.int64())).append_column(
+            "d2c", pa.array(d2[np.arange(len(cid)), cid], pa.float64())
+        )
+
+    def elect(g: pd.DataFrame, block: int = 2048) -> pd.DataFrame:
+        dim = len(g.embedding.iloc[0]) if len(g) else 0
+        enforce_group_residency(
+            len(g) * dim * 8 * 2, len(g),
+            f"cid={g.cid.iloc[0]!r}" if len(g) else "<empty>",
+            "semdedup", "raise k (finer clusters)",
+            cap_bytes=max_group_bytes or GROUP_RESIDENCY_CAP_BYTES,
+        )
+        g = g.sort_values(["d2c", "vec_id"])
+        ids = g.vec_id.to_numpy()
+        m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
+        n = len(ids)
+        dropped = np.zeros(n, bool)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            sims = m[i0:i1] @ m[:i1].T  # (block, <=i1) — earlier cols only
+            mask = np.arange(i1)[None, :] < (np.arange(i0, i1)[:, None])
+            dropped[i0:i1] = ((sims >= tau) & mask).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cid": np.int64(g.cid.iloc[0]),
+                "kept": (~dropped).astype("int64"),
+            }
+        )
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(elect, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SEMDEDUP_SQL_T = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings WHERE vec_id < {k}),
+a AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid,
+           list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cid) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rnk
+      FROM a),
+sh AS (
+  SELECT DISTINCT hi.vec_id
+  FROM r lo JOIN r hi ON lo.cid = hi.cid AND lo.rnk < hi.rnk
+  JOIN embeddings el ON el.vec_id = lo.vec_id
+  JOIN embeddings eh ON eh.vec_id = hi.vec_id
+  WHERE list_cosine_similarity(list_transform(el.embedding, v -> CAST(v AS DOUBLE)),
+                               list_transform(eh.embedding, v -> CAST(v AS DOUBLE)))
+        >= {tau})
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid,
+       CAST(sh.vec_id IS NULL AS BIGINT) AS kept
+FROM r LEFT JOIN sh ON sh.vec_id = r.vec_id
+ORDER BY r.vec_id
+"""

@@ -786,3 +786,44 @@ def test_kmeans_train_matches_singleprocess_lloyd():
 
     with pytest.raises(ValueError):
         kmeans_train(SF, k=KMEANS_K, iters=0)
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    """semdedup == single-process SemDeDup reference: assign to the
+    vec_id<k init centroids, rank in-cluster by (squared distance to
+    centroid, vec_id), prune iff any higher-ranked member has cosine
+    >= tau. Also locks non-vacuity (drops AND keeps exist), the
+    rank-1-per-cluster-always-kept invariant, and the residency cap."""
+    import pyarrow.parquet as pq
+
+    tau, k = similarity.SEMDEDUP_TAU, similarity.SEMDEDUP_K
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t.vec_id.to_numpy()
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    C = X[np.argsort(ids)][:k]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cid = d2.argmin(1)
+    M = X / np.linalg.norm(X, axis=1, keepdims=True)
+    expect = {}
+    for c in range(k):
+        idx = np.where(cid == c)[0]
+        order = idx[np.lexsort((ids[idx], d2[idx, c]))]
+        for i, oi in enumerate(order):
+            shadowed = any(
+                float(M[oi] @ M[oj]) >= tau for oj in order[:i]
+            )
+            expect[int(ids[oi])] = (c, int(not shadowed))
+
+    out = similarity.semdedup(SF)
+    got = {r.vec_id: (r.cid, r.kept) for r in out.itertuples()}
+    assert got == expect
+    assert 0 < out.kept.sum() < len(out)  # non-vacuous both directions
+    # the closest-to-centroid member of every cluster is never pruned
+    first = out.merge(
+        pd.DataFrame({"vec_id": ids, "d2c": d2[np.arange(len(ids)), cid]}),
+        on="vec_id",
+    ).sort_values(["d2c", "vec_id"]).groupby("cid").head(1)
+    assert (first.kept == 1).all()
+
+    with pytest.raises(Exception, match="finer clusters"):
+        similarity.semdedup(SF, max_group_bytes=64)
