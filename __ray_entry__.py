@@ -345,7 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": scrub.paragraph_dedup,
         # --- training-data prep (dup-span diagnostics / resample / packing)
         "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
-        "importance_resample": traindata.importance_resample,
+        # (importance_resample demoted below the fold — r03-green; its
+        #  md5-threshold keep machinery runs in-window here with the
+        #  rates DERIVED from the data instead of fixed config weights)
+        # r4: mT5-style alpha=0.5 temperature language mixing
+        "temperature_mixture": traindata.temperature_mixture,
         "pack_sequences": traindata.pack_sequences,
         # r4: per-doc sliding-window chunking (RAG / fixed-context loader
         # prep); chunks carry content md5s so the gate checks exact bytes
@@ -470,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": similarity.kmeans_step,
         # one merge-round election — nested in-window inside bpe_train
         "bpe_pair_counts": traindata.bpe_pair_counts,
+        # fixed-weight md5 keep — machinery nested in-window inside
+        # temperature_mixture (data-derived rates)
+        "importance_resample": traindata.importance_resample,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
@@ -618,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,
         "bpe_pair_counts": traindata.BPE_PAIR_SQL,
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
+        "temperature_mixture": traindata.TEMPERATURE_MIXTURE_SQL,
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
         "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
         "dsir_select": traindata.DSIR_SELECT_SQL,

@@ -1174,3 +1174,143 @@ SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS score,
 FROM b JOIN w USING (bucket)
 GROUP BY b.doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled language mixture (mT5 / XLM-R alpha-sampling)
+# --------------------------------------------------------------------------
+
+MIXTURE_ALPHA_IS_HALF = True  # alpha fixed at 0.5: rate = sqrt(n_min/n_l)
+
+
+def temperature_mixture(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled language mixing (mT5 / XLM-R alpha-sampling,
+    Xue et al. 2021 §3.1) with alpha = 0.5, as a keep-only downsampling
+    pass: per-lang keep rate r_l = sqrt(n_min / n_l) over whitespace
+    token counts, so expected kept tokens are proportional to n_l^0.5
+    and the smallest language keeps everything — the mixture an LLM
+    pretraining loader actually applies, with rates DERIVED FROM THE
+    DATA (importance_resample, whose md5-keep machinery this nests, uses
+    fixed config weights).
+
+    Exactness contract: alpha is fixed at 1/2 so the only float ops are
+    one division and one IEEE-754 sqrt — both correctly rounded, hence
+    bit-identical in numpy and DuckDB; the keep threshold is
+    floor(r_l * 2^32) formatted as the md5-prefix hex of
+    common.w_threshold_hex, so the per-doc decision is an exact string
+    compare on both sides (r_l == 1.0 short-circuits to keep-all).
+
+    Scale contract: pass 1 emits per-block (lang, n_tok) integer
+    partials into a lang-sized groupby; the rate table is O(#langs),
+    broadcast once; pass 2 re-scans the source (the kmeans_train
+    contract — at 100 TB re-scanning beats pinning; a production run
+    would checkpoint the slim (doc_id, lang, n_tok) table to parquet
+    between passes, the curate_v4 spill_dir pattern) and emits per-block
+    integer partials. Text never crosses a shuffle."""
+    from ray.data.aggregate import Sum
+
+    from .common import w_threshold_hex
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        t = pa.table(
+            {"lang": pa.array(langs, pa.string()), "n_tok": pa.array(n, pa.int64())}
+        )
+        g = t.group_by("lang").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["lang", "n_tok"])
+
+    per_lang = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(tok_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n_tok", alias_name="n_tok"))
+        .to_pandas()
+    )
+    if per_lang.empty or int(per_lang.n_tok.min()) == 0:
+        raise ValueError("every language needs >= 1 token to fit a mixture")
+    n_min = int(per_lang.n_tok.min())
+    # rate = sqrt(n_min / n_l): one division + one sqrt, both correctly
+    # rounded -> bit-identical to the oracle's sqrt(CAST/CAST)
+    thresh = {
+        lang: (
+            None  # keep-all arm (w_threshold_hex rejects w == 1.0)
+            if int(n_l) == n_min
+            else w_threshold_hex(float(np.sqrt(n_min / int(n_l))))
+        )
+        for lang, n_l in zip(per_lang.lang, per_lang.n_tok)
+    }
+    bcast = ray.put(thresh)
+
+    def keep_partial(batch: pa.Table) -> pa.Table:
+        th = ray.get(bcast)
+        langs = batch["lang"].to_pylist()
+        rows = {"lang": [], "n_tok_in": [], "n_docs_kept": [], "n_tok_kept": []}
+        agg: dict[str, list[int]] = {}
+        for did, text, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), langs
+        ):
+            t = th[lang]
+            kept = t is None or hashlib.md5(str(did).encode()).hexdigest() < t
+            n = len(text.split())
+            a = agg.setdefault(lang, [0, 0, 0])
+            a[0] += n
+            if kept:
+                a[1] += 1
+                a[2] += n
+        for lang, (ti, dk, tk) in agg.items():
+            rows["lang"].append(lang)
+            rows["n_tok_in"].append(ti)
+            rows["n_docs_kept"].append(dk)
+            rows["n_tok_kept"].append(tk)
+        return pa.table(
+            {
+                "lang": pa.array(rows["lang"], pa.string()),
+                "n_tok_in": pa.array(rows["n_tok_in"], pa.int64()),
+                "n_docs_kept": pa.array(rows["n_docs_kept"], pa.int64()),
+                "n_tok_kept": pa.array(rows["n_tok_kept"], pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(keep_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tok_in", alias_name="n_tok_in"),
+            Sum("n_docs_kept", alias_name="n_docs_kept"),
+            Sum("n_tok_kept", alias_name="n_tok_kept"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_tok_in": "int64", "n_docs_kept": "int64", "n_tok_kept": "int64"}
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = r"""
+WITH dt AS (
+  SELECT doc_id, lang,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN len(regexp_split_to_array(trim(text), '\s+')) ELSE 0 END AS n_tok
+  FROM documents),
+l AS (SELECT lang, SUM(n_tok) AS n_l FROM dt GROUP BY lang),
+mn AS (SELECT MIN(n_l) AS n_min FROM l),
+k AS (
+  SELECT dt.lang, dt.n_tok,
+         CASE WHEN l.n_l = mn.n_min THEN TRUE
+              ELSE md5(CAST(dt.doc_id AS VARCHAR)) <
+                   printf('%08x',
+                          CAST(floor(sqrt(CAST(mn.n_min AS DOUBLE)
+                                          / CAST(l.n_l AS DOUBLE))
+                                     * 4294967296.0) AS BIGINT))
+                   || repeat('0', 24)
+         END AS kept
+  FROM dt JOIN l USING (lang), mn)
+SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok_in,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tok) FILTER (WHERE kept) AS BIGINT) AS n_tok_kept
+FROM k GROUP BY lang ORDER BY lang
+"""

@@ -389,3 +389,52 @@ def test_dsir_select_matches_bruteforce(ray_session):
 
     with pytest.raises(ValueError):
         dsir_select(SF, target_lang="zz-no-such-lang")
+
+
+def test_temperature_mixture_matches_bruteforce(ray_session):
+    """temperature_mixture == single-process alpha=0.5 reference:
+    rate_l = sqrt(n_min/n_l) over whitespace token counts, md5(doc_id)
+    fixed-point threshold keep, smallest lang keeps everything. Also
+    locks the expected-tokens-proportional-to-sqrt(n_l) property within
+    sampling noise and the empty-lang guard."""
+    import hashlib
+    import math
+
+    from paddle_ray.pipelines.common import w_threshold_hex
+    from paddle_ray.pipelines.traindata import temperature_mixture
+
+    docs = _docs()
+    n_l: dict[str, int] = {}
+    toks = {}
+    for did, text, lang in zip(docs.doc_id, docs.text, docs.lang):
+        n = len(text.split())
+        toks[did] = (lang, n)
+        n_l[lang] = n_l.get(lang, 0) + n
+    n_min = min(n_l.values())
+    th = {
+        lang: None if v == n_min else w_threshold_hex(math.sqrt(n_min / v))
+        for lang, v in n_l.items()
+    }
+    expect: dict[str, list[int]] = {}
+    for did, (lang, n) in toks.items():
+        t = th[lang]
+        kept = t is None or hashlib.md5(str(did).encode()).hexdigest() < t
+        a = expect.setdefault(lang, [0, 0, 0])
+        a[0] += n
+        if kept:
+            a[1] += 1
+            a[2] += n
+
+    out = temperature_mixture(SF)
+    got = {r.lang: [r.n_tok_in, r.n_docs_kept, r.n_tok_kept] for r in out.itertuples()}
+    assert got == expect
+    # the smallest lang keeps every doc; every other lang drops some
+    n_docs_in = docs.lang.value_counts()
+    small = min(n_l, key=n_l.get)
+    assert got[small][1] == int(n_docs_in[small])
+    assert any(got[lang][1] < int(n_docs_in[lang]) for lang in n_l if lang != small)
+    # kept tokens track the sqrt law: n_tok_kept / sqrt(n_l) roughly
+    # constant across langs (within 25% of the mean — sampling noise)
+    ratios = [got[lang][2] / math.sqrt(n_l[lang]) for lang in n_l]
+    mid = sum(ratios) / len(ratios)
+    assert all(abs(r - mid) / mid < 0.25 for r in ratios)
