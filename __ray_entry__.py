@@ -332,7 +332,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": webtext.perplexity_buckets,
         # r4: Bloom-prefilter + distributed verify join (fixed-size bcast)
         "decontaminate": webtext.decontaminate,
-        "tfidf_top_terms": webtext.tfidf_top_terms,
+        # (tfidf_top_terms demoted below the fold — r03-green; df/idf
+        #  scoring + per-block top-k run in-window via bm25_topk, the
+        #  native-join shape via q10)
+        # r4: BM25 top-k lexical retrieval (two shuffle-free passes:
+        # O(1)-per-block stats, then broadcast-idf score + partial top-k)
+        "bm25_topk": analysis.bm25_topk,
         # r4: FineWeb-style head/mid/tail tier extraction + per-tier
         # deterministic keep rates (the graft's tiering axis)
         "quality_tiers": webtext.quality_tiers,
@@ -477,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
+        # df/idf + per-block top-k machinery runs in-window via bm25_topk
+        "tfidf_top_terms": webtext.tfidf_top_terms,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
@@ -619,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_texts": webtext.NORMALIZE_SQL,
         "regex_match_stats": webtext.REGEX_MATCH_SQL,
         "tfidf_top_terms": webtext.TFIDF_SQL,
+        "bm25_topk": analysis.bm25_sql(),
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,

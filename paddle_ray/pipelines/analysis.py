@@ -784,3 +784,158 @@ FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
 WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p != v2.p
 ORDER BY o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval (Robertson/Sparck-Jones; Lucene idf form)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "vector", "customer", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    sf_dir: str, terms: tuple[str, ...] = BM25_TERMS, topk: int = BM25_TOPK
+) -> pd.DataFrame:
+    """BM25 top-k document retrieval for a fixed query — the classic
+    lexical ranking (Robertson et al.; idf in the non-negative Lucene
+    form ln(1 + (N - df + 0.5)/(df + 0.5))) as two shuffle-free passes:
+
+    pass 1 collapses the corpus to O(1) integer stats per block
+    (n_docs, sum dl, per-term df) -> one tiny driver reduce; pass 2
+    re-scans with the O(#terms) idf table broadcast, scores each doc
+    vectorized, and emits only the per-block top-k — the driver merge
+    sees #blocks x k rows (the knn partial-top-k pattern), so nothing
+    document-sized ever leaves the workers and there is no sort/shuffle.
+
+    Float contract: scores are float64 with the SAME expression tree and
+    the SAME term-order summation on both sides (the oracle writes one
+    explicit addend per term, never a SUM over unnested rows whose
+    accumulation order floats free); N counts docs with >= 1 whitespace
+    token (oracle's regexp non-space guard ≙ split() -> []); ranking
+    ties break by doc_id. Docs matching no term score 0 and are
+    excluded before the top-k."""
+    import numpy as np
+    import ray
+    from math import log
+
+    if not terms or topk < 1:
+        raise ValueError("need >= 1 query term and topk >= 1")
+
+    m = len(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        sum_dl = 0
+        df = [0] * m
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            if not toks:
+                continue
+            n += 1
+            sum_dl += len(toks)
+            for i, t in enumerate(terms):
+                if t in toks:
+                    df[i] += 1
+        cols = {"n_docs": [n], "sum_dl": [sum_dl]}
+        cols |= {f"df_{i}": [df[i]] for i in range(m)}
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+    st = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(stats_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+    n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
+    if n_docs == 0:
+        raise ValueError("corpus has no non-empty documents")
+    avgdl = sum_dl / n_docs
+    idf = [
+        log(1 + (n_docs - int(st[f"df_{i}"]) + 0.5) / (int(st[f"df_{i}"]) + 0.5))
+        for i in range(m)
+    ]
+    bcast = ray.put((idf, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        idf_v, avg = ray.get(bcast)
+        ids, scores = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = text.split()
+            if not toks:
+                continue
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for i, t in enumerate(terms):
+                tf = toks.count(t)
+                if tf:
+                    hit = True
+                    s += idf_v[i] * (tf * (BM25_K1 + 1)) / (
+                        tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avg)
+                    )
+            if hit:
+                ids.append(did)
+                scores.append(s)
+        if not ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        sc = np.asarray(scores, np.float64)
+        di = np.asarray(ids, np.int64)
+        order = np.lexsort((di, -sc))[:topk]  # local top-k, ties by doc_id
+        return pa.table(
+            {
+                "doc_id": pa.array(di[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(score_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True]).head(topk)
+    cand = cand.reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    cand["score"] = cand.score.round(6)
+    return cand.astype({"rank": "int64", "doc_id": "int64"})
+
+
+def bm25_sql(terms: tuple[str, ...] = BM25_TERMS, topk: int = BM25_TOPK) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))
+    )
+    addends = "\n       + ".join(
+        f"(ln(1 + (g.n - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+        f" * (s.tf{i} * ({BM25_K1} + 1))"
+        f" / (s.tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * s.dl"
+        f" / (CAST(g.sum_dl AS DOUBLE) / g.n))))"
+        for i in range(len(terms))
+    )
+    any_hit = " + ".join(f"s.tf{i}" for i in range(len(terms)))
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE regexp_matches(text, '[^ \t\n\r\f\v]')),
+s AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM d),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM s),
+sc AS (
+  SELECT s.doc_id,
+       {addends} AS score
+  FROM s, g WHERE {any_hit} > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT {topk}
+"""

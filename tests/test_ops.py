@@ -827,3 +827,42 @@ def test_semdedup_matches_bruteforce(ray_session):
 
     with pytest.raises(Exception, match="finer clusters"):
         similarity.semdedup(SF, max_group_bytes=64)
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """bm25_topk == single-process BM25 over the whole corpus (Lucene
+    idf, k1=1.2 b=0.75, ties by doc_id), and the partial-top-k merge
+    loses nothing: the engine's top-k equals the brute-force top-k
+    ranked over ALL matching docs, scores bit-equal before rounding."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    terms, k1, b = analysis.BM25_TERMS, analysis.BM25_K1, analysis.BM25_B
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs = [(int(d), txt.split()) for d, txt in zip(t.doc_id, t.text) if txt.split()]
+    n = len(docs)
+    avgdl = sum(len(tk) for _, tk in docs) / n
+    df = [sum(1 for _, tk in docs if term in tk) for term in terms]
+    idf = [math.log(1 + (n - d + 0.5) / (d + 0.5)) for d in df]
+    scored = []
+    for did, tk in docs:
+        s, hit = 0.0, False
+        for i, term in enumerate(terms):
+            tf = tk.count(term)
+            if tf:
+                hit = True
+                s += idf[i] * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if hit:
+            scored.append((did, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    expect = [(r + 1, did, round(s, 6)) for r, (did, s) in enumerate(scored[: analysis.BM25_TOPK])]
+
+    out = analysis.bm25_topk(SF)
+    got = [(r.rank, r.doc_id, r.score) for r in out.itertuples()]
+    assert got == expect
+    assert len(got) == analysis.BM25_TOPK  # non-vacuous cut on this corpus
+    assert out.score.is_monotonic_decreasing or (out.score.diff().dropna() <= 0).all()
+
+    with pytest.raises(ValueError):
+        analysis.bm25_topk(SF, terms=())
