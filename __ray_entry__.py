@@ -318,7 +318,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one round of the identical machinery — demoted below the fold)
         "kmeans_train": similarity.kmeans_train,
         # --- text analysis ------------------------------------------------
-        "token_counts": analysis.token_counts,
+        # (token_counts demoted below the fold — r03-green; token-count
+        #  kernels run in-window via temperature_mixture / bm25_topk /
+        #  chunk_documents / pack_sequences)
+        # r4: adjacent-bigram PMI collocation mining (word2phrase stat;
+        # vocabulary-sized integer-partial shuffle, one ln per pair)
+        "pmi_bigrams": analysis.pmi_bigrams,
         # (quality_scores demoted below the fold — richer versions of the
         #  same signal family run in-window via quality_filter/quality_tiers)
         "lang_id": analysis.lang_id,
@@ -451,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
         "quality_scores": analysis.quality_scores,
+        # token-count kernels run in-window via temperature_mixture et al.
+        "token_counts": analysis.token_counts,
         "word_entropy": analysis.word_entropy,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
@@ -617,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": analysis.TABLE_CHECKSUM_SQL,
         "table_diff": analysis.TABLE_DIFF_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
+        "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,

@@ -939,3 +939,111 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
 FROM sc ORDER BY score DESC, doc_id LIMIT {topk}
 """
+
+
+# --------------------------------------------------------------------------
+# adjacent-bigram PMI collocations (word2phrase-style phrase mining)
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 20
+PMI_TOPK = 50
+
+
+def pmi_bigrams(
+    sf_dir: str, min_count: int = PMI_MIN_COUNT, topk: int = PMI_TOPK
+) -> pd.DataFrame:
+    """Pointwise-mutual-information collocation mining over ADJACENT
+    token bigrams (the word2phrase / phrase-detection statistic,
+    Mikolov et al. 2013): pmi(x,y) = ln(N * c_xy / (c_x * c_y)) with
+    c_xy = corpus count of the ordered bigram, c_x/c_y = unigram
+    counts, N = total tokens; bigrams below min_count drop, output is
+    the top-k by (pmi desc, w1, w2).
+
+    Scale contract: each block emits its local bigram/unigram Counters
+    as integer partials — the shuffle is vocabulary-sized (bigram space
+    hash-partitions by pair at web vocab), never corpus-sized; the PMI
+    arithmetic runs on the (min_count-filtered) pair table. Adjacent
+    pairs (not all co-occurring pairs) keep per-doc fan-out at
+    n_tok - 1 rows — the reason word2phrase scales and presence-pair
+    PMI does not.
+
+    Float contract: N*c_xy and c_x*c_y are exact int64 products on both
+    sides; the single division is one correctly-rounded double op, and
+    ln is the only libm call (bit-stable at the gate's 6-decimal
+    rounding); integer counts are exact, ranking ties break by words."""
+    from collections import Counter
+    from math import log
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        w1 = [w for w, _ in bi] + [w for w in uni]
+        w2 = [w for _, w in bi] + ["" for _ in uni]  # "" marks unigram rows
+        c = [int(v) for v in bi.values()] + [int(v) for v in uni.values()]
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    uni = counts[counts.w2 == ""].set_index("w1").c
+    bi = counts[(counts.w2 != "") & (counts.c >= min_count)]
+    n_tok = int(uni.sum())
+    if bi.empty:
+        return pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "c_xy": pd.Series([], dtype="int64"),
+                "pmi": pd.Series([], dtype="float64"),
+            }
+        )
+    pmi = [
+        log((n_tok * int(cxy)) / (int(uni[x]) * int(uni[y])))
+        for x, y, cxy in zip(bi.w1, bi.w2, bi.c)
+    ]
+    out = pd.DataFrame(
+        {"w1": bi.w1.values, "w2": bi.w2.values, "c_xy": bi.c.values, "pmi": pmi}
+    )
+    out = out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True]).head(topk)
+    out["pmi"] = out.pmi.round(6)
+    return out.reset_index(drop=True).astype({"c_xy": "int64"})
+
+
+PMI_BIGRAMS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE regexp_matches(text, '[^ \t\n\r\f\v]')),
+tok AS (
+  SELECT doc_id, gs.i, toks[gs.i] AS w
+  FROM d, LATERAL unnest(generate_series(1, len(toks))) AS gs(i)),
+big AS (
+  SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok),
+cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big WHERE w2 IS NOT NULL
+       GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+cu AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+n AS (SELECT COUNT(*) AS n_tok FROM tok)
+SELECT cb.w1, cb.w2, CAST(cb.c_xy AS BIGINT) AS c_xy,
+       ROUND(ln(CAST(n.n_tok * cb.c_xy AS DOUBLE)
+                / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+FROM cb JOIN cu u1 ON u1.w = cb.w1 JOIN cu u2 ON u2.w = cb.w2, n
+ORDER BY ln(CAST(n.n_tok * cb.c_xy AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)) DESC,
+         cb.w1, cb.w2
+LIMIT {PMI_TOPK}
+"""

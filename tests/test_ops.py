@@ -866,3 +866,39 @@ def test_bm25_topk_matches_bruteforce(ray_session):
 
     with pytest.raises(ValueError):
         analysis.bm25_topk(SF, terms=())
+
+
+def test_pmi_bigrams_matches_bruteforce(ray_session):
+    """pmi_bigrams == single-process reference: adjacent ordered bigram
+    counts, unigram counts, pmi = ln(N*c_xy/(c_x*c_y)), min_count
+    filter, top-k by (pmi desc, w1, w2). Also locks the min_count
+    contract and the empty-result schema."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    uni, bi = Counter(), Counter()
+    for text in t.text:
+        toks = text.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    mc, k = analysis.PMI_MIN_COUNT, analysis.PMI_TOPK
+    rows = [
+        (x, y, c, math.log((n * c) / (uni[x] * uni[y])))
+        for (x, y), c in bi.items()
+        if c >= mc
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    expect = [(x, y, c, round(p, 6)) for x, y, c, p in rows[:k]]
+
+    out = analysis.pmi_bigrams(SF)
+    got = [(r.w1, r.w2, r.c_xy, r.pmi) for r in out.itertuples()]
+    assert got == expect
+    assert len(got) == k  # non-vacuous cut on this corpus
+    assert (out.c_xy >= mc).all()
+    # a min_count above every bigram count yields the typed empty frame
+    empty = analysis.pmi_bigrams(SF, min_count=10**9)
+    assert len(empty) == 0 and list(empty.columns) == ["w1", "w2", "c_xy", "pmi"]
