@@ -259,10 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_resume_equivalence": _extract_resume_equivalence,
         # (extract_block_stats demoted below the fold — r03-green; block
         #  counting is derivative of roundtrip + synth_digest in-window)
-        # extract_synth_grammar was folded into extract_synth_digest (the
-        # digest runs the identical 300-doc grammar extraction and is
-        # value-oracled; the standalone rows-only entry added nothing)
-        "extract_synth_digest": _extract_synth_digest,
+        # (extract_synth_digest demoted below the fold — r03-driver-green;
+        #  extraction bytes stay locked in-window via roundtrip / resume /
+        #  extract_tiered; extract_synth_grammar was folded into it earlier)
         # (extract_image_stats demoted below the fold — r03-green; image
         #  plumbing also exercised in-window by extract_synth_digest +
         #  media_features)
@@ -360,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  rates DERIVED from the data instead of fixed config weights)
         # r4: mT5-style alpha=0.5 temperature language mixing
         "temperature_mixture": traindata.temperature_mixture,
+        # r4: Hamilton largest-remainder token-budget apportionment —
+        # zero float ops, sum(quota) == budget exactly
+        "source_budget_allocation": traindata.source_budget_allocation,
         "pack_sequences": traindata.pack_sequences,
         # r4: per-doc sliding-window chunking (RAG / fixed-context loader
         # prep); chunks carry content md5s so the gate checks exact bytes
@@ -406,6 +408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v2": curate.curate_corpus_v2,
         "extract_image_stats": _extract_image_stats,
         "extract_block_stats": _extract_block_stats,
+        # r03-driver-green synth-grammar digest (bytes locked in-window
+        # via roundtrip/resume/tiered)
+        "extract_synth_digest": _extract_synth_digest,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -642,6 +647,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": traindata.BPE_PAIR_SQL,
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
         "temperature_mixture": traindata.TEMPERATURE_MIXTURE_SQL,
+        "source_budget_allocation": traindata.SOURCE_BUDGET_SQL_T.format(
+            budget=traindata.BUDGET_TOKENS
+        ),
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
         "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
         "dsir_select": traindata.DSIR_SELECT_SQL,

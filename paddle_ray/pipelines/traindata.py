@@ -1314,3 +1314,98 @@ SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok_in,
        CAST(SUM(n_tok) FILTER (WHERE kept) AS BIGINT) AS n_tok_kept
 FROM k GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Hamilton largest-remainder token-budget apportionment across sources
+# --------------------------------------------------------------------------
+
+BUDGET_TOKENS = 100_000
+
+
+def source_budget_allocation(sf_dir: str, budget: int = BUDGET_TOKENS) -> pd.DataFrame:
+    """Apportion an integer token budget across sources proportionally
+    to their token mass using Hamilton's largest-remainder method (the
+    exact-integer quota builder a mixture loader runs after
+    temperature_mixture picks rates): quota_s = floor(B * w_s / W),
+    then the L = B - sum(quotas) leftover tokens go one each to the
+    largest remainders (B * w_s) mod W, ties broken by source asc.
+    sum(quota) == B exactly — the property float rounding can't give.
+
+    Exactness contract: ZERO float ops — B * w_s is arbitrary-precision
+    on the driver and HUGEINT in the oracle; floor division and mod on
+    both sides; the remainder ranking is an integer sort. Output is
+    exact at any scale.
+
+    Scale contract: one pass of per-block (source, n_tok) integer
+    partials into a source-sized groupby; the apportionment runs on the
+    O(#sources) driver table (at web scale #sources ~ thousands —
+    driver-sized by construction)."""
+    from ray.data.aggregate import Sum
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        t = pa.table(
+            {"source": pa.array(src, pa.string()), "n_tok": pa.array(n, pa.int64())}
+        )
+        g = t.group_by("source").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["source", "n_tok"])
+
+    per_src = (
+        _docs(sf_dir, columns=("text", "source"))
+        .map_batches(tok_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("n_tok", alias_name="n_tok"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    W = int(per_src.n_tok.sum())
+    if W == 0:
+        raise ValueError("corpus has no tokens to apportion against")
+    base = [budget * int(w) // W for w in per_src.n_tok]
+    rem = [budget * int(w) % W for w in per_src.n_tok]
+    leftover = budget - sum(base)
+    order = sorted(
+        range(len(per_src)), key=lambda i: (-rem[i], per_src.source[i])
+    )
+    extra = set(order[:leftover])
+    out = pd.DataFrame(
+        {
+            "source": per_src.source,
+            "n_tok": per_src.n_tok.astype("int64"),
+            "quota": pd.Series(
+                [b + (1 if i in extra else 0) for i, b in enumerate(base)],
+                dtype="int64",
+            ),
+        }
+    )
+    assert int(out.quota.sum()) == budget
+    return out
+
+
+SOURCE_BUDGET_SQL_T = r"""
+WITH dt AS (
+  SELECT source,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN len(regexp_split_to_array(trim(text), '\s+')) ELSE 0 END AS n_tok
+  FROM documents),
+s AS (SELECT source, CAST(SUM(n_tok) AS HUGEINT) AS n_tok FROM dt GROUP BY source),
+w AS (SELECT SUM(n_tok) AS total FROM s),
+q AS (
+  SELECT s.source, s.n_tok,
+         ({budget} * s.n_tok) // w.total AS base,
+         ({budget} * s.n_tok) % w.total AS rem
+  FROM s, w),
+l AS (SELECT {budget} - SUM(base) AS leftover FROM q),
+r AS (SELECT source, n_tok, base,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q)
+SELECT r.source, CAST(r.n_tok AS BIGINT) AS n_tok,
+       CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r, l ORDER BY r.source
+"""

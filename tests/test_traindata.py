@@ -438,3 +438,46 @@ def test_temperature_mixture_matches_bruteforce(ray_session):
     ratios = [got[lang][2] / math.sqrt(n_l[lang]) for lang in n_l]
     mid = sum(ratios) / len(ratios)
     assert all(abs(r - mid) / mid < 0.25 for r in ratios)
+
+
+def test_source_budget_allocation_exact(ray_session):
+    """Hamilton apportionment: quotas sum EXACTLY to the budget, every
+    quota is floor or floor+1 of the exact proportional share, the +1s
+    go to the largest remainders (ties by source asc), and the whole
+    chain is integer arithmetic (engine == single-process reference)."""
+    from paddle_ray.pipelines.traindata import (
+        BUDGET_TOKENS,
+        source_budget_allocation,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT text, source FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    n_s: dict[str, int] = {}
+    for text, src in zip(docs.text, docs.source):
+        n_s[src] = n_s.get(src, 0) + len(text.split())
+    W = sum(n_s.values())
+    srcs = sorted(n_s)
+    base = {s: BUDGET_TOKENS * n_s[s] // W for s in srcs}
+    rem = {s: BUDGET_TOKENS * n_s[s] % W for s in srcs}
+    leftover = BUDGET_TOKENS - sum(base.values())
+    extra = set(sorted(srcs, key=lambda s: (-rem[s], s))[:leftover])
+    expect = {s: (n_s[s], base[s] + (1 if s in extra else 0)) for s in srcs}
+
+    out = source_budget_allocation(SF)
+    got = {r.source: (r.n_tok, r.quota) for r in out.itertuples()}
+    assert got == expect
+    assert int(out.quota.sum()) == BUDGET_TOKENS
+    # every quota within 1 of the exact share, and leftover was nonzero
+    # at least once across the sf corpora (floor alone can't sum to B
+    # unless every share is integral — vanishingly unlikely)
+    assert all(
+        q in (BUDGET_TOKENS * n // W, BUDGET_TOKENS * n // W + 1)
+        for n, q in got.values()
+    )
+    with pytest.raises(ValueError):
+        source_budget_allocation(SF, budget=-1)
+
+    # budget=0 degenerates cleanly to all-zero quotas
+    z = source_budget_allocation(SF, budget=0)
+    assert int(z.quota.sum()) == 0 and (z.quota == 0).all()
