@@ -387,10 +387,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
-        # --- events / windows (CDC compaction + sessionize + tumbling) ----
-        "events_latest_per_user": events.events_latest_per_user,
-        # r4: allowed-lateness watermark accounting (Beam/Flink semantic)
-        "events_watermark": events.events_watermark,
+        # --- events / windows (funnel + cohorts + exact quantiles) --------
+        # (events_latest_per_user and events_watermark demoted below the
+        #  fold — green at all three sfs via the local gate; the family's
+        #  driver slots go to the chained-join funnel and the cohort
+        #  matrix, whose machinery is otherwise unrepresented)
+        # r4: ordered funnel with inter-step window (greedy chain)
+        "funnel_conversion": events.funnel_conversion,
+        # r4: cohort retention matrix (distinct pre-agg + native join)
+        "retention_cohorts": events.retention_cohorts,
         # r4: exact distributed quantiles by iterative histogram refinement
         "exact_ts_quantiles": events.exact_ts_quantiles,
         # --- web-graph (r4: distributed PageRank power iterations) --------
@@ -510,6 +515,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value companion = events_topk_users' exact shuffle, accuracy in
         # tests/test_sketch.py)
         "events_heavy_hitters": lambda sf: events.events_heavy_hitters(sf, 10),
+        # CDC compaction + watermark accounting (green at all three sfs
+        # via the local gate; demoted to make room for funnel/cohorts)
+        "events_latest_per_user": events.events_latest_per_user,
+        "events_watermark": events.events_watermark,
     }
 
 
@@ -666,6 +675,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": events.EVENTS_LATEST_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
+        "funnel_conversion": events.FUNNEL_SQL,
+        "retention_cohorts": events.RETENTION_SQL,
         "quality_tiers": webtext.QUALITY_TIERS_SQL,
         "domain_cap": webtext.DOMAIN_CAP_SQL,
         "token_budget_select": traindata.TOKEN_BUDGET_SQL,

@@ -841,3 +841,181 @@ s AS (SELECT us, row_number() OVER (ORDER BY us) AS rn FROM v)
 SELECT r.q, r.rank, CAST(s.us - (SELECT mn FROM agg) AS BIGINT) AS value_rel_us
 FROM r JOIN s ON s.rn = r.rank ORDER BY r.q
 """
+
+
+# --------------------------------------------------------------------------
+# funnel conversion (ordered step chain) + retention cohorts
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 86_400  # each step must follow the previous within 1 day
+
+
+def funnel_conversion(
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_s: int = FUNNEL_WINDOW_S,
+) -> pd.DataFrame:
+    """Ordered-funnel conversion counts with an inter-step window (the
+    product-analytics staple): a user completes step k when an event of
+    type steps[k] occurs STRICTLY after their step k-1 completion time
+    and within window_s seconds of it, greedily earliest-first
+    (t1 = min ts of step 1; t_k = min ts of step k with
+    t_{k-1} < ts <= t_{k-1} + window_s — the greedy chain is the
+    well-defined semantic one SQL chain reproduces exactly; Amplitude-
+    style any-anchor funnels differ and are out of scope). Output: one
+    row per step with the number of users who reached it —
+    monotonically non-increasing by construction.
+
+    Scale contract: the read prunes to (user_id, event_type, ts) and
+    filters to the funnel's types BEFORE the one shuffle (user_id % 64
+    coarse hash partitions — the events_sessionize pattern); each
+    partition computes the whole chain with vectorized pandas groupby
+    min/merge passes, one per step, never a per-user Python loop. The
+    shuffle moves only funnel-typed 20-byte rows. Counts are exact
+    integers; strict ts ordering is mirrored by the oracle's e.ts > t."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    if window_s < 1:
+        raise ValueError("window_s must be >= 1")
+    n_parts = 64
+    steps_l = list(steps)
+    win = pd.Timedelta(seconds=window_s)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.event_type.isin(steps_l)]
+        df["part"] = (df.user_id % n_parts).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df.event_type == steps_l[0]].groupby("user_id").ts.min()
+        counts = [len(t)]
+        for s in steps_l[1:]:
+            nxt = df[df.event_type == s].merge(
+                t.rename("t_prev"), left_on="user_id", right_index=True
+            )
+            nxt = nxt[(nxt.ts > nxt.t_prev) & (nxt.ts <= nxt.t_prev + win)]
+            t = nxt.groupby("user_id").ts.min()
+            counts.append(len(t))
+        return pd.DataFrame(
+            {
+                "step": pd.Series(range(1, len(steps_l) + 1), dtype="int64"),
+                "event_type": steps_l,
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    parts = (
+        _events(sf_dir, columns=["user_id", "event_type", "ts"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(chain, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["step", "event_type"], as_index=False)
+        .n_users.sum()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    return out.astype({"step": "int64", "n_users": "int64"})
+
+
+def _funnel_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS, window_s: int = FUNNEL_WINDOW_S
+) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{steps[k - 1]}' AND e.ts > p.t "
+            f"AND e.ts <= p.t + INTERVAL {window_s} SECOND "
+            f"GROUP BY e.user_id)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, '{steps[k - 1]}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{k}"
+        for k in range(1, len(steps) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(step AS BIGINT) AS step, event_type, n_users FROM (\n{unions}\n) ORDER BY step"
+    )
+
+
+FUNNEL_SQL = _funnel_sql()
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: cohort_day = each user's first active
+    day (UTC day index = epoch_us // 86_400_000_000), and for every
+    (cohort_day, day_offset) cell the number of that cohort's users
+    active day_offset days later — the activation/retention table every
+    product-analytics stack materializes.
+
+    Scale contract: the stream collapses FIRST to distinct (user, day)
+    rows (per-block drop_duplicates, then one groupby — activity-sized,
+    never event-sized); cohorts come from a user-sized groupby Min over
+    that table; the cohort map joins back by a native hash join (never
+    a driver broadcast — the user table is the BIG side at web scale);
+    the final cell rollup is bounded by #days². All-integer day
+    arithmetic, exact at any scale."""
+    from ray.data.aggregate import Count, Min
+
+    us_per_day = 86_400_000_000
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df.ts.astype("int64") // us_per_day).astype("int64")
+        out = pd.DataFrame({"user_id": df.user_id.astype("int64"), "day": day})
+        return pa.Table.from_pandas(
+            out.drop_duplicates(), preserve_index=False
+        )
+
+    activity = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(to_day, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+    cohort = activity.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+    joined = activity.join(cohort, join_type="inner", num_partitions=16, on=("user_id",))
+
+    def cell(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day_offset"] = (df.day - df.cohort_day).astype("int64")
+        g = df.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_users"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(cell, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"cohort_day": "int64", "day_offset": "int64", "n_users": "int64"})
+
+
+RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

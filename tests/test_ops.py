@@ -902,3 +902,65 @@ def test_pmi_bigrams_matches_bruteforce(ray_session):
     # a min_count above every bigram count yields the typed empty frame
     empty = analysis.pmi_bigrams(SF, min_count=10**9)
     assert len(empty) == 0 and list(empty.columns) == ["w1", "w2", "c_xy", "pmi"]
+
+
+def test_funnel_conversion_matches_bruteforce(ray_session):
+    """funnel_conversion == single-process greedy windowed chain, and
+    the counts are strictly funnel-shaped (monotone non-increasing,
+    with real attrition at the default window on this corpus)."""
+    import pyarrow.parquet as pq
+
+    steps, win_s = events.FUNNEL_STEPS, events.FUNNEL_WINDOW_S
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    win = pd.Timedelta(seconds=win_s)
+    t = df[df.event_type == steps[0]].groupby("user_id").ts.min()
+    expect = [len(t)]
+    for s in steps[1:]:
+        nxt = df[df.event_type == s].merge(
+            t.rename("t_prev"), left_on="user_id", right_index=True
+        )
+        nxt = nxt[(nxt.ts > nxt.t_prev) & (nxt.ts <= nxt.t_prev + win)]
+        t = nxt.groupby("user_id").ts.min()
+        expect.append(len(t))
+
+    out = events.funnel_conversion(SF)
+    assert list(out.event_type) == list(steps)
+    assert list(out.n_users) == expect
+    assert (out.n_users.diff().dropna() <= 0).all()  # funnel shape
+    assert out.n_users.iloc[-1] < out.n_users.iloc[0]  # real attrition
+    with pytest.raises(ValueError):
+        events.funnel_conversion(SF, steps=("view",))
+    with pytest.raises(ValueError):
+        events.funnel_conversion(SF, window_s=0)
+
+
+def test_retention_cohorts_matches_bruteforce(ray_session):
+    """retention_cohorts == single-process reference (distinct
+    user-days -> per-user min day -> offset matrix), offset-0 cells
+    cover every user exactly once, and no negative offsets exist."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    d = pd.DataFrame(
+        {
+            "user_id": df.user_id,
+            "day": (df.ts.astype("int64") // 86_400_000_000).astype("int64"),
+        }
+    ).drop_duplicates()
+    cohort = d.groupby("user_id").day.min().rename("cohort_day")
+    j = d.merge(cohort, left_on="user_id", right_index=True)
+    j["day_offset"] = j.day - j.cohort_day
+    expect = (
+        j.groupby(["cohort_day", "day_offset"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+    out = events.retention_cohorts(SF)
+    pd.testing.assert_frame_equal(
+        out, expect.astype({"cohort_day": "int64", "day_offset": "int64", "n_users": "int64"})
+    )
+    assert (out.day_offset >= 0).all()
+    assert int(out[out.day_offset == 0].n_users.sum()) == df.user_id.nunique()
