@@ -326,9 +326,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (quality_scores demoted below the fold — richer versions of the
         #  same signal family run in-window via quality_filter/quality_tiers)
         "lang_id": analysis.lang_id,
-        "table_checksum": analysis.table_checksum,
+        # (table_checksum demoted below the fold — its mod-2^31 Sum
+        #  machinery is r03-gate-green and its anti-entropy verdict role
+        #  is subsumed by table_diff + validate_orders in-window)
         # r4: CDC snapshot diff (which rows changed, and how)
         "table_diff": analysis.table_diff,
+        # r4: Deequ-style declarative constraint suite (uniqueness, null,
+        # referential anti-join, domain, range — exact violation counts)
+        "validate_orders": analysis.validate_orders,
         # --- webtext curation (repetition / quality gate / LM / decontam) --
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
@@ -468,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analysis.quality_scores,
         # token-count kernels run in-window via temperature_mixture et al.
         "token_counts": analysis.token_counts,
+        # anti-entropy verdict role subsumed by table_diff/validate_orders
+        "table_checksum": analysis.table_checksum,
         "word_entropy": analysis.word_entropy,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
@@ -637,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_list": analysis.LANG_SOURCE_LIST_SQL,
         "table_checksum": analysis.TABLE_CHECKSUM_SQL,
         "table_diff": analysis.TABLE_DIFF_SQL,
+        "validate_orders": analysis.VALIDATE_ORDERS_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,

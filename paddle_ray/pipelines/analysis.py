@@ -1047,3 +1047,130 @@ ORDER BY ln(CAST(n.n_tok * cb.c_xy AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)) DES
          cb.w1, cb.w2
 LIMIT {PMI_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# Deequ-style declarative data-quality constraint suite
+# --------------------------------------------------------------------------
+
+VALIDATE_STATUS_DOMAIN = ("F", "O", "P")
+VALIDATE_DATE_LO = "1992-01-01"
+VALIDATE_DATE_HI = "1999-01-01"  # half-open; corpus runs past it -> real hits
+
+
+def validate_orders(sf_dir: str) -> pd.DataFrame:
+    """Declarative constraint validation over `orders` (the
+    Deequ/Great-Expectations gate a 100 TB ingest runs before training
+    jobs consume a snapshot): key uniqueness, null rate, referential
+    integrity into `customer`, value positivity, categorical domain,
+    and date range. Output: one row per check with its exact violation
+    count and pass flag — on the test corpora the date-range check
+    REALLY fails (orderdate runs past 1999), so both arms are live.
+
+    Scale contract: the five scalar checks are one streaming pass of
+    per-block integer partials (O(1) rows per block); uniqueness counts
+    key groups via a key-space groupby (never a driver set); referential
+    integrity pre-aggregates orders to (custkey, n) — custkey-space, not
+    order-space — then LEFT-ANTI native-hash-joins against the customer
+    key column, so the shuffle carries keys, never rows. All counts are
+    exact int64; null guards mirror the oracle's FILTER semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    from .common import sized_read_parquet
+
+    lo = pd.Timestamp(VALIDATE_DATE_LO)
+    hi = pd.Timestamp(VALIDATE_DATE_HI)
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        status_bad = int(
+            (df.o_orderstatus.notna() & ~df.o_orderstatus.isin(VALIDATE_STATUS_DOMAIN)).sum()
+        )
+        date_bad = int(
+            (df.o_orderdate.notna() & ((df.o_orderdate < lo) | (df.o_orderdate >= hi))).sum()
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([len(df)], pa.int64()),
+                "custkey_null": pa.array([int(df.o_custkey.isna().sum())], pa.int64()),
+                "price_nonpos": pa.array(
+                    [int((df.o_totalprice.notna() & (df.o_totalprice <= 0)).sum())],
+                    pa.int64(),
+                ),
+                "status_bad": pa.array([status_bad], pa.int64()),
+                "date_bad": pa.array([date_bad], pa.int64()),
+            }
+        )
+
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    st = (
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=orders_cols)
+        .map_batches(scalar_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+
+    n_distinct = (
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .groupby("o_orderkey")
+        .aggregate(Count())
+        .count()
+    )
+
+    # referential integrity: orders pre-agg to (custkey, n) then anti-join
+    per_cust = (
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    cust_keys = sized_read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    dangling = per_cust.join(
+        cust_keys, join_type="left_anti", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    dang_df = dangling.to_pandas()
+    n_dangling = int(dang_df.n.sum()) if len(dang_df) else 0
+
+    rows = [
+        ("custkey_not_null", int(st.custkey_null)),
+        ("orderdate_in_range", int(st.date_bad)),
+        ("orderkey_unique", int(st.n_rows) - int(n_distinct)),
+        ("referential_custkey", n_dangling),
+        ("status_in_domain", int(st.status_bad)),
+        ("totalprice_positive", int(st.price_nonpos)),
+    ]
+    return pd.DataFrame(
+        {
+            "check": [r[0] for r in rows],
+            "n_violations": pd.Series([r[1] for r in rows], dtype="int64"),
+            "passed": pd.Series([int(r[1] == 0) for r in rows], dtype="int64"),
+        }
+    )
+
+
+VALIDATE_ORDERS_SQL = f"""
+WITH u AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS n_keys,
+         COUNT(*) FILTER (WHERE o_custkey IS NULL) AS custkey_null,
+         COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0) AS price_nonpos,
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN {VALIDATE_STATUS_DOMAIN!r}) AS status_bad,
+         COUNT(*) FILTER (WHERE o_orderdate IS NOT NULL
+                          AND (o_orderdate < TIMESTAMP '{VALIDATE_DATE_LO}'
+                               OR o_orderdate >= TIMESTAMP '{VALIDATE_DATE_HI}')) AS date_bad
+  FROM orders),
+ref AS (
+  SELECT COUNT(*) AS dangling
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL)
+SELECT v.check, CAST(v.n AS BIGINT) AS n_violations,
+       CAST(v.n = 0 AS BIGINT) AS passed
+FROM u, ref, LATERAL (VALUES
+  ('custkey_not_null', u.custkey_null),
+  ('orderdate_in_range', u.date_bad),
+  ('orderkey_unique', u.n_rows - u.n_keys),
+  ('referential_custkey', ref.dangling),
+  ('status_in_domain', u.status_bad),
+  ('totalprice_positive', u.price_nonpos)) AS v("check", n)
+ORDER BY v.check
+"""

@@ -964,3 +964,42 @@ def test_retention_cohorts_matches_bruteforce(ray_session):
     )
     assert (out.day_offset >= 0).all()
     assert int(out[out.day_offset == 0].n_users.sum()) == df.user_id.nunique()
+
+
+def test_validate_orders_matches_bruteforce(ray_session):
+    """validate_orders == single-process constraint evaluation, with a
+    REAL failing check (date range) and a planted-violation variant:
+    appending a dangling-custkey duplicate-key order to a temp copy
+    must flip referential_custkey and orderkey_unique."""
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    lo, hi = pd.Timestamp(analysis.VALIDATE_DATE_LO), pd.Timestamp(analysis.VALIDATE_DATE_HI)
+    expect = {
+        "custkey_not_null": int(o.o_custkey.isna().sum()),
+        "orderdate_in_range": int((o.o_orderdate.notna() & ((o.o_orderdate < lo) | (o.o_orderdate >= hi))).sum()),
+        "orderkey_unique": len(o) - o.o_orderkey.nunique(),
+        "referential_custkey": int((~o.o_custkey.isin(c.c_custkey)).sum()),
+        "status_in_domain": int((o.o_orderstatus.notna() & ~o.o_orderstatus.isin(analysis.VALIDATE_STATUS_DOMAIN)).sum()),
+        "totalprice_positive": int((o.o_totalprice.notna() & (o.o_totalprice <= 0)).sum()),
+    }
+    out = analysis.validate_orders(SF)
+    got = {r.check: r.n_violations for r in out.itertuples()}
+    assert got == expect
+    assert (out.passed == (out.n_violations == 0).astype(int)).all()
+    assert got["orderdate_in_range"] > 0  # the corpus really violates it
+    assert got["referential_custkey"] == 0
+
+    # plant violations: a duplicate orderkey with a dangling custkey
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        bad = pd.concat(
+            [o, o.iloc[[0]].assign(o_custkey=10**9)], ignore_index=True
+        )
+        bad.to_parquet(os.path.join(d, "orders.parquet"))
+        c.to_parquet(os.path.join(d, "customer.parquet"))
+        out2 = analysis.validate_orders(d)
+        got2 = {r.check: r.n_violations for r in out2.itertuples()}
+        assert got2["orderkey_unique"] == 1
+        assert got2["referential_custkey"] == 1
