@@ -291,12 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": dedup.source_overlap_matrix,
         # --- similarity search -------------------------------------------
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
-        # IVF with n_probe == n_centroids scans every inverted list ->
-        # exact result, value-oracled against the brute-force SQL (locks
-        # the IVF assignment/probe/scoring machinery end-to-end)
-        "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
-            sf, KNN_K, KNN_NQ, n_centroids=16, n_probe=16
-        ),
+        # (knn_ivf_exhaustive demoted below the fold — local-gate green at
+        #  3 sfs; IVF assignment machinery runs in-window in
+        #  embedding_neardup_ivf + semdedup, top-k merge in knn_bruteforce)
         # LSH with n_planes=0 puts every row in the one bucket of the one
         # table -> exact result, value-oracled against the brute-force SQL
         # (locks the code/candidate/score/merge machinery end-to-end)
@@ -311,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: SemDeDup cluster-then-prune election (the keep/prune layer
         # over the IVF bucketing — Abbas et al. 2023)
         "semdedup": similarity.semdedup,
+        # r4: CCMatrix margin-based bitext mining (forward/backward kNN
+        # ratio margin, native-join meet, two-level argmax election)
+        "bitext_margin_mine": similarity.bitext_margin_mine,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_quantize_error": similarity.embedding_quantize_error,
         # r4: the FULL multi-iteration Lloyd training loop (kmeans_step —
@@ -494,6 +494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_exhaustive": lambda sf: similarity.knn_lsh(
             sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
         ),
+        # IVF with n_probe == n_centroids == exact; machinery in-window
+        # via embedding_neardup_ivf/semdedup/knn_bruteforce
+        "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
+            sf, KNN_K, KNN_NQ, n_centroids=16, n_probe=16
+        ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, KNN_K, KNN_NQ),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_K, KNN_NQ),
         # label-group near-dup — blockwise kernel runs in-window in
@@ -631,6 +636,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_train": similarity.kmeans_train_sql(),
         "semdedup": similarity.SEMDEDUP_SQL_T.format(
             tau=similarity.SEMDEDUP_TAU, k=similarity.SEMDEDUP_K
+        ),
+        "bitext_margin_mine": similarity.BITEXT_SQL_T.format(
+            k=similarity.BITEXT_K, threshold=similarity.BITEXT_MARGIN_THR
         ),
         "pagerank": webgraph.PAGERANK_SQL,
         "token_counts": analysis.TOKEN_COUNTS_SQL,

@@ -1072,3 +1072,169 @@ SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid,
 FROM r LEFT JOIN sh ON sh.vec_id = r.vec_id
 ORDER BY r.vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# margin-based bitext mining (Artetxe & Schwenk 2019, CCMatrix-style)
+# --------------------------------------------------------------------------
+
+BITEXT_K = 4
+BITEXT_MARGIN_THR = 1.1
+
+
+def bitext_margin_mine(
+    sf_dir: str,
+    k: int = BITEXT_K,
+    threshold: float = BITEXT_MARGIN_THR,
+    max_side_bytes: int | None = None,
+) -> pd.DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+    pairing rule): split the embedding table into two sides by vec_id
+    parity (side A = even, B = odd — the deterministic stand-in for the
+    two languages), retrieve each x's top-k cosine candidates in B,
+    rerank by the ratio margin m(x,y) = cos(x,y) / (0.5*(avg kNN-cos of
+    x in B + avg kNN-cos of y in A)), and emit x's best candidate when
+    its margin clears the threshold (the 'max' mining strategy).
+
+    Scale contract: at oracle scale each side's normalized float64
+    matrix is broadcast once via ray.put under a LOUD residency cap
+    whose failure message names the production path (nearest-centroid
+    bucketing per embedding_neardup_ivf — mine within buckets, exactly
+    the FAISS-sharded layout the paper uses); the forward pass emits
+    k slim (x, y, s, ax) rows per query, the backward pass one (y, ay)
+    row per candidate, the two meet in a NATIVE hash join (never a
+    driver merge), and the per-x argmax is the two-level block-best +
+    coarse-hash-partition election (events_latest_per_user pattern).
+
+    Float contract: margins are float64 with the same expression tree
+    on both sides; avg-of-k follows the module-wide summation-order
+    tolerance (k tiny, differences ~1e-16, thresholds chosen
+    non-vacuous and off the ulp boundary); every tie (candidate cut,
+    argmax) breaks by the partner id on both sides."""
+    from .common import GROUP_RESIDENCY_CAP_BYTES, enforce_group_residency
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def side(parity: int) -> pd.DataFrame:
+        def flt(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return _emb(sf_dir).map_batches(flt, batch_format="pyarrow").to_pandas()
+
+    def pack(df: pd.DataFrame, name: str):
+        ids = df.vec_id.to_numpy().astype(np.int64)
+        m = _normalize(np.stack(df.embedding.to_numpy()).astype(np.float64))
+        enforce_group_residency(
+            m.nbytes, len(ids), name, "bitext_margin_mine",
+            "bucket both sides by nearest centroid (embedding_neardup_ivf) "
+            "and mine within buckets",
+            cap_bytes=max_side_bytes or GROUP_RESIDENCY_CAP_BYTES,
+        )
+        order = np.argsort(ids)
+        return ids[order], m[order]
+
+    ia, A = pack(side(0), "side A (even vec_id)")
+    ib, B = pack(side(1), "side B (odd vec_id)")
+    a_ref, b_ref = ray.put((ia, A)), ray.put((ib, B))
+    kk = min(k, len(ib))  # forward cut; backward clamps to |A| itself
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        ids_b, Bm = ray.get(b_ref)
+        ids, X = _to_matrix(batch)
+        ids = ids.astype(np.int64)
+        keep = ids % 2 == 0
+        ids, X = ids[keep], X[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()), "ax": pa.array([], pa.float64())}
+            )
+        sims = _normalize(X.astype(np.float64)) @ Bm.T
+        xs, ys, ss, axs = [], [], [], []
+        for i in range(len(ids)):
+            row = sims[i]
+            top = np.lexsort((ids_b, -row))[:kk]  # sim desc, ties by y asc
+            a_x = float(row[top].mean())
+            xs.extend([int(ids[i])] * len(top))
+            ys.extend(ids_b[top].tolist())
+            ss.extend(row[top].tolist())
+            axs.extend([a_x] * len(top))
+        return pa.table(
+            {"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+             "s": pa.array(ss, pa.float64()), "ax": pa.array(axs, pa.float64())}
+        )
+
+    def bwd(batch: pa.Table) -> pa.Table:
+        ids_a, Am = ray.get(a_ref)
+        ids, X = _to_matrix(batch)
+        ids = ids.astype(np.int64)
+        keep = ids % 2 == 1
+        ids, X = ids[keep], X[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {"y": pa.array([], pa.int64()), "ay": pa.array([], pa.float64())}
+            )
+        sims = _normalize(X.astype(np.float64)) @ Am.T
+        top = np.sort(sims, axis=1)[:, -min(kk, sims.shape[1]):]
+        return pa.table(
+            {"y": pa.array(ids, pa.int64()),
+             "ay": pa.array(top.mean(axis=1), pa.float64())}
+        )
+
+    fwd_ds = _emb(sf_dir).map_batches(fwd, batch_format="pyarrow")
+    bwd_ds = _emb(sf_dir).map_batches(bwd, batch_format="pyarrow")
+    joined = fwd_ds.join(bwd_ds, join_type="inner", num_partitions=8, on=("y",))
+
+    n_parts = 64
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["margin"] = df.s / (0.5 * (df.ax + df.ay))
+        df = df.sort_values(["x", "margin", "y"], ascending=[True, False, True])
+        df = df.drop_duplicates("x", keep="first")[["x", "y", "margin"]]
+        df["part"] = (df.x % n_parts).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["x", "margin", "y"], ascending=[True, False, True])
+        return df.drop_duplicates("x", keep="first").drop(columns=["part"])
+
+    out = (
+        joined.map_batches(block_best, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[out.margin >= threshold].sort_values("x").reset_index(drop=True)
+    out["margin"] = out.margin.round(6)
+    return out.rename(columns={"x": "id_a", "y": "id_b"}).astype(
+        {"id_a": "int64", "id_b": "int64"}
+    )
+
+
+BITEXT_SQL_T = """
+WITH a AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+sim AS (SELECT a.vec_id AS x, b.vec_id AS y,
+               list_cosine_similarity(a.e, b.e) AS s
+        FROM a CROSS JOIN b),
+fk AS (SELECT x, y, s,
+              row_number() OVER (PARTITION BY x ORDER BY s DESC, y) AS rn
+       FROM sim),
+ax AS (SELECT x, AVG(s) AS a FROM fk WHERE rn <= {k} GROUP BY x),
+bk AS (SELECT x, y, s,
+              row_number() OVER (PARTITION BY y ORDER BY s DESC, x) AS rn
+       FROM sim),
+ay AS (SELECT y, AVG(s) AS a FROM bk WHERE rn <= {k} GROUP BY y),
+cand AS (SELECT f.x, f.y, f.s / (0.5 * (ax.a + ay.a)) AS margin
+         FROM fk f JOIN ax USING (x) JOIN ay USING (y) WHERE f.rn <= {k}),
+best AS (SELECT x, y, margin,
+                row_number() OVER (PARTITION BY x ORDER BY margin DESC, y) AS rn
+         FROM cand)
+SELECT x AS id_a, y AS id_b, ROUND(margin, 6) AS margin
+FROM best WHERE rn = 1 AND margin >= {threshold} ORDER BY id_a
+"""

@@ -1003,3 +1003,49 @@ def test_validate_orders_matches_bruteforce(ray_session):
         got2 = {r.check: r.n_violations for r in out2.itertuples()}
         assert got2["orderkey_unique"] == 1
         assert got2["referential_custkey"] == 1
+
+
+def test_bitext_margin_mine_matches_bruteforce(ray_session):
+    """bitext_margin_mine == single-process CCMatrix reference: parity
+    sides, top-k cosine candidates, ratio-margin rerank, best-per-x
+    above threshold. Non-vacuous in both directions; residency cap
+    names the IVF bucketing path; k<1 guarded."""
+    import pyarrow.parquet as pq
+
+    k, thr = similarity.BITEXT_K, similarity.BITEXT_MARGIN_THR
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t.vec_id.to_numpy().astype(np.int64)
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    M = X / np.linalg.norm(X, axis=1, keepdims=True)
+    oa, ob = np.argsort(ids[ids % 2 == 0]), np.argsort(ids[ids % 2 == 1])
+    ia, A = ids[ids % 2 == 0][oa], M[ids % 2 == 0][oa]
+    ib, B = ids[ids % 2 == 1][ob], M[ids % 2 == 1][ob]
+    S = A @ B.T
+    kk = min(k, len(ib))
+    expect = {}
+    ay = {}
+    ST = S.T
+    for j in range(len(ib)):
+        top = np.sort(ST[j])[-min(k, len(ia)):]
+        ay[int(ib[j])] = top.mean()
+    for i in range(len(ia)):
+        top = np.lexsort((ib, -S[i]))[:kk]
+        ax = S[i][top].mean()
+        best = None
+        for c in top:
+            m = S[i][c] / (0.5 * (ax + ay[int(ib[c])]))
+            if best is None or m > best[1] or (m == best[1] and int(ib[c]) < best[0]):
+                best = (int(ib[c]), m)
+        if best[1] >= thr:
+            expect[int(ia[i])] = (best[0], round(best[1], 6))
+
+    out = similarity.bitext_margin_mine(SF)
+    got = {r.id_a: (r.id_b, r.margin) for r in out.itertuples()}
+    assert got == expect
+    assert 0 < len(out) < len(ia)  # threshold bites both ways
+    assert (out.id_a % 2 == 0).all() and (out.id_b % 2 == 1).all()
+
+    with pytest.raises(Exception, match="bucket both sides"):
+        similarity.bitext_margin_mine(SF, max_side_bytes=64)
+    with pytest.raises(ValueError):
+        similarity.bitext_margin_mine(SF, k=0)
