@@ -349,7 +349,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": analysis.bm25_topk,
         # r4: FineWeb-style head/mid/tail tier extraction + per-tier
         # deterministic keep rates (the graft's tiering axis)
-        "quality_tiers": webtext.quality_tiers,
+        # (quality_tiers demoted below the fold — its tier rule + per-tier
+        #  md5 keep run in-window inside extract_tiered AND
+        #  build_training_mix, both of which chain more machinery onto it)
+        # r4: the full training-mix PLAN — tier keep -> temperature
+        # mixture (independent md5 key) -> Hamilton cell quotas, one
+        # oracle-checked chain; sum(quota) == budget exactly
+        "build_training_mix": curate.build_training_mix,
         # r4: per-domain doc cap (anti domain-dominance; local k-prune per
         # block so a hot domain ships k rows per block, never its corpus)
         "domain_cap": webtext.domain_cap,
@@ -513,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_resample": traindata.importance_resample,
         # df/idf + per-block top-k machinery runs in-window via bm25_topk
         "tfidf_top_terms": webtext.tfidf_top_terms,
+        # tier rule + per-tier keep run in-window inside extract_tiered
+        # and build_training_mix
+        "quality_tiers": webtext.quality_tiers,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
@@ -694,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": events.FUNNEL_SQL,
         "retention_cohorts": events.RETENTION_SQL,
         "quality_tiers": webtext.QUALITY_TIERS_SQL,
+        "build_training_mix": curate.BUILD_TRAINING_MIX_SQL,
         "domain_cap": webtext.DOMAIN_CAP_SQL,
         "token_budget_select": traindata.TOKEN_BUDGET_SQL,
         "training_shards": traindata.TRAINING_SHARDS_SQL,

@@ -938,3 +938,243 @@ FROM k GROUP BY tier, lang ORDER BY tier, lang
 
 
 EXTRACT_TIERED_SQL = _extract_tiered_sql()
+
+
+# --------------------------------------------------------------------------
+# build_training_mix: tier -> per-tier keep -> temperature mixture ->
+# Hamilton quota — the full training-mix plan in one oracle-checked chain
+# --------------------------------------------------------------------------
+
+MIX_BUDGET_TOKENS = 100_000
+
+
+def build_training_mix(sf_dir: str, budget: int = MIX_BUDGET_TOKENS) -> pd.DataFrame:
+    """The end-to-end training-mix PLAN — the composition this round's
+    operators exist for, in one oracle-checked chain:
+
+      1. tier extraction  — webtext.tier_of (the graft's shared tier
+         rule) + the per-tier deterministic md5 keep of quality_tiers;
+      2. temperature mixing — mT5 alpha=0.5 per-lang keep rates DERIVED
+         from the tier-kept token masses (temperature_mixture's exact
+         IEEE-sqrt fixed-point contract), decided by an INDEPENDENT
+         md5 key ('mix:' prefix) so the two sampling stages compose;
+      3. budget apportionment — Hamilton largest-remainder quotas of an
+         integer token budget across the surviving (tier, lang) cells
+         (source_budget_allocation's zero-float contract):
+         sum(quota) == budget exactly.
+
+    Output: (tier, lang, n_docs, n_tok, quota) for the final mix.
+
+    Scale contract: two streaming passes over the source (pass 1 feeds
+    the O(#langs) rate table, pass 2 applies both keeps — the
+    kmeans_train re-scan contract; a production run checkpoints the
+    slim (doc_id, tier, lang, n_tok) table between passes); every
+    shuffle is (tier, lang)-sized integer partials; the apportionment
+    runs on the O(cells) driver table. The kept set is parallelism-
+    invariant (md5 decisions), so the plan is reproducible at any
+    cluster size."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet, w_threshold_hex
+    from .webtext import TIER_KEEP, _words, tier_of
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    tier_th = {t: w_threshold_hex(w) for t, w in TIER_KEEP.items() if w < 1.0}
+
+    def docs():
+        return sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        rows: dict[tuple[str, str], list[int]] = {}
+        for did, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            ws = _words(text)
+            tier = tier_of(ws)
+            th = tier_th.get(tier)
+            if th is not None and not hashlib.md5(str(did).encode()).hexdigest() < th:
+                continue
+            a = rows.setdefault((tier, lang), [0, 0])
+            a[0] += 1
+            a[1] += len(ws)
+        return pa.table(
+            {
+                "tier": pa.array([k[0] for k in rows], pa.string()),
+                "lang": pa.array([k[1] for k in rows], pa.string()),
+                "n_docs": pa.array([v[0] for v in rows.values()], pa.int64()),
+                "n_tok": pa.array([v[1] for v in rows.values()], pa.int64()),
+            }
+        )
+
+    kept1 = (
+        docs()
+        .map_batches(pass1, batch_format="pyarrow", batch_size=None)
+        .groupby(["tier", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tok", alias_name="n_tok"))
+        .to_pandas()
+    )
+    lang_tot = kept1.groupby("lang").n_tok.sum()
+    if lang_tot.empty or int(lang_tot.min()) == 0:
+        raise ValueError("tier-kept set must have >= 1 token in every language")
+    n_min = int(lang_tot.min())
+    mix_th = {
+        lang: (
+            None
+            if int(n_l) == n_min
+            else w_threshold_hex(float(np.sqrt(n_min / int(n_l))))
+        )
+        for lang, n_l in lang_tot.items()
+    }
+    bcast = ray.put((tier_th, mix_th))
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        t_th, m_th = ray.get(bcast)
+        rows: dict[tuple[str, str], list[int]] = {}
+        for did, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            ws = _words(text)
+            tier = tier_of(ws)
+            th = t_th.get(tier)
+            if th is not None and not hashlib.md5(str(did).encode()).hexdigest() < th:
+                continue
+            mh = m_th[lang]
+            if mh is not None and not (
+                hashlib.md5(f"mix:{did}".encode()).hexdigest() < mh
+            ):
+                continue
+            a = rows.setdefault((tier, lang), [0, 0])
+            a[0] += 1
+            a[1] += len(ws)
+        return pa.table(
+            {
+                "tier": pa.array([k[0] for k in rows], pa.string()),
+                "lang": pa.array([k[1] for k in rows], pa.string()),
+                "n_docs": pa.array([v[0] for v in rows.values()], pa.int64()),
+                "n_tok": pa.array([v[1] for v in rows.values()], pa.int64()),
+            }
+        )
+
+    cells = (
+        docs()
+        .map_batches(pass2, batch_format="pyarrow", batch_size=None)
+        .groupby(["tier", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tok", alias_name="n_tok"))
+        .to_pandas()
+        .sort_values(["tier", "lang"])
+        .reset_index(drop=True)
+    )
+    T = int(cells.n_tok.sum())
+    if T == 0:
+        raise ValueError("final mix has no tokens to apportion against")
+    base = [budget * int(w) // T for w in cells.n_tok]
+    rem = [budget * int(w) % T for w in cells.n_tok]
+    leftover = budget - sum(base)
+    order = sorted(
+        range(len(cells)),
+        key=lambda i: (-rem[i], cells.tier[i], cells.lang[i]),
+    )
+    extra = set(order[:leftover])
+    cells["quota"] = pd.Series(
+        [b + (1 if i in extra else 0) for i, b in enumerate(base)], dtype="int64"
+    )
+    assert int(cells.quota.sum()) == budget
+    return cells.astype({"n_docs": "int64", "n_tok": "int64", "quota": "int64"})
+
+
+def _build_training_mix_sql(budget: int = MIX_BUDGET_TOKENS) -> str:
+    """One SQL chain re-deriving the whole plan from documents.text —
+    tier rule restated from the shared constants (the quality_tiers
+    oracle contract), mixture rates from the same IEEE-sqrt fixed-point
+    formula as TEMPERATURE_MIXTURE_SQL, Hamilton from the same integer
+    arithmetic as SOURCE_BUDGET_SQL_T."""
+    from .common import w_threshold_hex
+    from .webtext import (
+        QF_MAX_DUP_FRAC,
+        QF_MAX_MEAN_WL,
+        QF_MIN_MEAN_WL,
+        QF_MIN_STOP_RATIO,
+        QF_MIN_WORDS,
+        TIER_HEAD_MAX_DUP,
+        TIER_HEAD_MIN_STOP,
+        TIER_KEEP,
+    )
+
+    mid_th = w_threshold_hex(TIER_KEEP["mid"])
+    tail_th = w_threshold_hex(TIER_KEEP["tail"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) END AS dup,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE len(list_filter(ts, t -> lower(t) IN
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+           * 1.0 / len(ts) END AS stop,
+         CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) END AS mwl
+  FROM toks
+),
+t AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN n >= {QF_MIN_WORDS} AND dup <= {QF_MAX_DUP_FRAC}
+                   AND stop >= {QF_MIN_STOP_RATIO}
+                   AND mwl BETWEEN {QF_MIN_MEAN_WL} AND {QF_MAX_MEAN_WL}
+              THEN CASE WHEN stop >= {TIER_HEAD_MIN_STOP} AND dup <= {TIER_HEAD_MAX_DUP}
+                        THEN 'head' ELSE 'mid' END
+              ELSE 'tail' END AS tier
+  FROM m
+),
+kt AS (
+  SELECT doc_id, lang, tier, n FROM t
+  WHERE tier = 'head'
+     OR (tier = 'mid' AND md5(CAST(doc_id AS VARCHAR)) < '{mid_th}')
+     OR (tier = 'tail' AND md5(CAST(doc_id AS VARCHAR)) < '{tail_th}')
+),
+l AS (SELECT lang, SUM(n) AS n_l FROM kt GROUP BY lang),
+mn AS (SELECT MIN(n_l) AS n_min FROM l),
+mix AS (
+  SELECT kt.tier, kt.lang, kt.n
+  FROM kt JOIN l USING (lang), mn
+  WHERE l.n_l = mn.n_min
+     OR md5('mix:' || CAST(kt.doc_id AS VARCHAR)) <
+        printf('%08x',
+               CAST(floor(sqrt(CAST(mn.n_min AS DOUBLE) / CAST(l.n_l AS DOUBLE))
+                          * 4294967296.0) AS BIGINT)) || repeat('0', 24)
+),
+c AS (SELECT tier, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS HUGEINT) AS n_tok
+      FROM mix GROUP BY 1, 2),
+w AS (SELECT SUM(n_tok) AS total FROM c),
+q AS (SELECT c.tier, c.lang, c.n_docs, c.n_tok,
+             ({budget} * c.n_tok) // w.total AS base,
+             ({budget} * c.n_tok) % w.total AS rem
+      FROM c, w),
+l2 AS (SELECT {budget} - SUM(base) AS leftover FROM q),
+r AS (SELECT tier, lang, n_docs, n_tok, base,
+             row_number() OVER (ORDER BY rem DESC, tier, lang) AS rk
+      FROM q)
+SELECT r.tier, r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_tok AS BIGINT) AS n_tok,
+       CAST(r.base + CASE WHEN r.rk <= l2.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r, l2 ORDER BY r.tier, r.lang
+"""
+
+
+BUILD_TRAINING_MIX_SQL = _build_training_mix_sql()

@@ -416,3 +416,69 @@ def test_domain_cap_bruteforce_and_hot_domain(tmp_path):
     capped = webtext.domain_cap(str(d), k=3)
     assert capped[capped.source == "hot"].doc_id.tolist() == [1000, 1001, 1002]
     assert capped[capped.source == "cold"].doc_id.tolist() == [3, 7]
+
+
+def test_build_training_mix_consistency(ray_session):
+    """build_training_mix == single-process composition of its three
+    stages, is consistent with quality_tiers on the tier-kept masses,
+    sums quotas exactly to the budget, and only ever shrinks cells
+    relative to the tier-kept set (stage 2 is keep-only)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import w_threshold_hex
+    from paddle_ray.pipelines.curate import MIX_BUDGET_TOKENS, build_training_mix
+    from paddle_ray.pipelines.webtext import TIER_KEEP, _words, tier_of
+
+    SF = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    tier_th = {t: w_threshold_hex(w) for t, w in TIER_KEEP.items() if w < 1.0}
+    kept = []
+    for did, text, lang in zip(docs.doc_id, docs.text, docs.lang):
+        ws = _words(text)
+        tier = tier_of(ws)
+        th = tier_th.get(tier)
+        if th is None or hashlib.md5(str(did).encode()).hexdigest() < th:
+            kept.append((did, tier, lang, len(ws)))
+    n_l: dict[str, int] = {}
+    for _, _, lang, n in kept:
+        n_l[lang] = n_l.get(lang, 0) + n
+    n_min = min(n_l.values())
+    mix_th = {
+        lang: None if v == n_min else w_threshold_hex(math.sqrt(n_min / v))
+        for lang, v in n_l.items()
+    }
+    cells: dict[tuple[str, str], list[int]] = {}
+    for did, tier, lang, n in kept:
+        mh = mix_th[lang]
+        if mh is not None and not hashlib.md5(f"mix:{did}".encode()).hexdigest() < mh:
+            continue
+        a = cells.setdefault((tier, lang), [0, 0])
+        a[0] += 1
+        a[1] += n
+    keys = sorted(cells)
+    T = sum(v[1] for v in cells.values())
+    base = {k: MIX_BUDGET_TOKENS * cells[k][1] // T for k in keys}
+    rem = {k: MIX_BUDGET_TOKENS * cells[k][1] % T for k in keys}
+    leftover = MIX_BUDGET_TOKENS - sum(base.values())
+    extra = set(sorted(keys, key=lambda k: (-rem[k], k[0], k[1]))[:leftover])
+    expect = {
+        k: (cells[k][0], cells[k][1], base[k] + (1 if k in extra else 0))
+        for k in keys
+    }
+
+    out = build_training_mix(SF)
+    got = {(r.tier, r.lang): (r.n_docs, r.n_tok, r.quota) for r in out.itertuples()}
+    assert got == expect
+    assert int(out.quota.sum()) == MIX_BUDGET_TOKENS
+    # stage 2 only shrinks: final cell masses <= tier-kept cell masses
+    kept_cells: dict[tuple[str, str], int] = {}
+    for _, tier, lang, n in kept:
+        kept_cells[(tier, lang)] = kept_cells.get((tier, lang), 0) + n
+    assert all(got[k][1] <= kept_cells[k] for k in got)
+    # the mixture really dropped something (non-vacuous second stage)
+    assert sum(v[1] for v in got.values()) < sum(kept_cells.values())
+    with pytest.raises(ValueError):
+        build_training_mix(SF, budget=-1)
