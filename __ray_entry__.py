@@ -311,7 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: CCMatrix margin-based bitext mining (forward/backward kNN
         # ratio margin, native-join meet, two-level argmax election)
         "bitext_margin_mine": similarity.bitext_margin_mine,
-        "embedding_centroids": similarity.embedding_centroids,
+        # (embedding_centroids demoted below the fold — r03-gate-green;
+        #  its distributive partial-sum machinery runs every round inside
+        #  kmeans_train in-window)
         "embedding_quantize_error": similarity.embedding_quantize_error,
         # r4: the FULL multi-iteration Lloyd training loop (kmeans_step —
         # one round of the identical machinery — demoted below the fold)
@@ -411,7 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_ts_quantiles": events.exact_ts_quantiles,
         # --- web-graph (r4: distributed PageRank power iterations) --------
         "pagerank": webgraph.pagerank,
-        # --- relational/join family representative --------------------------
+        # --- relational/join family representatives -------------------------
+        # r4: skew-resistant SALTED hash join (probe salt + S-way dim
+        # replication; result exactly equals the plain join)
+        "salted_segment_rollup": joins.salted_segment_rollup,
         "q10_returned_revenue": joins.q10_returned_revenue,
         # ============ BELOW THE DRIVER WINDOW (slot 51+) ===================
         # (all still gated by tools/check_oracles.py; driver-green in
@@ -500,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_exhaustive": lambda sf: similarity.knn_lsh(
             sf, KNN_K, KNN_NQ, n_tables=1, n_planes=0
         ),
+        # per-label mean — partial-sum machinery runs inside kmeans_train
+        "embedding_centroids": similarity.embedding_centroids,
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -641,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
+        "salted_segment_rollup": joins.SALTED_ROLLUP_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),
         "semdedup": similarity.SEMDEDUP_SQL_T.format(

@@ -564,3 +564,93 @@ SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 """
+
+
+# --------------------------------------------------------------------------
+# skew-resistant salted hash join (hot-key mitigation pattern)
+# --------------------------------------------------------------------------
+
+SALT_FANOUT = 8
+
+
+def salted_segment_rollup(sf_dir: str, n_salts: int = SALT_FANOUT) -> pd.DataFrame:
+    """Events x customer enrichment join executed with KEY SALTING — the
+    standard hot-key mitigation for shuffle hash joins (a power-law user
+    would otherwise pin its entire event mass on one join partition):
+    every probe row gets salt = event_id % S, the build (dimension) side
+    is replicated S ways with one salt each, and the join runs on
+    (key, salt) — so a hot key's rows spread across S partitions while
+    the result stays EXACTLY the plain join's (asserted against the
+    unsalted `Dataset.join` in tests and against the plain-join SQL
+    oracle). Rollup: events + value mass per market segment.
+
+    Scale contract: the replication cost is S x the DIMENSION side
+    (the small side by construction — that asymmetry is the whole
+    trick); the probe side gains one int8-sized column. Value mass is
+    summed in exact integer CENTS (ROUND(value*100) — the corpus
+    values are 2-decimal, so the distributed Sum is drift-free)."""
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+
+    def probe_prep(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "salt": pa.array((ev % n_salts).astype(np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def build_prep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = batch["c_mktsegment"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.repeat(keys, n_salts), pa.int64()),
+                "salt": pa.array(
+                    np.tile(np.arange(n_salts, dtype=np.int64), n), pa.int64()
+                ),
+                "c_mktsegment": pa.array(
+                    [s for s in seg for _ in range(n_salts)], pa.string()
+                ),
+            }
+        )
+
+    probe = _read(sf_dir, "events", columns=["event_id", "user_id", "value"]).map_batches(
+        probe_prep, batch_format="pyarrow"
+    )
+    build = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        build_prep, batch_format="pyarrow"
+    )
+    joined = probe.join(
+        build,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="value_cents"))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_events": "int64", "value_cents": "int64"})
+
+
+SALTED_ROLLUP_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""

@@ -46,3 +46,30 @@ def test_union_disjoint_and_sorted(ray_session):
 def test_distinct_no_dups(ray_session):
     out = joins.distinct_doc_keys(SF)
     assert not out.duplicated(["lang", "source"]).any()
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """The salted (key, salt) join must produce EXACTLY the plain join's
+    rollup at any fan-out (1 == unsalted, 8 == default, 13 == coprime
+    odd), and cents arithmetic must equal the float-sum rounded."""
+    import duckdb
+
+    from paddle_ray.pipelines.joins import salted_segment_rollup
+
+    sf = "/root/testdata/sf0.001"
+    expect = duckdb.sql(
+        f"""SELECT c.c_mktsegment, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+            FROM read_parquet('{sf}/events.parquet') e
+            JOIN read_parquet('{sf}/customer.parquet') c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    for s in (1, 8, 13):
+        out = salted_segment_rollup(sf, n_salts=s)
+        assert list(out.c_mktsegment) == list(expect.c_mktsegment)
+        assert list(out.n_events) == [int(x) for x in expect.n_events]
+        assert list(out.value_cents) == [int(x) for x in expect.value_cents]
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_segment_rollup(sf, n_salts=0)
