@@ -397,7 +397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # layout via range-partitioned rank (no global sort materialize)
         "training_shards": traindata.training_shards,
         # --- source/sink format roundtrips (jsonl / csv) -------------------
-        "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
+        # (jsonl_roundtrip demoted below the fold — local-gate green at 3
+        #  sfs; the io slot goes to the hive-partition-pruning roundtrip,
+        #  the layout a 100 TB corpus actually ships in)
+        "partitioned_roundtrip": io_roundtrip.partitioned_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
         # --- events / windows (funnel + cohorts + exact quantiles) --------
@@ -531,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_tiers": webtext.quality_tiers,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
+        # line-format fidelity — local-gate green; io slot went to the
+        # hive-partition-pruning roundtrip
+        "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
         "events_running_value": events.events_running_value,
@@ -696,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
         "dsir_select": traindata.DSIR_SELECT_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
+        "partitioned_roundtrip": io_roundtrip.PARTITIONED_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),

@@ -76,3 +76,71 @@ CSV_ROUNDTRIP_SQL = """
 SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
 FROM orders ORDER BY o_orderkey
 """
+
+
+def partitioned_roundtrip(sf_dir: str, lang: str = "en") -> pd.DataFrame:
+    """Hive-partitioned parquet write + PRUNED read-back — the storage
+    layout a 100 TB corpus ships in: write documents partitioned by
+    lang (write_parquet(partition_cols=...), one directory per value),
+    then read back ONLY the requested partition by path (the read never
+    opens the other partitions' files — partition pruning is the
+    difference between scanning 1/5th and 5/5ths of a corpus every
+    query) and roll it up. Oracled as the equivalent WHERE lang = ...
+    aggregate over the source table, so any row loss / duplication /
+    dtype drift through the partitioned layout fails the hash check.
+
+    Scale contract: write and read are per-block streaming; the rollup
+    is per-block integer partials. The partition column itself is
+    encoded in the path (hive style), not the files — the read
+    re-attaches it, and the oracle's value equality proves the
+    round-trip of that encoding too."""
+    import os
+
+    import pyarrow as pa
+
+    out = tempfile.mkdtemp(prefix="pr_hive_")
+    try:
+        ds = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+        )
+        ds.write_parquet(out, partition_cols=["lang"])
+        part_dir = os.path.join(out, f"lang={lang}")
+        if not os.path.isdir(part_dir):
+            raise ValueError(f"no partition written for lang={lang!r}")
+        import ray.data as rd
+
+        back = rd.read_parquet(part_dir)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_docs": pa.array([len(ids)], pa.int64()),
+                    "n_chars": pa.array(
+                        [int(batch["n_chars"].to_numpy(zero_copy_only=False).sum())],
+                        pa.int64(),
+                    ),
+                    "id_sum": pa.array([int(ids.sum())], pa.int64()),
+                }
+            )
+
+        agg = back.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas().sum()
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "n_docs": pd.Series([int(agg.n_docs)], dtype="int64"),
+                "n_chars": pd.Series([int(agg.n_chars)], dtype="int64"),
+                "id_sum": pd.Series([int(agg.id_sum)], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+PARTITIONED_ROUNDTRIP_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE lang = 'en' GROUP BY lang
+"""

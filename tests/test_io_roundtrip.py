@@ -48,3 +48,26 @@ def test_csv_adversarial_payloads(tmp_path):
     out = io_roundtrip.csv_roundtrip(str(tmp_path))
     assert list(out.o_orderstatus) == list(rows.o_orderstatus)
     assert list(out.o_totalprice) == list(rows.o_totalprice)
+
+
+def test_partitioned_roundtrip_prunes_and_preserves(ray_session):
+    """The hive-partitioned roundtrip preserves the partition's exact
+    row set (count/chars/id-sum fingerprint vs DuckDB), every lang gets
+    its own partition directory, and a missing partition fails loudly."""
+    import duckdb
+    import pytest
+
+    from paddle_ray.pipelines.io_roundtrip import partitioned_roundtrip
+
+    sf = "/root/testdata/sf0.001"
+    for lang in ("en", "zh"):
+        out = partitioned_roundtrip(sf, lang=lang)
+        exp = duckdb.sql(
+            f"""SELECT COUNT(*) AS n, SUM(n_chars) AS c, SUM(doc_id) AS s
+                FROM read_parquet('{sf}/documents.parquet') WHERE lang = '{lang}'"""
+        ).fetchone()
+        assert (out.n_docs[0], out.n_chars[0], out.id_sum[0]) == (
+            int(exp[0]), int(exp[1]), int(exp[2])
+        )
+    with pytest.raises(ValueError, match="no partition"):
+        partitioned_roundtrip(sf, lang="xx-missing")
