@@ -539,6 +539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
         "events_tumbling": lambda sf: events.events_tumbling(sf, TUMBLE_S),
         "events_sessionize": lambda sf: events.events_sessionize(sf, SESSION_GAP_S),
+        # r4: top session-opening journeys (path-space-bounded partials
+        # over the sessionize boundaries; byte-identical session rule)
+        "user_journey_paths": lambda sf: events.user_journey_paths(sf, SESSION_GAP_S),
         "events_running_value": events.events_running_value,
         "events_topk_users": lambda sf: events.events_topk_users(sf, TOPK_USERS),
         "events_json_props": events.events_json_props,
@@ -708,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,
         "events_sessionize": events.EVENTS_SESSION_SQL_T.format(gap_s=SESSION_GAP_S),
+        "user_journey_paths": events.USER_JOURNEY_SQL_T.format(
+            gap_s=SESSION_GAP_S,
+            prefix_len=events.JOURNEY_PREFIX_LEN,
+            topk=events.JOURNEY_TOPK,
+        ),
         "events_sliding": events.EVENTS_SLIDING_SQL_T.format(hop_s=TUMBLE_S),
         "events_distinct_users": events.EVENTS_DISTINCT_USERS_SQL,
         "events_interval_pairs": events.EVENTS_INTERVAL_SQL_T.format(band_s=900),

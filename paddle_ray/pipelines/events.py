@@ -1019,3 +1019,119 @@ SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
 FROM d JOIN c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# user journey paths: top session-opening event-type sequences
+# --------------------------------------------------------------------------
+
+JOURNEY_PREFIX_LEN = 3
+JOURNEY_TOPK = 10
+
+
+def user_journey_paths(
+    sf_dir: str,
+    gap_s: int = 1800,
+    prefix_len: int = JOURNEY_PREFIX_LEN,
+    topk: int = JOURNEY_TOPK,
+) -> pd.DataFrame:
+    """Top session-opening journeys: sessionize the event stream
+    (events_sessionize's gap rule, byte-identical session boundaries),
+    take each session's first `prefix_len` event types in (ts, event_id)
+    order, join them as 'a>b>c', and rank paths corpus-wide by
+    frequency — the path-analysis staple behind every onboarding-funnel
+    dashboard.
+
+    Scale contract: the sessionize coarse-hash-partition pattern (one
+    vectorized pass per user_id-hash partition — session boundaries
+    never cross partitions because users don't); each partition emits
+    (path, n) partials BOUNDED by #event_types^prefix_len, so the final
+    groupby and driver top-k are path-space-sized, never stream-sized.
+    Counts are exact integers; ranking ties break by path asc."""
+    if prefix_len < 1 or topk < 1:
+        raise ValueError("prefix_len and topk must be >= 1")
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def paths_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"path": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g.user_id.to_numpy()
+        epoch = g.ts.to_numpy().astype("datetime64[us]").astype("int64") // 1_000_000
+        user_change = np.empty(len(g), dtype=bool)
+        user_change[0] = True
+        user_change[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (epoch[1:] - epoch[:-1]) > gap_s
+        new_sess = user_change | gap
+        sess_id = np.cumsum(new_sess)
+        f = pd.DataFrame({"sess_id": sess_id, "et": g.event_type.to_numpy()})
+        f["rn"] = f.groupby("sess_id", sort=False).cumcount()
+        head = f[f.rn < prefix_len]
+        paths = head.groupby("sess_id", sort=False).et.agg(">".join)
+        out = paths.value_counts().rename_axis("path").reset_index(name="n")
+        return out.astype({"n": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(paths_part, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "path"], ascending=[False, True]).head(topk)
+    counts = counts.reset_index(drop=True)
+    counts.insert(0, "rank", np.arange(1, len(counts) + 1, dtype=np.int64))
+    return counts.astype({"rank": "int64", "n": "int64"})
+
+
+USER_JOURNEY_SQL_T = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+         epoch_us(ts) // 1000000 AS es,
+         LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+),
+marked AS (
+  SELECT user_id, tsu, event_id, event_type,
+         CASE WHEN prev_es IS NULL OR es - prev_es > {gap_s} THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, tsu, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+ranked AS (
+  SELECT user_id, sess_id, event_type,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY tsu, event_id) AS rn,
+         tsu, event_id
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+  FROM ranked WHERE rn <= {prefix_len}
+  GROUP BY user_id, sess_id
+),
+cnt AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+       path, CAST(n AS BIGINT) AS n
+FROM cnt ORDER BY n DESC, path LIMIT {topk}
+"""

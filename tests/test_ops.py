@@ -1049,3 +1049,39 @@ def test_bitext_margin_mine_matches_bruteforce(ray_session):
         similarity.bitext_margin_mine(SF, max_side_bytes=64)
     with pytest.raises(ValueError):
         similarity.bitext_margin_mine(SF, k=0)
+
+
+def test_user_journey_paths_matches_bruteforce(ray_session):
+    """user_journey_paths == single-process reference built on the SAME
+    session rule as events_sessionize (integer-second gap, (ts,
+    event_id) order), and the partial merge across hash partitions
+    loses nothing."""
+    import pyarrow.parquet as pq
+
+    gap_s, plen, k = 1800, events.JOURNEY_PREFIX_LEN, events.JOURNEY_TOPK
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    paths: Counter = Counter()
+    for _, g in df.groupby("user_id", sort=False):
+        es = g.ts.to_numpy().astype("datetime64[us]").astype("int64") // 1_000_000
+        cur: list[str] = []
+        prev = None
+        for et, e in zip(g.event_type, es):
+            if prev is not None and e - prev > gap_s:
+                paths[">".join(cur[:plen])] += 1
+                cur = []
+            cur.append(et)
+            prev = e
+        if cur:
+            paths[">".join(cur[:plen])] += 1
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    expect = [(r + 1, p, n) for r, (p, n) in enumerate(ranked)]
+
+    out = events.user_journey_paths(SF, gap_s)
+    got = [(r.rank, r.path, r.n) for r in out.itertuples()]
+    assert got == expect
+    assert len(got) == k and got[0][2] >= got[-1][2]
+    with pytest.raises(ValueError):
+        events.user_journey_paths(SF, gap_s, prefix_len=0)
