@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": analysis.token_counts,
         # anti-entropy verdict role subsumed by table_diff/validate_orders
         "table_checksum": analysis.table_checksum,
+        # r4: gaps-and-islands contiguity audit via predecessor anti-join
+        # (no global sort / no corpus-length window frame)
+        "orderkey_islands": analysis.orderkey_islands,
         "word_entropy": analysis.word_entropy,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
@@ -679,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": analysis.TABLE_CHECKSUM_SQL,
         "table_diff": analysis.TABLE_DIFF_SQL,
         "validate_orders": analysis.VALIDATE_ORDERS_SQL,
+        "orderkey_islands": analysis.ORDERKEY_ISLANDS_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "repetition_metrics": webtext.REPETITION_SQL,

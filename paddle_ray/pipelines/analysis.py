@@ -1174,3 +1174,84 @@ FROM u, ref, LATERAL (VALUES
   ('totalprice_positive', u.price_nonpos)) AS v("check", n)
 ORDER BY v.check
 """
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands: contiguity audit of a key sequence
+# --------------------------------------------------------------------------
+
+ISLAND_PRICE_MIN = 150_000.0  # high-value order subset -> a gapped key set
+
+
+def orderkey_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands audit of a key sequence (the backfill /
+    completeness probe every ingest pipeline runs: 'which contiguous id
+    runs do we actually have?'), over the deterministically-gapped
+    high-value order subset (o_totalprice >= threshold — the raw
+    synthetic keys are dense, so the subset is what makes the audit
+    non-vacuous; the oracle restates the same filter).
+
+    The distributed trick: an island START is any key whose predecessor
+    key-1 is ABSENT — counted with one self LEFT-ANTI hash join of the
+    key set against its own shifted copy, so the whole audit is
+    key-set-sized shuffles and O(1) output; no global sort, no window
+    function over a corpus-length frame (the textbook ROW_NUMBER
+    islands solution materializes a total order — this doesn't).
+    Output: n_keys, n_islands, min/max key, coverage_ppm (integer
+    fixed-point density of the spanned range)."""
+    from .common import sized_read_parquet
+
+    def keys_ds():
+        def flt(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.greater_equal(batch["o_totalprice"], pa.scalar(ISLAND_PRICE_MIN))
+            t = batch.filter(m)
+            return pa.table({"key": t["o_orderkey"]})
+
+        return sized_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).map_batches(flt, batch_format="pyarrow")
+
+    # island starts: key k survives the anti-join iff no key equals k-1,
+    # i.e. iff k does not appear in the successor set {key + 1}
+    def succs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"succ": pc.add(batch["key"], pa.scalar(1, pa.int64()))})
+
+    shifted = keys_ds().map_batches(succs, batch_format="pyarrow")
+    starts = keys_ds().join(
+        shifted, join_type="left_anti", num_partitions=8, on=("key",), right_on=("succ",)
+    )
+    n_islands = int(starts.count())
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = keys_ds().aggregate(Count(), Min("key"), Max("key"))
+    n_keys = int(stats["count()"])
+    mn, mx = int(stats["min(key)"]), int(stats["max(key)"])
+    span = mx - mn + 1
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([n_keys], dtype="int64"),
+            "n_islands": pd.Series([n_islands], dtype="int64"),
+            "min_key": pd.Series([mn], dtype="int64"),
+            "max_key": pd.Series([mx], dtype="int64"),
+            "coverage_ppm": pd.Series([n_keys * 1_000_000 // span], dtype="int64"),
+        }
+    )
+
+
+ORDERKEY_ISLANDS_SQL = f"""
+WITH k AS (SELECT o_orderkey AS key FROM orders WHERE o_totalprice >= {ISLAND_PRICE_MIN}),
+s AS (SELECT COUNT(*) AS n_islands
+      FROM k WHERE NOT EXISTS (SELECT 1 FROM k k2 WHERE k2.key = k.key - 1)),
+g AS (SELECT COUNT(*) AS n_keys, MIN(key) AS mn, MAX(key) AS mx FROM k)
+SELECT CAST(g.n_keys AS BIGINT) AS n_keys,
+       CAST(s.n_islands AS BIGINT) AS n_islands,
+       CAST(g.mn AS BIGINT) AS min_key, CAST(g.mx AS BIGINT) AS max_key,
+       CAST(g.n_keys * 1000000 // (g.mx - g.mn + 1) AS BIGINT) AS coverage_ppm
+FROM g, s
+"""

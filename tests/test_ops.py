@@ -1085,3 +1085,23 @@ def test_user_journey_paths_matches_bruteforce(ray_session):
     assert len(got) == k and got[0][2] >= got[-1][2]
     with pytest.raises(ValueError):
         events.user_journey_paths(SF, gap_s, prefix_len=0)
+
+
+def test_orderkey_islands_matches_bruteforce(ray_session):
+    """orderkey_islands == single-process islands scan over the same
+    filtered key set: n_islands equals the number of runs of
+    consecutive keys, and the audit is non-vacuous (many islands)."""
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    keys = np.sort(
+        o[o.o_totalprice >= analysis.ISLAND_PRICE_MIN].o_orderkey.to_numpy()
+    )
+    runs = 1 + int((np.diff(keys) > 1).sum())
+    out = analysis.orderkey_islands(SF)
+    assert out.n_keys[0] == len(keys)
+    assert out.n_islands[0] == runs
+    assert out.min_key[0] == keys[0] and out.max_key[0] == keys[-1]
+    span = int(keys[-1] - keys[0] + 1)
+    assert out.coverage_ppm[0] == len(keys) * 1_000_000 // span
+    assert out.n_islands[0] > 1  # non-vacuous on this corpus
