@@ -84,6 +84,41 @@ def cmd_gen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_mix(args: argparse.Namespace) -> int:
+    _ray_init(args.cpus)
+    from paddle_ray.pipelines.curate import build_training_mix
+
+    plan = build_training_mix(args.sf_dir, budget=args.budget)
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "budget": args.budget,
+                "cells": plan.to_dict(orient="records"),
+                "quota_total": int(plan.quota.sum()),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    _ray_init(args.cpus)
+    from paddle_ray.pipelines.analysis import validate_orders
+
+    rep = validate_orders(args.sf_dir)
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "checks": rep.to_dict(orient="records"),
+                "all_passed": bool((rep.passed == 1).all()),
+            }
+        )
+    )
+    return 0 if args.no_strict or bool((rep.passed == 1).all()) else 1
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     from paddle_ray.state import checkpoint as ckpt
 
@@ -126,6 +161,18 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--pdf-every", type=int, default=20)
     pg.add_argument("--outlier-every", type=int, default=200)
     pg.set_defaults(fn=cmd_gen)
+
+    pm = sub.add_parser("mix", help="build the (tier, lang) training-mix plan")
+    pm.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="tables dir")
+    pm.add_argument("--budget", type=int, default=100_000, help="token budget to apportion")
+    pm.add_argument("--cpus", type=int, default=None)
+    pm.set_defaults(fn=cmd_mix)
+
+    pv = sub.add_parser("validate", help="run the data-quality constraint suite")
+    pv.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="tables dir")
+    pv.add_argument("--cpus", type=int, default=None)
+    pv.add_argument("--no-strict", action="store_true", help="exit 0 even on violations")
+    pv.set_defaults(fn=cmd_validate)
 
     ps = sub.add_parser("status", help="report a checkpoint dir")
     ps.add_argument("--out", required=True)
