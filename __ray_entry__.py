@@ -496,6 +496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
+        # r4: MOSS winnow-overlap near-dup pairs (df-capped fingerprint
+        # self-merge over 64 coarse hash partitions)
+        "winnow_overlap_pairs": analysis.winnow_overlap_pairs,
         "hll_distinct_users": analysis.hll_distinct_users,
         "approx_quantile_chars": analysis.approx_quantile_chars,
         "corr_quantity_price": analysis.corr_quantity_price,
@@ -675,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": analysis.LANG_ID_SQL,
         "content_hashes": analysis.CONTENT_HASHES_SQL,
         "fingerprints": analysis.FINGERPRINTS_SQL,
+        "winnow_overlap_pairs": analysis.WINNOW_PAIRS_SQL,
         "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,

@@ -225,10 +225,25 @@ def _fingerprints_sql() -> str:
     Preconditions (asserted true of the test tables at every sf): ASCII
     text (unicode(substr(..)) == Python ord) and len(text) >= k+window-1
     so the short-document branches of the kernel never trigger."""
+    shift = 1 << 60  # fp_head offset used by fingerprints() for int64 output
+    return (
+        _winnow_cte_prefix()
+        + f"""
+SELECT doc_id,
+       COUNT(*) FILTER (WHERE prev IS NULL OR mv != prev) AS n_fp,
+       CAST(MIN(CASE WHEN j = 1 THEN mv END) - {shift} AS BIGINT) AS fp_head
+FROM kept CROSS JOIN guard WHERE guard.ok = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+def _winnow_cte_prefix() -> str:
+    """The shared Rabin-Karp + winnow CTE chain (pows..kept + guard),
+    used by both the per-doc fingerprint oracle and the MOSS pair
+    oracle — one source of truth for the hash math."""
     B = _FP_B
     M = _FP_MOD
     inv_b = pow(B, M - 2, M)
-    shift = 1 << 60  # fp_head offset used by fingerprints() for int64 output
     return f"""
 WITH RECURSIVE pows(i, p, invp) AS (
     SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
@@ -279,10 +294,6 @@ guard AS (
         ELSE 1 END AS ok
     FROM documents
 )
-SELECT doc_id,
-       COUNT(*) FILTER (WHERE prev IS NULL OR mv != prev) AS n_fp,
-       CAST(MIN(CASE WHEN j = 1 THEN mv END) - {shift} AS BIGINT) AS fp_head
-FROM kept CROSS JOIN guard WHERE guard.ok = 1 GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1255,3 +1266,116 @@ SELECT CAST(g.n_keys AS BIGINT) AS n_keys,
        CAST(g.n_keys * 1000000 // (g.mx - g.mn + 1) AS BIGINT) AS coverage_ppm
 FROM g, s
 """
+
+
+# --------------------------------------------------------------------------
+# MOSS winnow-overlap near-dup pairs (Schleimer et al. 2003 §4)
+# --------------------------------------------------------------------------
+
+WINNOW_MAX_DF = 10  # fingerprints in more docs are boilerplate (MOSS's own rule)
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_overlap_pairs(
+    sf_dir: str, max_df: int = WINNOW_MAX_DF, min_shared: int = WINNOW_MIN_SHARED
+) -> pd.DataFrame:
+    """MOSS-style near-dup pairs: document pairs sharing >= min_shared
+    DISTINCT winnowing fingerprints (the positional rolling-hash
+    signature of `fingerprints`), after dropping fingerprints present
+    in more than max_df documents — Schleimer et al.'s own boilerplate
+    rule, and ALSO the hot-key guard: a fingerprint in S docs costs
+    C(S, 2) pair rows, so capping S bounds the expansion (on this
+    word-soup corpus one uncapped fingerprint sits in 347/500 docs).
+
+    Scale contract: per-doc DISTINCT fingerprint rows (8 B hash +
+    doc_id) hash-partition by fingerprint into 64 coarse parts — every
+    copy of a fingerprint lands in one part, so the df filter is LOCAL
+    and exact there, and the pair expansion is one vectorized
+    self-merge (the source_overlap_matrix pattern); per-part (a, b, n)
+    partials roll up in an output-sized groupby. Text never crosses a
+    shuffle. Oracle: the shared Rabin-Karp winnow CTE chain + the same
+    df-capped self-join."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import winnow_fingerprint
+
+    if min_shared < 1 or max_df < 2:
+        raise ValueError("need min_shared >= 1 and max_df >= 2")
+    n_parts = 64
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fps, ids, parts = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for f in set(winnow_fingerprint(text)):
+                fps.append(f)
+                ids.append(did)
+                parts.append(f % n_parts)
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        df_ok = g.groupby("fp").doc_id.transform("size") <= max_df
+        d = g[df_ok][["fp", "doc_id"]]
+        if d.empty:
+            return empty
+        m = d.merge(d, on="fp")
+        m = m[m.doc_id_x < m.doc_id_y]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b", "size": "n_shared"})
+        )
+        return out.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+        .to_pandas()
+    )
+    out = out[out.n_shared >= min_shared].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+
+def _winnow_pairs_sql(
+    max_df: int = WINNOW_MAX_DF, min_shared: int = WINNOW_MIN_SHARED
+) -> str:
+    return (
+        _winnow_cte_prefix()
+        + f""",
+fps AS (
+  SELECT DISTINCT doc_id, mv AS fp FROM mins WHERE j <= n - 7 - 15
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_df})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN ok USING (fp)
+JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+CROSS JOIN guard
+WHERE guard.ok = 1
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""
+    )
+
+
+WINNOW_PAIRS_SQL = _winnow_pairs_sql()

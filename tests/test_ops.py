@@ -1105,3 +1105,41 @@ def test_orderkey_islands_matches_bruteforce(ray_session):
     span = int(keys[-1] - keys[0] + 1)
     assert out.coverage_ppm[0] == len(keys) * 1_000_000 // span
     assert out.n_islands[0] > 1  # non-vacuous on this corpus
+
+
+def test_winnow_overlap_pairs_matches_bruteforce(ray_session):
+    """winnow_overlap_pairs == single-process reference (distinct
+    winnow fingerprints per doc, df-capped, pairwise intersection
+    counts >= min_shared), and the df cap really bites (uncapped
+    boilerplate fingerprints exist on this corpus)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.functions.textstats import winnow_fingerprint
+
+    max_df, m = analysis.WINNOW_MAX_DF, analysis.WINNOW_MIN_SHARED
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docsets = {int(d): set(winnow_fingerprint(x)) for d, x in zip(t.doc_id, t.text)}
+    dfc = Counter()
+    for s in docsets.values():
+        dfc.update(s)
+    keep = {f for f, c in dfc.items() if c <= max_df}
+    assert len(keep) < len(dfc)  # the boilerplate cap is non-vacuous
+    inv: dict[int, list[int]] = {}
+    for d, s in docsets.items():
+        for f in s & keep:
+            inv.setdefault(f, []).append(d)
+    pc: Counter = Counter()
+    for ds in inv.values():
+        for a, b in combinations(sorted(ds), 2):
+            pc[(a, b)] += 1
+    expect = {p: n for p, n in pc.items() if n >= m}
+
+    out = analysis.winnow_overlap_pairs(SF)
+    got = {(r.id_a, r.id_b): r.n_shared for r in out.itertuples()}
+    assert got == expect
+    assert len(got) > 0
+    with pytest.raises(ValueError):
+        analysis.winnow_overlap_pairs(SF, max_df=1)
