@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via the local gate; demoted to make room for funnel/cohorts)
         "events_latest_per_user": events.events_latest_per_user,
         "events_watermark": events.events_watermark,
+        # r4: exact-integer rate-spike detection over tumbling windows
+        "events_anomaly_windows": events.events_anomaly_windows,
     }
 
 
@@ -719,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,
         "events_sessionize": events.EVENTS_SESSION_SQL_T.format(gap_s=SESSION_GAP_S),
+        "events_anomaly_windows": events.EVENTS_ANOMALY_SQL,
         "user_journey_paths": events.USER_JOURNEY_SQL_T.format(
             gap_s=SESSION_GAP_S,
             prefix_len=events.JOURNEY_PREFIX_LEN,

@@ -1135,3 +1135,89 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
        path, CAST(n AS BIGINT) AS n
 FROM cnt ORDER BY n DESC, path LIMIT {topk}
 """
+
+
+# --------------------------------------------------------------------------
+# rate-spike anomaly windows (ops alerting over tumbling counts)
+# --------------------------------------------------------------------------
+
+ANOM_WINDOW_S = 3600
+ANOM_TRAIL = 24  # trailing windows in the baseline
+ANOM_MIN_HIST = 12  # need half the trail before judging
+ANOM_NUM, ANOM_DEN = 5, 4  # spike iff n > (5/4) * trailing mean, exactly
+
+
+def events_anomaly_windows(sf_dir: str) -> pd.DataFrame:
+    """Rate-spike detection over tumbling windows (the ops-alerting
+    staple): a window is anomalous when its event count exceeds 5/4 of
+    the trailing-24-window mean, judged only after >= 12 windows of
+    history. The compare is EXACT integer cross-multiplication
+    (n * prev_n * 4 > 5 * prev_sum) — no float mean, no drift; gaps in
+    the window sequence follow the SQL ROWS-frame semantic (the
+    baseline is the previous EXISTING windows, not calendar hours —
+    both sides state the same rule).
+
+    Scale contract: the distributed part is the tumbling count
+    (per-block (wid, n) integer partials -> window-sized groupby, the
+    events_tumbling machinery); the trailing scan then runs on the
+    TIME-BOUNDED windows table (720 rows per month of data at 1 h —
+    driver-sized at any corpus size, because windows grow with time,
+    not volume)."""
+    from ray.data.aggregate import Sum
+
+    w_us = ANOM_WINDOW_S * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        wid = pc.divide(pc.cast(batch["ts"], pa.int64()), pa.scalar(w_us, pa.int64()))
+        t = pa.table({"wid": wid, "n": pa.array(np.ones(len(batch), np.int64))})
+        g = t.group_by("wid").aggregate([("n", "sum")])
+        return g.rename_columns(["wid", "n"])
+
+    w = (
+        _events(sf_dir, columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("wid")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("wid")
+        .reset_index(drop=True)
+    )
+    n = w.n.to_numpy().astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(len(n))
+    lo = np.maximum(idx - ANOM_TRAIL, 0)
+    prev_sum = cs[idx] - cs[lo]
+    prev_n = idx - lo
+    flag = (prev_n >= ANOM_MIN_HIST) & (n * prev_n * ANOM_DEN > ANOM_NUM * prev_sum)
+    out = pd.DataFrame(
+        {
+            "window_start": (w.wid.to_numpy() * ANOM_WINDOW_S).astype("int64"),
+            "n_events": n,
+            "prev_n": prev_n.astype("int64"),
+            "prev_sum": prev_sum.astype("int64"),
+        }
+    )[flag]
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH w AS (
+  SELECT epoch_us(ts) // {ANOM_WINDOW_S * 1_000_000} AS wid, COUNT(*) AS n
+  FROM events GROUP BY 1),
+t AS (
+  SELECT wid, n,
+         COALESCE(SUM(n) OVER (ORDER BY wid
+             ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING), 0) AS prev_sum,
+         COUNT(*) OVER (ORDER BY wid
+             ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING) AS prev_n
+  FROM w)
+SELECT CAST(wid * {ANOM_WINDOW_S} AS BIGINT) AS window_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(prev_sum AS BIGINT) AS prev_sum
+FROM t
+WHERE prev_n >= {ANOM_MIN_HIST} AND n * prev_n * {ANOM_DEN} > {ANOM_NUM} * prev_sum
+ORDER BY window_start
+"""

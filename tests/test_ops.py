@@ -1143,3 +1143,26 @@ def test_winnow_overlap_pairs_matches_bruteforce(ray_session):
     assert len(got) > 0
     with pytest.raises(ValueError):
         analysis.winnow_overlap_pairs(SF, max_df=1)
+
+
+def test_events_anomaly_windows_matches_bruteforce(ray_session):
+    """events_anomaly_windows == single-process trailing-scan reference
+    over the same existing-window ROWS frame, exact integer compare,
+    non-vacuous (spikes exist and not everything spikes)."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    wid = (df.ts.astype("int64") // (events.ANOM_WINDOW_S * 1_000_000)).astype("int64")
+    w = wid.value_counts().sort_index()
+    wids, ns = w.index.to_numpy(), w.to_numpy()
+    expect = []
+    for i in range(len(ns)):
+        lo = max(i - events.ANOM_TRAIL, 0)
+        pn, psum = i - lo, int(ns[lo:i].sum())
+        if pn >= events.ANOM_MIN_HIST and ns[i] * pn * events.ANOM_DEN > events.ANOM_NUM * psum:
+            expect.append((int(wids[i]) * events.ANOM_WINDOW_S, int(ns[i]), pn, psum))
+
+    out = events.events_anomaly_windows(SF)
+    got = [(r.window_start, r.n_events, r.prev_n, r.prev_sum) for r in out.itertuples()]
+    assert got == expect
+    assert 0 < len(got) < len(ns)
