@@ -564,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": events.events_watermark,
         # r4: exact-integer rate-spike detection over tumbling windows
         "events_anomaly_windows": events.events_anomaly_windows,
+        # r4: first-order event-type Markov transition matrix
+        "markov_transitions": events.markov_transitions,
     }
 
 
@@ -722,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": events.EVENTS_JSON_SQL,
         "events_sessionize": events.EVENTS_SESSION_SQL_T.format(gap_s=SESSION_GAP_S),
         "events_anomaly_windows": events.EVENTS_ANOMALY_SQL,
+        "markov_transitions": events.MARKOV_SQL,
         "user_journey_paths": events.USER_JOURNEY_SQL_T.format(
             gap_s=SESSION_GAP_S,
             prefix_len=events.JOURNEY_PREFIX_LEN,

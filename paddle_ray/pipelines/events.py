@@ -1221,3 +1221,84 @@ FROM t
 WHERE prev_n >= {ANOM_MIN_HIST} AND n * prev_n * {ANOM_DEN} > {ANOM_NUM} * prev_sum
 ORDER BY window_start
 """
+
+
+# --------------------------------------------------------------------------
+# per-user event-type Markov transition matrix
+# --------------------------------------------------------------------------
+
+def markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the behavioral-model fit behind next-event prediction
+    and journey simulation): count consecutive (from, to) event-type
+    pairs within each user's (ts, event_id)-ordered stream, and report
+    row-normalized transition probabilities.
+
+    Scale contract: the one shuffle is the sessionize user-hash coarse
+    partition; inside a partition the pair extraction is one shifted
+    vectorized compare (no per-user loop); partials are bounded by
+    #event_types², so the final groupby and the normalization both run
+    on a types²-sized table. Counts exact int64; each probability is
+    ONE correctly-rounded division of exact ints, mirrored by the
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g.user_id.to_numpy()
+        et = g.event_type.to_numpy()
+        same = uid[1:] == uid[:-1]
+        f = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        if f.empty:
+            return empty
+        out = f.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = counts.groupby("from_type").n.transform("sum")
+    counts["p"] = [round(int(a) / int(b), 6) for a, b in zip(counts.n, tot)]
+    return (
+        counts.sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
+MARKOV_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+FROM c JOIN t USING (from_type)
+ORDER BY from_type, to_type
+"""

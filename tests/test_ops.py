@@ -1166,3 +1166,33 @@ def test_events_anomaly_windows_matches_bruteforce(ray_session):
     got = [(r.window_start, r.n_events, r.prev_n, r.prev_sum) for r in out.itertuples()]
     assert got == expect
     assert 0 < len(got) < len(ns)
+
+
+def test_markov_transitions_matches_bruteforce(ray_session):
+    """markov_transitions == single-process LEAD reference; rows
+    normalize to 1 within rounding; all 5x5 cells present on this
+    corpus."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    c: Counter = Counter()
+    uid, et = df.user_id.to_numpy(), df.event_type.to_numpy()
+    for i in range(1, len(df)):
+        if uid[i] == uid[i - 1]:
+            c[(et[i - 1], et[i])] += 1
+    tot: Counter = Counter()
+    for (a, _), n in c.items():
+        tot[a] += n
+    expect = {
+        (a, b): (n, round(n / tot[a], 6)) for (a, b), n in c.items()
+    }
+
+    out = events.markov_transitions(SF)
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in out.itertuples()}
+    assert got == expect
+    sums = out.groupby("from_type").p.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert len(out) == 25  # 5 event types, all transitions observed
