@@ -339,8 +339,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- webtext curation (repetition / quality gate / LM / decontam) --
         "repetition_metrics": webtext.repetition_metrics,
         "quality_filter": webtext.quality_filter,
-        "lm_perplexity": webtext.lm_perplexity,
+        # (lm_perplexity demoted below the fold — its oracle is NESTED
+        #  verbatim inside perplexity_buckets' and doremi_weights' SQL,
+        #  both in-window: any LM/smoothing drift breaks those first)
         "perplexity_buckets": webtext.perplexity_buckets,
+        # r4: DoReMi-style multiplicative-weights domain reweighting
+        # (static-proxy form; every scalar rounded-6 before reuse on
+        # both sides — the kmeans chained-CTE discipline for floats)
+        "doremi_weights": webtext.doremi_weights,
         # r4: Bloom-prefilter + distributed verify join (fixed-size bcast)
         "decontaminate": webtext.decontaminate,
         # (tfidf_top_terms demoted below the fold — r03-green; df/idf
@@ -538,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tier rule + per-tier keep run in-window inside extract_tiered
         # and build_training_mix
         "quality_tiers": webtext.quality_tiers,
+        # LM oracle nested verbatim in perplexity_buckets/doremi_weights
+        "lm_perplexity": webtext.lm_perplexity,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
         # line-format fidelity — local-gate green; io slot went to the
@@ -697,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": webtext.QUALITY_FILTER_SQL,
         "lm_perplexity": webtext.LM_PERPLEXITY_SQL,
         "perplexity_buckets": webtext.PPL_BUCKETS_SQL_FULL,
+        "doremi_weights": webtext.doremi_sql(),
         "decontaminate": webtext.DECONTAMINATE_SQL,
         "stratified_sample": webtext.STRATIFIED_SAMPLE_SQL_T.format(k=webtext.SAMPLE_PER_LANG),
         "normalize_texts": webtext.NORMALIZE_SQL,

@@ -1161,3 +1161,104 @@ SELECT doc_id, source FROM (
 """
 
 DOMAIN_CAP_SQL = DOMAIN_CAP_SQL_T.format(k=DOMCAP_K)
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain-weight optimization (multiplicative weights)
+# --------------------------------------------------------------------------
+
+DOREMI_ROUNDS = 3
+DOREMI_ETA = 100.0  # loss spread on the synthetic corpora is ~0.02 nats; eta scales it to O(1) exponents
+
+
+def doremi_weights(sf_dir: str, rounds: int = DOREMI_ROUNDS, eta: float = DOREMI_ETA) -> pd.DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429)
+    in its static-proxy form: per-source excess loss drives multiplicative
+    weight updates — w_d <- normalize(w_d * exp(eta * (L_d - m_t))) where
+    L_d is the source's mean per-doc unigram-LM cross-entropy (the
+    lm_perplexity scorer, machinery nested here) and m_t = sum_d w_d L_d
+    is the CURRENT MIXTURE's expected loss, so rounds genuinely interact
+    (high-loss domains upweight until the mixture average catches up).
+    The full paper loop retrains the proxy between rounds; with a fixed
+    proxy this is one mirror-ascent run on the excess-loss objective —
+    documented simplification, same update rule.
+
+    Exactness contract: per-doc xents are the rounded-6 values the
+    lm_perplexity oracle already locks; every derived scalar (L_d, m_t,
+    each round's weights) is ROUNDED TO 6 DECIMALS before reuse ON BOTH
+    SIDES, so cross-engine libm ulp skew (exp, ln) is crushed at every
+    step instead of compounding across rounds — the kmeans_train
+    chained-CTE discipline applied to floats.
+
+    Scale contract: one corpus pass for the LM (lm_scores_ds's two-pass
+    vocabulary contract) + one scoring pass emitting per-block
+    (source, sum_xent, n) partials; every round after that runs on the
+    O(#sources) driver table. Output: (source, loss, weight)."""
+    from ray.data.aggregate import Sum
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "sum_xent": batch["xent"],
+                "n": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by("source").aggregate([("sum_xent", "sum"), ("n", "sum")])
+        return g.rename_columns(["source", "sum_xent", "n"])
+
+    agg = (
+        lm_scores_ds(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("sum_xent", alias_name="sum_xent"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    import math
+
+    L = [round(s / int(n), 6) for s, n in zip(agg.sum_xent, agg.n)]
+    D = len(L)
+    w = [round(1.0 / D, 6)] * D
+    for _ in range(rounds):
+        m = round(sum(wi * li for wi, li in zip(w, L)), 6)
+        raw = [wi * math.exp(eta * (li - m)) for wi, li in zip(w, L)]
+        z = sum(raw)
+        w = [round(r / z, 6) for r in raw]
+    return pd.DataFrame(
+        {"source": agg.source, "loss": L, "weight": w}
+    )
+
+
+def doremi_sql(rounds: int = DOREMI_ROUNDS, eta: float = DOREMI_ETA) -> str:
+    """Chained-CTE oracle: the FULL lm_perplexity oracle feeds per-source
+    losses; one (mixture-mean, update, normalize, round) CTE block per
+    round — every scalar rounded to 6 before reuse, same as the engine."""
+    ctes = [
+        f"ppl AS ({LM_PERPLEXITY_SQL.replace('ORDER BY d.doc_id', '')})",
+        """l AS (
+  SELECT d.source, ROUND(SUM(p.xent) / COUNT(*), 6) AS loss
+  FROM ppl p JOIN documents d USING (doc_id) GROUP BY d.source)""",
+        "d0 AS (SELECT COUNT(*) AS nd FROM l)",
+        "w0 AS (SELECT source, loss, ROUND(1.0 / d0.nd, 6) AS w FROM l, d0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""m{r} AS (SELECT ROUND(SUM(w * loss), 6) AS m FROM w{p}),
+r{r} AS (SELECT source, loss, w * exp({eta} * (loss - m{r}.m)) AS raw
+         FROM w{p}, m{r}),
+z{r} AS (SELECT SUM(raw) AS z FROM r{r}),
+w{r} AS (SELECT source, loss, ROUND(raw / z{r}.z, 6) AS w FROM r{r}, z{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source, loss, w AS weight FROM w{rounds} ORDER BY source
+"""
+    )

@@ -482,3 +482,47 @@ def test_build_training_mix_consistency(ray_session):
     assert sum(v[1] for v in got.values()) < sum(kept_cells.values())
     with pytest.raises(ValueError):
         build_training_mix(SF, budget=-1)
+
+
+def test_doremi_weights_matches_bruteforce(ray_session):
+    """doremi_weights == single-process multiplicative-weights reference
+    over the same rounded-6 per-doc xents; weights sum ~1, high-loss
+    domains strictly outweigh low-loss ones, and the update is
+    non-vacuous (weights left uniform)."""
+    import math
+
+    from paddle_ray.pipelines.webtext import (
+        DOREMI_ETA,
+        DOREMI_ROUNDS,
+        doremi_weights,
+        lm_perplexity,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "source"]]
+    xent = lm_perplexity(SF).merge(docs, on="doc_id")
+    agg = xent.groupby("source").xent.agg(["sum", "size"]).sort_index()
+    L = [round(s / n, 6) for s, n in zip(agg["sum"], agg["size"])]
+    D = len(L)
+    w = [round(1.0 / D, 6)] * D
+    for _ in range(DOREMI_ROUNDS):
+        m = round(sum(wi * li for wi, li in zip(w, L)), 6)
+        raw = [wi * math.exp(DOREMI_ETA * (li - m)) for wi, li in zip(w, L)]
+        z = sum(raw)
+        w = [round(r / z, 6) for r in raw]
+    expect = {s: (l, wi) for s, l, wi in zip(agg.index, L, w)}
+
+    out = doremi_weights(SF)
+    got = {r.source: (r.loss, r.weight) for r in out.itertuples()}
+    assert got == expect
+    assert abs(out.weight.sum() - 1.0) < 1e-4
+    assert out.weight.max() > 2 * out.weight.min()  # non-vacuous spread
+    hi = out.loc[out.loss.idxmax()]
+    lo = out.loc[out.loss.idxmin()]
+    assert hi.weight > lo.weight  # high-loss domain upweighted
+    import pytest
+
+    with pytest.raises(ValueError):
+        doremi_weights(SF, rounds=0)
