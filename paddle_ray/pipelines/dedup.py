@@ -1124,3 +1124,96 @@ GROUP BY src_a, src_b ORDER BY src_a, src_b
 SOURCE_OVERLAP_SQL = SOURCE_OVERLAP_SQL_T.format(
     k=SRC_OVERLAP_K, k_minus_1=SRC_OVERLAP_K - 1, k_minus_2=SRC_OVERLAP_K - 2
 )
+
+
+# --------------------------------------------------------------------------
+# leakage-free train/test split (split by near-dup component, not by doc)
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_W = 0.8
+SPLIT_THRESHOLD = 0.95
+
+
+def leakage_free_split(
+    sf_dir: str,
+    threshold: float = SPLIT_THRESHOLD,
+    train_w: float = SPLIT_TRAIN_W,
+) -> pd.DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: the split unit is the connected component of the
+    >= threshold jaccard graph (dedup_clusters), not the document — a
+    doc-keyed random split puts one copy of a near-dup pair in train
+    and its twin in eval, silently inflating benchmark scores (the
+    leakage failure mode decontamination papers measure). Every doc
+    inherits its component root's deterministic md5 coin
+    ('split:'-prefixed key, independent of the sampling operators'
+    keys); singletons are their own root.
+
+    Scale contract: components come from dedup_clusters (driver
+    union-find below its documented edge cap, checkpointed pregel
+    above); the root map is DUP-MASS-sized (only docs in >=1 pair —
+    output-sized by the pair operator's contract) and broadcast once
+    via ray.put — at a dup-heavy 100 TB swap the broadcast for a native
+    left join on doc_id, same topology as curate_corpus_v3's lang
+    recovery; the per-doc pass is stateless. Output: (doc_id,
+    cluster_root, split) for every document."""
+    import ray
+
+    from .common import sized_read_parquet, w_threshold_hex
+
+    clustered = dedup_clusters(sf_dir, threshold)
+    root_map = dict(zip(clustered.doc_id, clustered.cluster_root))
+    th = w_threshold_hex(train_w)
+    bcast = ray.put((root_map, th))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rm, t = ray.get(bcast)
+        ids = batch["doc_id"].to_pylist()
+        roots = [int(rm.get(d, d)) for d in ids]
+        split = [
+            "train" if hashlib.md5(f"split:{r}".encode()).hexdigest() < t else "test"
+            for r in roots
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_root": pa.array(roots, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def leakage_free_split_sql(
+    threshold: float = SPLIT_THRESHOLD, train_w: float = SPLIT_TRAIN_W
+) -> str:
+    from .common import w_threshold_hex
+
+    th = w_threshold_hex(train_w)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE length(a.text) > 0 AND length(b.text) > 0
+    AND jaccard(a.text, b.text) >= {threshold}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM base UNION ALL SELECT id_b, id_a FROM base),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+roots AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS r FROM reach GROUP BY src)
+SELECT d.doc_id, COALESCE(ro.r, d.doc_id) AS cluster_root,
+       CASE WHEN md5('split:' || CAST(COALESCE(ro.r, d.doc_id) AS VARCHAR)) < '{th}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN roots ro USING (doc_id)
+ORDER BY d.doc_id
+"""

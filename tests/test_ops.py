@@ -1196,3 +1196,20 @@ def test_markov_transitions_matches_bruteforce(ray_session):
     sums = out.groupby("from_type").p.sum()
     assert ((sums - 1.0).abs() < 1e-4).all()
     assert len(out) == 25  # 5 event types, all transitions observed
+
+
+def test_leakage_free_split_no_pair_crosses(ray_session):
+    """The leakage invariant: EVERY >= threshold jaccard pair lands on
+    one side of the split; both sides are non-empty and the train rate
+    is near the configured 0.8; singletons get themselves as root."""
+    pairs = dedup.jaccard_pairs_by_source(SF, dedup.SPLIT_THRESHOLD)
+    out = dedup.leakage_free_split(SF)
+    side = dict(zip(out.doc_id, out.split))
+    assert len(pairs) > 0  # the invariant is actually exercised
+    assert all(side[a] == side[b] for a, b in zip(pairs.id_a, pairs.id_b))
+    frac = (out.split == "train").mean()
+    assert 0.6 < frac < 0.95 and (out.split == "test").any()
+    # docs outside any pair are their own root
+    in_pairs = set(pairs.id_a) | set(pairs.id_b)
+    singles = out[~out.doc_id.isin(in_pairs)]
+    assert (singles.cluster_root == singles.doc_id).all()
