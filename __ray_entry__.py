@@ -377,7 +377,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": scrub.url_host_stats,
         "paragraph_dedup": scrub.paragraph_dedup,
         # --- training-data prep (dup-span diagnostics / resample / packing)
-        "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
+        # (duplicate_ngram_spans demoted below the fold — its gram-digest
+        #  count/join machinery runs in-window inside scrub_duplicate_spans,
+        #  which additionally performs and byte-verifies the removal)
+        # r4: the removal half of Lee et al. span dedup — scrubbed bytes
+        # md5-locked by the gate, text crosses exactly one exchange
+        "scrub_duplicate_spans": traindata.scrub_duplicate_spans,
         # (importance_resample demoted below the fold — r03-green; its
         #  md5-threshold keep machinery runs in-window here with the
         #  rates DERIVED from the data instead of fixed config weights)
@@ -548,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_resample": traindata.importance_resample,
         # df/idf + per-block top-k machinery runs in-window via bm25_topk
         "tfidf_top_terms": webtext.tfidf_top_terms,
+        # gram-digest machinery nested in-window in scrub_duplicate_spans
+        "duplicate_ngram_spans": traindata.duplicate_ngram_spans,
         # tier rule + per-tier keep run in-window inside extract_tiered
         # and build_training_mix
         "quality_tiers": webtext.quality_tiers,
@@ -724,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": scrub.URL_HOST_SQL,
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,
+        "scrub_duplicate_spans": traindata.SCRUB_SPANS_SQL,
         "bpe_pair_counts": traindata.BPE_PAIR_SQL,
         "importance_resample": traindata.IMPORTANCE_RESAMPLE_SQL,
         "temperature_mixture": traindata.TEMPERATURE_MIXTURE_SQL,

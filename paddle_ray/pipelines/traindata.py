@@ -1409,3 +1409,166 @@ SELECT r.source, CAST(r.n_tok AS BIGINT) AS n_tok,
        CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM r, l ORDER BY r.source
 """
+
+
+# --------------------------------------------------------------------------
+# scrub_duplicate_spans: REMOVE corpus-duplicated k-gram spans (Lee et al.)
+# --------------------------------------------------------------------------
+
+def scrub_duplicate_spans(sf_dir: str, k: int = NGRAM_K) -> pd.DataFrame:
+    """The removal half of duplicate_ngram_spans (Lee et al. 2021
+    actually DELETE the repeated spans, they don't just score them):
+    every token covered by any k-gram that occurs more than once across
+    the corpus is removed; the survivors re-join with single spaces.
+    Output per doc: token counts in/removed and the md5 of the SCRUBBED
+    TEXT — the gate checks exact post-surgery bytes, not just counts
+    (a fully-covered doc scrubs to the empty string, md5('') — mirrored
+    by the oracle's COALESCE arm).
+
+    Scale contract: grams shuffle as blake2b-128 digests (the
+    duplicate_ngram_spans hashed default); flagged (doc_id, pos) rows —
+    duplicated-span-mass-sized — regroup into per-doc position lists on
+    64 coarse doc-hash partitions, then the TEXT crosses exactly ONE
+    exchange (a native hash join of documents against the flagged-list
+    table, the paragraph_dedup contract) and the surgery is a stateless
+    per-row token mask. Nothing corpus-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def gkey(g: str) -> str:
+        return hashlib.blake2b(g.encode(), digest_size=16).hexdigest()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(gkey(g) for g in _grams(t, k))
+        return pa.table(
+            {"g": pa.array(list(c.keys()), pa.string()),
+             "c": pa.array(list(c.values()), pa.int64())}
+        )
+
+    dup = (
+        _docs(sf_dir)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c > 1")
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, gs = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, gram in enumerate(_grams(t, k)):
+                ids.append(d)
+                poss.append(i)
+                gs.append(gkey(gram))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "pos": pa.array(poss, pa.int64()),
+             "g": pa.array(gs, pa.string())}
+        )
+
+    flagged = (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .join(dup, join_type="inner", num_partitions=8, on=("g",))
+        .select_columns(["doc_id", "pos"])
+    )
+
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((ids % n_parts).astype(np.int64), pa.int64())
+        )
+
+    def collect_lists(g: pd.DataFrame) -> pd.DataFrame:
+        # positions ride the join as a csv STRING — Arrow's hash join
+        # rejects list<> payload columns ("not supported in join non-key
+        # field positions")
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "positions": pd.Series([], dtype=object)}
+            )
+        out = g.groupby("doc_id").pos.agg(
+            lambda s: ",".join(map(str, s))
+        ).reset_index()
+        return out.rename(columns={"pos": "positions"})
+
+    pos_lists = (
+        flagged.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collect_lists, batch_format="pandas")
+    )
+
+    joined = _docs(sf_dir).join(
+        pos_lists, join_type="left_outer", num_partitions=8, on=("doc_id",)
+    )
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids, n_in, n_rm, md5s = [], [], [], []
+        for d, t, ps in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["positions"].to_pylist(),
+        ):
+            ws = t.split()
+            mask = np.zeros(len(ws), bool)
+            for p in (int(x) for x in ps.split(",")) if ps else ():
+                mask[p : p + k] = True
+            kept = [w for w, m in zip(ws, mask) if not m]
+            ids.append(d)
+            n_in.append(len(ws))
+            n_rm.append(int(mask.sum()))
+            md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tok_in": pa.array(n_in, pa.int64()),
+                "n_removed": pa.array(n_rm, pa.int64()),
+                "scrubbed_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return (
+        joined.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SCRUB_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN regexp_split_to_array(trim(text), '\s+')
+              ELSE CAST([] AS VARCHAR[]) END AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id, gs.i AS pos, array_to_string(ts[gs.i : gs.i + {NGRAM_K} - 1], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {NGRAM_K} + 1)) AS gs(i)
+  WHERE len(ts) >= {NGRAM_K}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+cover AS (
+  SELECT DISTINCT f.doc_id, c.i AS tokpos
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)) f,
+       LATERAL unnest(generate_series(f.pos, f.pos + {NGRAM_K} - 1)) AS c(i)),
+kept AS (
+  SELECT t.doc_id, p.i, t.ts[p.i] AS tok
+  FROM toks t, LATERAL unnest(generate_series(1, len(t.ts))) AS p(i)
+  WHERE NOT EXISTS (SELECT 1 FROM cover c
+                    WHERE c.doc_id = t.doc_id AND c.tokpos = p.i)),
+res AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS m
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tok_in,
+       CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.m, md5('')) AS scrubbed_md5
+FROM toks t LEFT JOIN res r USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -481,3 +481,43 @@ def test_source_budget_allocation_exact(ray_session):
     # budget=0 degenerates cleanly to all-zero quotas
     z = source_budget_allocation(SF, budget=0)
     assert int(z.quota.sum()) == 0 and (z.quota == 0).all()
+
+
+def test_scrub_duplicate_spans_bytes(ray_session):
+    """scrub_duplicate_spans == single-process reference surgery: exact
+    scrubbed-text md5s, removal counts, consistency with
+    duplicate_ngram_spans' span counts, and non-vacuity (some docs
+    scrubbed, none fully emptied... unless fully covered)."""
+    import hashlib
+    from collections import Counter
+
+    from paddle_ray.pipelines.traindata import (
+        NGRAM_K,
+        _grams,
+        scrub_duplicate_spans,
+    )
+
+    docs = _docs()
+    cnt: Counter = Counter()
+    for t in docs.text:
+        cnt.update(_grams(t, NGRAM_K))
+    dup = {g for g, c in cnt.items() if c > 1}
+    expect = {}
+    for did, t in zip(docs.doc_id, docs.text):
+        ws = t.split()
+        mask = [False] * len(ws)
+        for i, g in enumerate(_grams(t, NGRAM_K)):
+            if g in dup:
+                for j in range(i, i + NGRAM_K):
+                    mask[j] = True
+        kept = [w for w, m in zip(ws, mask) if not m]
+        expect[did] = (
+            len(ws),
+            sum(mask),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    out = scrub_duplicate_spans(SF)
+    got = {r.doc_id: (r.n_tok_in, r.n_removed, r.scrubbed_md5) for r in out.itertuples()}
+    assert got == expect
+    assert (out.n_removed > 0).any() and (out.n_removed < out.n_tok_in).any()
