@@ -332,7 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": analysis.pmi_bigrams,
         # (quality_scores demoted below the fold — richer versions of the
         #  same signal family run in-window via quality_filter/quality_tiers)
-        "lang_id": analysis.lang_id,
+        # (lang_id demoted below the fold — its heuristic's oracle arms are
+        #  NESTED verbatim inside lang_confusion's SQL, in-window)
+        # r4: language-ID confusion matrix vs labels (classifier audit)
+        "lang_confusion": analysis.lang_confusion,
         # (table_checksum demoted below the fold — its mod-2^31 Sum
         #  machinery is r03-gate-green and its anti-entropy verdict role
         #  is subsumed by table_diff + validate_orders in-window)
@@ -505,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analysis.quality_scores,
         # token-count kernels run in-window via temperature_mixture et al.
         "token_counts": analysis.token_counts,
+        # heuristic's oracle arms nested verbatim in lang_confusion's SQL
+        "lang_id": analysis.lang_id,
         # anti-entropy verdict role subsumed by table_diff/validate_orders
         "table_checksum": analysis.table_checksum,
         # r4: gaps-and-islands contiguity audit via predecessor anti-join
@@ -703,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
+        "lang_confusion": analysis.lang_confusion_sql(),
         "content_hashes": analysis.CONTENT_HASHES_SQL,
         "fingerprints": analysis.FINGERPRINTS_SQL,
         "winnow_overlap_pairs": analysis.WINNOW_PAIRS_SQL,

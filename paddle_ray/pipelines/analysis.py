@@ -1379,3 +1379,56 @@ ORDER BY id_a, id_b
 
 
 WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix (classifier audit against labels)
+# --------------------------------------------------------------------------
+
+def lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    lang column — the classifier-audit rollup every model-gated filter
+    stage needs before it is trusted to drop documents. Cells are exact
+    integer counts; the prediction rule is lang_id's (machinery nested
+    here), so LANG_ID_SQL's oracle arms gate the predictions and this
+    op's oracle gates the rollup on top.
+
+    Scale contract: one stateless pass emitting per-block
+    (lang, pred_lang, n) integer partials into a #langs²-bounded
+    groupby."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        preds = [detect_lang(t) for t in batch["text"].to_pylist()]
+        t = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "pred_lang": pa.array(preds, pa.string()),
+                "n": pa.array(np.ones(len(langs), np.int64)),
+            }
+        )
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    out = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"n": "int64"})
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql().replace("ORDER BY doc_id", "")})
+SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1213,3 +1213,25 @@ def test_leakage_free_split_no_pair_crosses(ray_session):
     in_pairs = set(pairs.id_a) | set(pairs.id_b)
     singles = out[~out.doc_id.isin(in_pairs)]
     assert (singles.cluster_root == singles.doc_id).all()
+
+
+def test_lang_confusion_matches_bruteforce(ray_session):
+    """lang_confusion == single-process detect_lang rollup; the diagonal
+    dominates (the heuristic beats chance) and off-diagonal cells exist
+    (the audit is non-vacuous)."""
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from paddle_ray.functions.textstats import detect_lang
+
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    c: Counter = Counter()
+    for lang, text in zip(t.lang, t.text):
+        c[(lang, detect_lang(text))] += 1
+    out = analysis.lang_confusion(SF)
+    got = {(r.lang, r.pred_lang): r.n for r in out.itertuples()}
+    assert got == dict(c)
+    diag = sum(n for (a, b), n in got.items() if a == b)
+    assert diag > len(t) / len(t.lang.unique())  # better than chance
+    assert any(a != b for (a, b) in got)  # off-diagonal cells exist
