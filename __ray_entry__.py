@@ -316,10 +316,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: CCMatrix margin-based bitext mining (forward/backward kNN
         # ratio margin, native-join meet, two-level argmax election)
         "bitext_margin_mine": similarity.bitext_margin_mine,
+        # r4: docs ⋈ vectors full-outer coverage audit (the RAG-index
+        # integrity check; only slim key rows cross the join)
+        "rag_index_coverage": similarity.rag_index_coverage,
         # (embedding_centroids demoted below the fold — r03-gate-green;
         #  its distributive partial-sum machinery runs every round inside
         #  kmeans_train in-window)
-        "embedding_quantize_error": similarity.embedding_quantize_error,
+        # (embedding_quantize_error demoted below the fold — local-gate
+        #  green at 3 sfs; its O(#blocks) min/max-partial broadcast shape
+        #  also runs in token_budget_select's histogram pass in-window)
         # r4: the FULL multi-iteration Lloyd training loop (kmeans_step —
         # one round of the identical machinery — demoted below the fold)
         "kmeans_train": similarity.kmeans_train,
@@ -539,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # per-label mean — partial-sum machinery runs inside kmeans_train
         "embedding_centroids": similarity.embedding_centroids,
+        # SQ8 reconstruction error — min/max-partial broadcast shape
+        "embedding_quantize_error": similarity.embedding_quantize_error,
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -704,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "bitext_margin_mine": similarity.BITEXT_SQL_T.format(
             k=similarity.BITEXT_K, threshold=similarity.BITEXT_MARGIN_THR
         ),
+        "rag_index_coverage": similarity.RAG_COVERAGE_SQL,
         "pagerank": webgraph.PAGERANK_SQL,
         "token_counts": analysis.TOKEN_COUNTS_SQL,
         "quality_scores": analysis.QUALITY_SQL,

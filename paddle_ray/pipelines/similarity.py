@@ -1238,3 +1238,94 @@ best AS (SELECT x, y, margin,
 SELECT x AS id_a, y AS id_b, ROUND(margin, 6) AS margin
 FROM best WHERE rn = 1 AND margin >= {threshold} ORDER BY id_a
 """
+
+
+# --------------------------------------------------------------------------
+# RAG index coverage: documents ⋈ embeddings integrity rollup
+# --------------------------------------------------------------------------
+
+def rag_index_coverage(sf_dir: str) -> pd.DataFrame:
+    """Coverage audit of a text corpus against its vector index — the
+    integrity check a RAG build runs before serving (every doc embedded?
+    any orphaned vectors?): FULL OUTER join of documents (keyed doc_id)
+    against embeddings (keyed vec_id), rolled up by coverage status.
+    'both' rows carry the joined token mass — the embedded-corpus size a
+    retrieval cost model needs; at sf0.1 the corpus has 3000 unembedded
+    docs, so all arms are live.
+
+    Scale contract: both sides collapse to slim key rows BEFORE the join
+    (docs ship (doc_id, n_tok) — 16 B, never text; vectors ship
+    (vec_id, 1) — the embedding itself never moves); the join is the
+    native full-outer hash join and the rollup is 3 rows of integer
+    partials."""
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    def doc_slim(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tok": pa.array(n, pa.int64())}
+        )
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_slim, batch_format="pyarrow")
+
+    def vec_slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "has_vec": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    vecs = sized_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(vec_slim, batch_format="pyarrow")
+
+    joined = docs.join(
+        vecs, join_type="full_outer", num_partitions=8, on=("doc_id",), right_on=("vec_id",)
+    )
+
+    def status_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        has_doc = df.doc_id.notna()
+        has_vec = df.has_vec.notna()
+        status = np.where(has_doc & has_vec, "both",
+                 np.where(has_doc, "doc_only", "vec_only"))
+        out = pd.DataFrame(
+            {
+                "status": status,
+                "n": np.ones(len(df), np.int64),
+                "n_tok": df.n_tok.fillna(0).astype("int64"),
+            }
+        ).groupby("status", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        joined.map_batches(status_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_tok", alias_name="n_tok"))
+        .to_pandas()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n": "int64", "n_tok": "int64"})
+
+
+RAG_COVERAGE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN len(regexp_split_to_array(trim(text), '\s+')) ELSE 0 END AS n_tok
+  FROM documents),
+j AS (
+  SELECT d.doc_id, d.n_tok, e.vec_id
+  FROM d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
+            WHEN doc_id IS NOT NULL THEN 'doc_only' ELSE 'vec_only' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(n_tok, 0)) AS BIGINT) AS n_tok
+FROM j GROUP BY 1 ORDER BY 1
+"""

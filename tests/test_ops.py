@@ -1235,3 +1235,31 @@ def test_lang_confusion_matches_bruteforce(ray_session):
     diag = sum(n for (a, b), n in got.items() if a == b)
     assert diag > len(t) / len(t.lang.unique())  # better than chance
     assert any(a != b for (a, b) in got)  # off-diagonal cells exist
+
+
+def test_rag_index_coverage_matches_bruteforce(ray_session):
+    """rag_index_coverage == single-process full-outer rollup; at sf0.1
+    the corpus has unembedded docs, so the doc_only arm is exercised
+    there (and 'both' covers everything at sf0.001)."""
+    import pyarrow.parquet as pq
+
+    for sf, has_gap in (("/root/testdata/sf0.001", False), ("/root/testdata/sf0.1", True)):
+        d = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+        v = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"]).to_pandas()
+        dids, vids = set(d.doc_id), set(v.vec_id)
+        ntok = {r.doc_id: len(r.text.split()) for r in d.itertuples()}
+        expect = {}
+        both = dids & vids
+        if both:
+            expect["both"] = (len(both), sum(ntok[i] for i in both))
+        donly = dids - vids
+        if donly:
+            expect["doc_only"] = (len(donly), sum(ntok[i] for i in donly))
+        vonly = vids - dids
+        if vonly:
+            expect["vec_only"] = (len(vonly), 0)
+
+        out = similarity.rag_index_coverage(sf)
+        got = {r.status: (r.n, r.n_tok) for r in out.itertuples()}
+        assert got == expect
+        assert ("doc_only" in got) == has_gap
