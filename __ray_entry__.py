@@ -295,7 +295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: pairwise cross-source shingle overlap (provenance diagnostic)
         "source_overlap_matrix": dedup.source_overlap_matrix,
         # --- similarity search -------------------------------------------
-        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
+        # (knn_bruteforce demoted below the fold — r03-gate-green; its
+        #  partial-top-k machinery runs in-window inside hybrid_rrf and
+        #  bitext_margin_mine)
+        # r4: hybrid retrieval — reciprocal-rank fusion of the BM25 and
+        # vector top-k lists (each RRF term is one exact int division)
+        "hybrid_rrf": similarity.hybrid_rrf,
         # (knn_ivf_exhaustive demoted below the fold — local-gate green at
         #  3 sfs; IVF assignment machinery runs in-window in
         #  embedding_neardup_ivf + semdedup, top-k merge in knn_bruteforce)
@@ -546,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         # SQ8 reconstruction error — min/max-partial broadcast shape
         "embedding_quantize_error": similarity.embedding_quantize_error,
+        # partial-top-k machinery runs in hybrid_rrf/bitext in-window
+        "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -694,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL_T.format(threshold=0.95),
         "leakage_free_split": dedup.leakage_free_split_sql(),
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
+        "hybrid_rrf": similarity.hybrid_rrf_sql(),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),

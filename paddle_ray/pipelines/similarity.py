@@ -1329,3 +1329,82 @@ SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
        CAST(SUM(COALESCE(n_tok, 0)) AS BIGINT) AS n_tok
 FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and vector rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_DEPTH = 20  # per-modality candidate depth
+RRF_TOPK = 10
+RRF_QVEC = 0  # the query vector's vec_id
+
+
+def hybrid_rrf(sf_dir: str, topk: int = RRF_TOPK) -> pd.DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al. 2009
+    — the fusion every hybrid lexical+vector search stack ships): fuse
+    the BM25 top-{RRF_DEPTH} (bm25_topk's fixed query, machinery nested
+    here) with the vector top-{RRF_DEPTH} for the query embedding
+    vec_id={RRF_QVEC} (knn_bruteforce's shuffle-free partial-top-k,
+    nested here) as s(d) = sum over lists of 1/({RRF_K} + rank_d);
+    docs absent from a list contribute nothing. doc_id and vec_id share
+    an id space on these tables (rag_index_coverage audits exactly
+    that).
+
+    Float contract: each RRF term is ONE correctly-rounded division of
+    exact integers and the two-term sum is one exact-input add, in
+    text-then-vector order on both sides — bit-identical cross-engine.
+    Scale contract: both sub-rankings are the nested operators' own
+    (stats-broadcast / partial-top-k — nothing new shuffles); the fuse
+    itself touches 2 x depth driver rows."""
+    from .analysis import BM25_TERMS, bm25_topk
+
+    bm = bm25_topk(sf_dir, BM25_TERMS, topk=RRF_DEPTH)
+    r_text = dict(zip(bm.doc_id, bm["rank"]))
+
+    kn = knn_bruteforce(sf_dir, k=RRF_DEPTH, n_queries=1)
+    kn = kn[kn.query_id == RRF_QVEC].reset_index(drop=True)
+    r_vec = {int(d): i + 1 for i, d in enumerate(kn.neighbor_id)}
+
+    rows = []
+    for d in sorted(set(r_text) | set(r_vec)):
+        s = 0.0
+        if d in r_text:
+            s = 1.0 / (RRF_K + int(r_text[d]))
+        if d in r_vec:
+            s = s + 1.0 / (RRF_K + r_vec[d])
+        rows.append((int(d), s))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    out = pd.DataFrame(rows[:topk], columns=["doc_id", "rrf"])
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["rrf"] = out.rrf.round(6)
+    return out.astype({"rank": "int64", "doc_id": "int64"})
+
+
+def hybrid_rrf_sql(topk: int = RRF_TOPK) -> str:
+    from .analysis import bm25_sql
+
+    bm = bm25_sql(topk=RRF_DEPTH).strip()
+    return f"""
+WITH bm AS (SELECT * FROM ({bm})),
+vq AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       FROM embeddings WHERE vec_id = {RRF_QVEC}),
+vr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(
+             vq.qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) DESC,
+           vec_id) AS r_vec
+  FROM embeddings e, vq WHERE e.vec_id != {RRF_QVEC}
+  QUALIFY r_vec <= {RRF_DEPTH}),
+f AS (
+  SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+         (CASE WHEN bm.rank IS NOT NULL THEN 1.0 / ({RRF_K} + bm.rank) ELSE 0.0 END)
+         + (CASE WHEN vr.r_vec IS NOT NULL THEN 1.0 / ({RRF_K} + vr.r_vec) ELSE 0.0 END)
+         AS s
+  FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(s, 6) AS rrf
+FROM f ORDER BY s DESC, doc_id LIMIT {topk}
+"""

@@ -1263,3 +1263,34 @@ def test_rag_index_coverage_matches_bruteforce(ray_session):
         got = {r.status: (r.n, r.n_tok) for r in out.itertuples()}
         assert got == expect
         assert ("doc_only" in got) == has_gap
+
+
+def test_hybrid_rrf_matches_bruteforce(ray_session):
+    """hybrid_rrf == single-process RRF over the same two sub-rankings,
+    and the fusion is non-trivial: the fused top-k differs from both
+    input orders' heads (both modalities contribute)."""
+    bm = analysis.bm25_topk(SF, analysis.BM25_TERMS, topk=similarity.RRF_DEPTH)
+    kn = similarity.knn_bruteforce(SF, k=similarity.RRF_DEPTH, n_queries=1)
+    r_text = dict(zip(bm.doc_id, bm["rank"]))
+    r_vec = {int(d): i + 1 for i, d in enumerate(kn.neighbor_id)}
+    rows = []
+    for d in sorted(set(r_text) | set(r_vec)):
+        s = 0.0
+        if d in r_text:
+            s = 1.0 / (similarity.RRF_K + int(r_text[d]))
+        if d in r_vec:
+            s = s + 1.0 / (similarity.RRF_K + r_vec[d])
+        rows.append((int(d), s))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    expect = [
+        (i + 1, d, round(s, 6)) for i, (d, s) in enumerate(rows[: similarity.RRF_TOPK])
+    ]
+
+    out = similarity.hybrid_rrf(SF)
+    got = [(r.rank, r.doc_id, r.rrf) for r in out.itertuples()]
+    assert got == expect
+    fused = list(out.doc_id)
+    assert fused != list(bm.doc_id[: len(fused)])
+    assert fused != [int(x) for x in kn.neighbor_id[: len(fused)]]
+    # docs ranked by BOTH modalities dominate the fused head
+    assert int(out.doc_id[0]) in r_text and int(out.doc_id[0]) in r_vec
