@@ -449,7 +449,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: skew-resistant SALTED hash join (probe salt + S-way dim
         # replication; result exactly equals the plain join)
         "salted_segment_rollup": joins.salted_segment_rollup,
-        "q10_returned_revenue": joins.q10_returned_revenue,
+        # r4: exact Levenshtein verification of the MOSS winnow candidates
+        # (vectorized integer row DP ≙ DuckDB levenshtein; fixed-point sim;
+        #  nests winnow_overlap_pairs' fingerprint machinery, so this one
+        #  slot driver-covers the whole MOSS family; q10_returned_revenue
+        #  demoted — r03-driver-green, join family stays represented by
+        #  salted_segment_rollup / retention_cohorts / rag_index_coverage)
+        "edit_distance_pairs": analysis.edit_distance_pairs,
         # ============ BELOW THE DRIVER WINDOW (slot 51+) ===================
         # (all still gated by tools/check_oracles.py; driver-green in
         #  CORRECTNESS_r01/r03 artifacts)
@@ -532,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: MOSS winnow-overlap near-dup pairs (df-capped fingerprint
         # self-merge over 64 coarse hash partitions)
         "winnow_overlap_pairs": analysis.winnow_overlap_pairs,
+        # (q10_returned_revenue demoted here — r03-driver-green TPC-H join)
+        "q10_returned_revenue": joins.q10_returned_revenue,
         "hll_distinct_users": analysis.hll_distinct_users,
         "approx_quantile_chars": analysis.approx_quantile_chars,
         "corr_quantity_price": analysis.corr_quantity_price,
@@ -728,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hashes": analysis.CONTENT_HASHES_SQL,
         "fingerprints": analysis.FINGERPRINTS_SQL,
         "winnow_overlap_pairs": analysis.WINNOW_PAIRS_SQL,
+        "edit_distance_pairs": analysis.edit_distance_pairs_sql(),
         "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
         "corr_quantity_price": analysis.CORR_SQL,
         "orders_by_year_status": analysis.ORDERS_BY_YEAR_SQL,

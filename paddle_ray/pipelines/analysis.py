@@ -1432,3 +1432,124 @@ SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# exact edit-distance verification of the MOSS candidate pairs
+# --------------------------------------------------------------------------
+
+def _lev_row_dp(a: str, b: str) -> int:
+    """Exact unit-cost Levenshtein via the vectorized row DP: one numpy
+    row per character of `a`; the in-row left dependency
+    cur[j] = min(cur[j], cur[j-1] + 1) collapses to
+    minimum.accumulate(cur - j) + j (monotone prefix trick). Integer
+    arithmetic end-to-end — parity with DuckDB levenshtein() asserted
+    in tests on 200 random string pairs."""
+    import numpy as np
+
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return max(n, m)
+    av = np.array([ord(c) for c in a], dtype=np.int64)
+    bv = np.array([ord(c) for c in b], dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    d = idx.copy()
+    cur = np.empty(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cost = (bv != av[i - 1]).astype(np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(d[1:] + 1, d[:-1] + cost)
+        cur = np.minimum.accumulate(cur - idx) + idx
+        d, cur = cur, d
+    return int(d[m])
+
+
+def edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact character-level edit distance for every MOSS candidate pair
+    (winnow_overlap_pairs, machinery nested here) — the verification
+    layer a fingerprint-based near-dup stage runs before acting on a
+    match: fingerprint overlap says 'same shingles somewhere',
+    Levenshtein says how far apart the full texts actually are.
+    sim_e6 = (maxlen - lev) * 1e6 // maxlen is integer fixed-point, so
+    the whole output is exact int64 (no float similarity drift).
+
+    Scale contract: the pair list is output-sized by winnow's df-cap
+    contract; each side's TEXT crosses exactly one exchange (two native
+    hash joins attach text_a / text_b to the slim pair rows); the DP is
+    a stateless per-pair map_batches kernel, O(len_a) numpy rows per
+    pair, never a Python cell loop."""
+    import numpy as np
+    import ray.data as rd
+
+    pairs = winnow_overlap_pairs(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "lev": pd.Series([], dtype="int64"),
+                "sim_e6": pd.Series([], dtype="int64"),
+            }
+        )
+    pair_ds = rd.from_pandas(pairs[["id_a", "id_b"]])
+    docs = _docs(sf_dir)
+    withe_a = pair_ds.join(
+        docs, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_a"})
+    both = withe_a.join(
+        docs, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_b"})
+
+    def dp(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_pylist()
+        ib = batch["id_b"].to_pylist()
+        levs, sims = [], []
+        for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist()):
+            lv = _lev_row_dp(a, b)
+            mx = max(len(a), len(b))
+            levs.append(lv)
+            sims.append((mx - lv) * 1_000_000 // mx if mx else 1_000_000)
+        return pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "lev": pa.array(levs, pa.int64()),
+                "sim_e6": pa.array(sims, pa.int64()),
+            }
+        )
+
+    out = (
+        both.map_batches(dp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"id_a": "int64", "id_b": "int64", "lev": "int64", "sim_e6": "int64"})
+
+
+def edit_distance_pairs_sql(
+    max_df: int = WINNOW_MAX_DF, min_shared: int = WINNOW_MIN_SHARED
+) -> str:
+    return (
+        _winnow_cte_prefix()
+        + f""",
+fps AS (
+  SELECT DISTINCT doc_id, mv AS fp FROM mins WHERE j <= n - 7 - 15
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_df}),
+wp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN ok USING (fp)
+  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+  CROSS JOIN guard WHERE guard.ok = 1
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared})
+SELECT wp.id_a, wp.id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       CAST((GREATEST(length(da.text), length(db.text))
+             - levenshtein(da.text, db.text)) * 1000000
+            // GREATEST(length(da.text), length(db.text)) AS BIGINT) AS sim_e6
+FROM wp JOIN documents da ON da.doc_id = wp.id_a
+JOIN documents db ON db.doc_id = wp.id_b
+ORDER BY id_a, id_b
+"""
+    )

@@ -1294,3 +1294,36 @@ def test_hybrid_rrf_matches_bruteforce(ray_session):
     assert fused != [int(x) for x in kn.neighbor_id[: len(fused)]]
     # docs ranked by BOTH modalities dominate the fused head
     assert int(out.doc_id[0]) in r_text and int(out.doc_id[0]) in r_vec
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """_lev_row_dp == DuckDB levenshtein on 200 random pairs (the DP
+    parity lock), and edit_distance_pairs == per-pair reference over
+    the winnow candidates incl. the fixed-point similarity."""
+    import random
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import _lev_row_dp
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = "".join(rng.choice("abcd e") for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice("abcd e") for _ in range(rng.randint(0, 40)))
+        assert _lev_row_dp(a, b) == duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    txt = dict(zip(t.doc_id, t.text))
+    pairs = analysis.winnow_overlap_pairs(SF)
+    expect = {}
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        lv = _lev_row_dp(txt[a], txt[b])
+        mx = max(len(txt[a]), len(txt[b]))
+        expect[(a, b)] = (lv, (mx - lv) * 1_000_000 // mx)
+    out = analysis.edit_distance_pairs(SF)
+    got = {(r.id_a, r.id_b): (r.lev, r.sim_e6) for r in out.itertuples()}
+    assert got == expect
+    assert (out.sim_e6 > 900_000).any()  # a true near-dup pair exists
