@@ -404,7 +404,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: Hamilton largest-remainder token-budget apportionment —
         # zero float ops, sum(quota) == budget exactly
         "source_budget_allocation": traindata.source_budget_allocation,
-        "pack_sequences": traindata.pack_sequences,
+        # (pack_sequences demoted below the fold — r03-green; its
+        #  distributed prefix-scan offsets machinery runs in-window inside
+        #  training_shards' rank/offset layout pass)
+        # r4: rendezvous (HRW) shard layout — grow S -> S+1 and only
+        # ~1/(S+1) of keys move, every one to the NEW shard (mod-hash
+        # moves (S-1)/S); per-block partials bounded by n_shards
+        "consistent_shard_map": traindata.consistent_shard_map,
         # r4: per-doc sliding-window chunking (RAG / fixed-context loader
         # prep); chunks carry content md5s so the gate checks exact bytes
         "chunk_documents": traindata.chunk_documents,
@@ -575,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": similarity.kmeans_step,
         # one merge-round election — nested in-window inside bpe_train
         "bpe_pair_counts": traindata.bpe_pair_counts,
+        # (pack_sequences demoted here — r03-driver-green; prefix-scan
+        #  offsets machinery in-window via training_shards)
+        "pack_sequences": traindata.pack_sequences,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -770,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
             budget=traindata.BUDGET_TOKENS
         ),
         "pack_sequences": traindata.PACK_SEQUENCES_SQL,
+        "consistent_shard_map": traindata.consistent_shard_sql(),
         "chunk_documents": traindata.CHUNK_DOCUMENTS_SQL,
         "dsir_select": traindata.DSIR_SELECT_SQL,
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,

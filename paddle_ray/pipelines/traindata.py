@@ -1572,3 +1572,102 @@ SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tok_in,
 FROM toks t LEFT JOIN res r USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# rendezvous (highest-random-weight) shard assignment
+# --------------------------------------------------------------------------
+
+HRW_SHARDS = 12
+
+
+def _hrw_shard(doc_id: int, n_shards: int) -> int:
+    """Rendezvous / HRW hashing (Thaler & Ravishankar 1998): the shard
+    for a key is argmax_s md5(f"{s}:{key}") — ties (practically
+    impossible for md5) break to the smaller shard index. The property
+    a mod-hash layout lacks: growing the shard count from S to S+1
+    moves ONLY the keys whose new shard's score wins, ~1/(S+1) of the
+    corpus, and every moved key lands on the NEW shard (mod-hashing
+    reshuffles (S-1)/S of all keys). That is the reshard-stability
+    contract a 100 TB corpus layout needs when capacity changes."""
+    best_s, best_h = 0, ""
+    for s in range(n_shards):
+        h = hashlib.md5(f"{s}:{doc_id}".encode()).hexdigest()
+        if h > best_h:
+            best_s, best_h = s, h
+    return best_s
+
+
+def consistent_shard_map(sf_dir: str, n_shards: int = HRW_SHARDS) -> pd.DataFrame:
+    """Per-shard rollup of the rendezvous-hash layout: (shard, n_docs,
+    id_sum, n_chars_sum) — the placement plan for distributing a corpus
+    across a fixed shard set such that later capacity changes move the
+    theoretical minimum of data (see `_hrw_shard`).
+
+    Scale contract: one stateless `map_batches` pass; the HRW argmax
+    costs S md5s per key (the price of minimal movement — for very
+    large S, Lamping & Veach's jump consistent hash is the O(log S)
+    drop-in), each block emits at most `n_shards` partial rows, and the
+    only shuffle is the `n_shards`-row groupby. Nothing row-sized ever
+    leaves a block. Oracled by CONSISTENT_SHARD_SQL, which re-derives
+    the identical argmax via a cross join + QUALIFY row_number()."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ncs = [len(t) for t in batch["text"].to_pylist()]
+        shards = np.fromiter(
+            (_hrw_shard(d, n_shards) for d in ids), dtype=np.int64, count=len(ids)
+        )
+        idv = np.asarray(ids, dtype=np.int64)
+        ncv = np.asarray(ncs, dtype=np.int64)
+        n_docs = np.bincount(shards, minlength=n_shards)
+        id_sum = np.bincount(shards, weights=idv, minlength=n_shards)
+        nc_sum = np.bincount(shards, weights=ncv, minlength=n_shards)
+        live = n_docs > 0
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(n_shards)[live], pa.int64()),
+                "n_docs": pa.array(n_docs[live], pa.int64()),
+                "id_sum": pa.array(id_sum[live].astype(np.int64), pa.int64()),
+                "n_chars_sum": pa.array(nc_sum[live].astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_docs"), Sum("id_sum"), Sum("n_chars_sum"))
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(n_docs)": "n_docs",
+                "sum(id_sum)": "id_sum",
+                "sum(n_chars_sum)": "n_chars_sum",
+            }
+        )
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"shard": "int64", "n_docs": "int64", "id_sum": "int64", "n_chars_sum": "int64"}
+    )
+
+
+def consistent_shard_sql(n_shards: int = HRW_SHARDS) -> str:
+    return f"""
+WITH sh AS (SELECT shard FROM range({n_shards}) t(shard)),
+sc AS (
+  SELECT d.doc_id, sh.shard,
+         md5(CAST(sh.shard AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h,
+         length(d.text) AS nc
+  FROM documents d CROSS JOIN sh),
+a AS (
+  SELECT doc_id, shard, nc FROM sc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard ASC) = 1)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(nc) AS BIGINT) AS n_chars_sum
+FROM a GROUP BY shard ORDER BY shard
+"""

@@ -1327,3 +1327,29 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
     got = {(r.id_a, r.id_b): (r.lev, r.sim_e6) for r in out.itertuples()}
     assert got == expect
     assert (out.sim_e6 > 900_000).any()  # a true near-dup pair exists
+
+
+def test_consistent_shard_map_hrw(ray_session):
+    """HRW invariants: growing S -> S+1 moves only keys that land on the
+    NEW shard (everything else stays put), the moved fraction is ~1/(S+1),
+    and the distributed rollup equals the single-process reference."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.traindata import HRW_SHARDS, _hrw_shard, consistent_shard_map
+
+    ids = list(range(2000))
+    at_s = [_hrw_shard(d, 12) for d in ids]
+    at_s1 = [_hrw_shard(d, 13) for d in ids]
+    moved = [(a, b) for a, b in zip(at_s, at_s1) if a != b]
+    assert all(b == 12 for _, b in moved)  # movers go ONLY to the new shard
+    assert 0.03 < len(moved) / len(ids) < 0.13  # ~1/13, binomial slack
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = {}
+    for d, txt in zip(t.doc_id, t.text):
+        s = _hrw_shard(int(d), HRW_SHARDS)
+        n, i, c = ref.get(s, (0, 0, 0))
+        ref[s] = (n + 1, i + int(d), c + len(txt))
+    out = consistent_shard_map(SF)
+    got = {int(r.shard): (r.n_docs, r.id_sum, r.n_chars_sum) for r in out.itertuples()}
+    assert got == ref
