@@ -292,8 +292,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: leakage-free split — the split unit is the near-dup
         # component, so no pair ever crosses the train/test boundary
         "leakage_free_split": dedup.leakage_free_split,
-        # r4: pairwise cross-source shingle overlap (provenance diagnostic)
-        "source_overlap_matrix": dedup.source_overlap_matrix,
+        # (source_overlap_matrix demoted below the fold — r4-local-green;
+        #  its coarse-partition vectorized self-merge machinery runs
+        #  in-window inside edit_distance_pairs' nested winnow candidate
+        #  generation)
+        # r4: lakehouse MERGE — keyed changelog with update/delete/insert
+        # arms onto a snapshot; per-block keep-last pre-reduce keeps the
+        # shuffle snapshot-sized, delete-beats-update locked by seq
+        "cdc_merge_snapshot": joins.cdc_merge_snapshot,
         # --- similarity search -------------------------------------------
         # (knn_bruteforce demoted below the fold — r03-gate-green; its
         #  partial-top-k machinery runs in-window inside hybrid_rrf and
@@ -546,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap_pairs": analysis.winnow_overlap_pairs,
         # (q10_returned_revenue demoted here — r03-driver-green TPC-H join)
         "q10_returned_revenue": joins.q10_returned_revenue,
+        # (source_overlap_matrix demoted here — its vectorized self-merge
+        #  machinery runs in-window via edit_distance_pairs' winnow nest)
+        "source_overlap_matrix": dedup.source_overlap_matrix,
         "hll_distinct_users": analysis.hll_distinct_users,
         "approx_quantile_chars": analysis.approx_quantile_chars,
         "corr_quantity_price": analysis.corr_quantity_price,
@@ -728,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "salted_segment_rollup": joins.SALTED_ROLLUP_SQL,
+        "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),
         "semdedup": similarity.SEMDEDUP_SQL_T.format(

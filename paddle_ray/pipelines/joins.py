@@ -654,3 +654,103 @@ SELECT c.c_mktsegment,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE: keyed changelog (insert/update/delete) applied onto a snapshot
+# --------------------------------------------------------------------------
+
+CDC_INSERT_OFFSET = 4_000_000_000  # insert keys live above every real orderkey
+
+
+def cdc_merge_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse MERGE INTO: apply a keyed changelog with UPDATE, DELETE
+    and INSERT arms onto a snapshot and emit the merged snapshot — the
+    maintenance operation a 100 TB curated corpus runs per ingest cycle
+    (events_latest_per_user is the pure-upsert compaction; this adds the
+    delete arm, the insert arm, and the multi-source union).
+
+    The changelog is DERIVED deterministically from orders so the oracle
+    can rebuild it: seq 1 updates every key % 3 == 0 (price + $1000,
+    status 'P'), seq 2 deletes every key % 7 == 0 (so a key % 21 == 0
+    receives both and the DELETE must win by seq), seq 3 inserts a fresh
+    key (+CDC_INSERT_OFFSET) for every key % 11 == 0. Winner per key = max seq;
+    delete winners drop out of the merged table.
+
+    Scale contract: one stateless scan emits snapshot + changelog rows
+    with vectorized numpy masks; per-block keep-last pre-reduce means
+    the shuffle moves at most one row per (key, block) — snapshot-sized,
+    never (snapshot + changelog)-sized; the merge is a vectorized pass
+    per coarse splitmix64 partition (events_latest_per_user pattern),
+    never a per-key map_groups."""
+    from .common import to_cents
+
+    n_parts = 64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        cents = to_cents(batch["o_totalprice"].to_numpy()).astype(np.int64)
+        st = np.asarray(batch["o_orderstatus"].to_pylist(), dtype=object)
+        m3, m7, m11 = k % 3 == 0, k % 7 == 0, k % 11 == 0
+        ks = np.concatenate([k, k[m3], k[m7], k[m11] + CDC_INSERT_OFFSET])
+        seq = np.concatenate(
+            [
+                np.zeros(len(k), np.int64),
+                np.full(int(m3.sum()), 1, np.int64),
+                np.full(int(m7.sum()), 2, np.int64),
+                np.full(int(m11.sum()), 3, np.int64),
+            ]
+        )
+        is_del = (seq == 2).astype(np.int64)
+        price = np.concatenate(
+            [cents, cents[m3] + 100_000, np.zeros(int(m7.sum()), np.int64), cents[m11]]
+        )
+        status = np.concatenate(
+            [st, np.full(int(m3.sum()), "P", object),
+             np.full(int(m7.sum()), "", object), np.full(int(m11.sum()), "N", object)]
+        )
+        df = pd.DataFrame(
+            {"k": ks, "seq": seq, "is_del": is_del, "price_cents": price, "status": status}
+        )
+        # per-block keep-last pre-reduce: at most one row per key per block
+        df = df.sort_values(["k", "seq"], kind="mergesort").drop_duplicates("k", keep="last")
+        df["part"] = _hash_part(df.k.to_numpy(), n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "seq"], kind="mergesort").drop_duplicates("k", keep="last")
+        g = g[g.is_del == 0]
+        return g[["k", "price_cents", "status"]]
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+        .rename(columns={"k": "o_orderkey"})
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out.astype({"o_orderkey": "int64", "price_cents": "int64", "status": "str"})
+
+
+CDC_MERGE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS pc,
+         o_orderstatus AS st
+  FROM orders),
+ops AS (
+  SELECT k, 0 AS seq, 0 AS is_del, pc AS price_cents, st AS status FROM base
+  UNION ALL
+  SELECT k, 1, 0, pc + 100000, 'P' FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 2, 1, 0, '' FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT k + {CDC_INSERT_OFFSET}, 3, 0, pc, 'N' FROM base WHERE k % 11 = 0),
+w AS (SELECT * FROM ops
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+SELECT k AS o_orderkey, price_cents, status FROM w
+WHERE is_del = 0 ORDER BY o_orderkey
+"""

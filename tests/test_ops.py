@@ -1353,3 +1353,35 @@ def test_consistent_shard_map_hrw(ray_session):
     out = consistent_shard_map(SF)
     got = {int(r.shard): (r.n_docs, r.id_sum, r.n_chars_sum) for r in out.itertuples()}
     assert got == ref
+
+
+def test_cdc_merge_snapshot_matches_reference(ray_session):
+    """Engine MERGE == single-process reference; delete beats update on
+    keys hit by both arms; inserts present; updates applied."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import to_cents
+    from paddle_ray.pipelines.joins import CDC_INSERT_OFFSET, cdc_merge_snapshot
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ).to_pandas()
+    ref = {}
+    for k, p, s in zip(t.o_orderkey, to_cents(t.o_totalprice), t.o_orderstatus):
+        k, p = int(k), int(p)
+        ref[k] = (p, s)                       # seq 0 snapshot
+        if k % 3 == 0:
+            ref[k] = (p + 100_000, "P")       # seq 1 update
+        if k % 7 == 0:
+            ref.pop(k, None)                  # seq 2 delete wins
+        if k % 11 == 0:
+            ref[k + CDC_INSERT_OFFSET] = (p, "N")  # seq 3 insert
+    out = cdc_merge_snapshot(SF)
+    got = {int(r.o_orderkey): (int(r.price_cents), r.status) for r in out.itertuples()}
+    assert got == ref
+    ks = t.o_orderkey.astype(int)
+    k21 = ks[(ks % 21 == 0)]
+    assert len(k21) and all(int(k) not in got for k in k21)  # delete beat update
+    assert any(k >= CDC_INSERT_OFFSET for k in got)          # inserts landed
+    k3 = int(ks[(ks % 3 == 0) & (ks % 7 != 0)].iloc[0])
+    assert got[k3][1] == "P"                                 # update applied
