@@ -453,8 +453,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": events.funnel_conversion,
         # r4: cohort retention matrix (distinct pre-agg + native join)
         "retention_cohorts": events.retention_cohorts,
-        # r4: exact distributed quantiles by iterative histogram refinement
-        "exact_ts_quantiles": events.exact_ts_quantiles,
+        # (exact_ts_quantiles demoted below the fold — local-gate green at
+        #  3 sfs; its histogram-refine-to-exact-boundary machinery also
+        #  runs in-window inside token_budget_select's threshold pass)
+        # r4: SCD2 validity-interval build — the full dimension-history
+        # timeline from a change stream (events_latest keeps only the
+        # final state); one coarse user-hash exchange, vectorized
+        # island-collapse per partition
+        "scd2_intervals": events.scd2_intervals,
         # --- web-graph (r4: distributed PageRank power iterations) --------
         "pagerank": webgraph.pagerank,
         # --- relational/join family representatives -------------------------
@@ -628,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC compaction + watermark accounting (green at all three sfs
         # via the local gate; demoted to make room for funnel/cohorts)
         "events_latest_per_user": events.events_latest_per_user,
+        # (exact_ts_quantiles demoted here — histogram-refine machinery
+        #  in-window via token_budget_select)
+        "exact_ts_quantiles": events.exact_ts_quantiles,
         "events_watermark": events.events_watermark,
         # r4: exact-integer rate-spike detection over tumbling windows
         "events_anomaly_windows": events.events_anomaly_windows,
@@ -813,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": events.EVENTS_LATEST_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
+        "scd2_intervals": events.SCD2_SQL,
         "funnel_conversion": events.FUNNEL_SQL,
         "retention_cohorts": events.RETENTION_SQL,
         "quality_tiers": webtext.QUALITY_TIERS_SQL,

@@ -1302,3 +1302,102 @@ SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
 FROM c JOIN t USING (from_type)
 ORDER BY from_type, to_type
 """
+
+
+# --------------------------------------------------------------------------
+# SCD2 validity intervals: dimension history from a change stream
+# --------------------------------------------------------------------------
+
+def scd2_intervals(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into validity intervals — one row per maximal
+    run of consecutive equal event_type, with [valid_from_us,
+    valid_to_us) half-open in epoch-µs and valid_to_us = -1 for the
+    open (current) interval. This is the dimension-history table a
+    warehouse derives from a change stream (events_latest_per_user
+    keeps only the final state; this keeps the full timeline).
+
+    Scale contract: slim (user_id, tus, event_id, event_type) rows
+    cross exactly ONE coarse user-hash exchange (the sessionize
+    pattern); the per-partition pass is fully vectorized — shifted
+    compares mark run boundaries, cumsum labels islands, one groupby
+    aggregates each island, a per-user shift(-1) attaches the successor
+    boundary. Output is run-length-bounded (<= one row per event).
+    Oracled by SCD2_SQL (LAG change flags -> windowed SUM islands ->
+    LEAD validity chaining)."""
+    import pyarrow.compute as pc
+
+    n_parts = 64
+
+    def slim(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        return pa.table(
+            {
+                "user_id": uid,
+                "tus": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "part": pc.cast(pc.bit_wise_and(uid, pa.scalar(n_parts - 1)), pa.int32()),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        chg = (g.user_id != g.user_id.shift()) | (g.event_type != g.event_type.shift())
+        g = g.assign(island=chg.cumsum())
+        runs = (
+            g.groupby("island", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                valid_from_us=("tus", "first"),
+                n_events=("tus", "size"),
+            )
+            .reset_index(drop=True)
+            .sort_values(["user_id", "valid_from_us"], kind="mergesort")
+        )
+        nxt = runs.groupby("user_id")["valid_from_us"].shift(-1)
+        runs["valid_to_us"] = nxt.fillna(-1).astype("int64")
+        return runs[["user_id", "event_type", "valid_from_us", "valid_to_us", "n_events"]]
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "valid_from_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "user_id": "int64",
+            "event_type": "str",
+            "valid_from_us": "int64",
+            "valid_to_us": "int64",
+            "n_events": "int64",
+        }
+    )
+
+
+SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+o AS (
+  SELECT *, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM e),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM o),
+g AS (
+  SELECT user_id, island, ANY_VALUE(event_type) AS event_type,
+         MIN(tus) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM i GROUP BY user_id, island)
+SELECT user_id, event_type, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                     -1) AS BIGINT) AS valid_to_us,
+       n_events
+FROM g ORDER BY user_id, valid_from_us
+"""

@@ -1385,3 +1385,39 @@ def test_cdc_merge_snapshot_matches_reference(ray_session):
     assert any(k >= CDC_INSERT_OFFSET for k in got)          # inserts landed
     k3 = int(ks[(ks % 3 == 0) & (ks % 7 != 0)].iloc[0])
     assert got[k3][1] == "P"                                 # update applied
+
+
+def test_scd2_intervals_matches_reference(ray_session):
+    """Engine == single-process sequential-scan reference; intervals
+    chain per user (valid_to == next valid_from, last is -1) and
+    n_events sums back to the stream length."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.events import scd2_intervals
+
+    t = (
+        pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"])
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    tus = t.ts.astype("int64")
+    ref = []
+    for uid, grp in t.assign(tus=tus).groupby("user_id", sort=True):
+        runs = []
+        for et, u in zip(grp.event_type, grp.tus):
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, int(u), 1])
+        for i, (et, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else -1
+            ref.append((int(uid), et, vf, vt, n))
+    out = scd2_intervals(SF)
+    got = list(
+        zip(out.user_id, out.event_type, out.valid_from_us, out.valid_to_us, out.n_events)
+    )
+    assert got == ref
+    assert int(out.n_events.sum()) == len(t)
+    per_user_last = out.groupby("user_id").valid_to_us.last()
+    assert (per_user_last == -1).all()  # exactly one open interval per user
+    assert (out.n_events > 1).any()  # real run-collapse happened
