@@ -8,6 +8,8 @@ groupby. SQL-expressible ops carry DuckDB oracles in __ray_entry__.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -1553,3 +1555,80 @@ JOIN documents db ON db.doc_id = wp.id_b
 ORDER BY id_a, id_b
 """
     )
+
+
+# --------------------------------------------------------------------------
+# inverted index build: term -> posting list (df + order-locked digest)
+# --------------------------------------------------------------------------
+
+def inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Materialize the inverted index over `documents`: one row per term
+    with its document frequency and the md5 of the ascending-doc_id
+    posting list (csv) — the retrieval-index BUILD step bm25_topk scores
+    against but never materializes. The digest makes the gate check the
+    exact posting bytes while output stays vocabulary-sized.
+
+    Scale contract: per-block per-doc `set(text.split())` emits distinct
+    (term, doc_id) rows (the block-local dedup — a term repeated in a
+    doc ships once); rows hash by term digest into 64 coarse partitions
+    where each term's full posting assembles with one vectorized pandas
+    groupby (never per-term map_groups). Hot-term skew is the classic
+    inverted-index hazard: a stopword's partition holds df rows — at
+    100 TB posting lists for df over a residency bound shard by doc-id
+    range prefix (term, shard_i) and the digests chain; the 64-way term
+    spread plus digest-only output keeps per-partition memory bounded
+    here. Oracled by INVERTED_INDEX_SQL (DISTINCT unnest + ordered
+    string_agg md5)."""
+    n_parts = 64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms, dids, parts = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w in set(t.split()):
+                terms.append(w)
+                dids.append(d)
+                parts.append(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_parts)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=True).doc_id.agg(
+            df="size", posting=lambda s: ",".join(str(i) for i in s)
+        )
+        return pd.DataFrame(
+            {
+                "term": agg.index,
+                "df": agg["df"].astype("int64"),
+                "posting_md5": [hashlib.md5(p.encode()).hexdigest() for p in agg["posting"]],
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pandas")
+        .to_pandas()
+        .sort_values("term", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"term": "str", "df": "int64", "posting_md5": "str"})
+
+
+INVERTED_INDEX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+                      THEN regexp_split_to_array(trim(text), '\s+')
+                      ELSE CAST([] AS VARCHAR[]) END AS ts
+  FROM documents),
+td AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS posting_md5
+FROM td GROUP BY term ORDER BY term
+"""

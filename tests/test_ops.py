@@ -1421,3 +1421,29 @@ def test_scd2_intervals_matches_reference(ray_session):
     per_user_last = out.groupby("user_id").valid_to_us.last()
     assert (per_user_last == -1).all()  # exactly one open interval per user
     assert (out.n_events > 1).any()  # real run-collapse happened
+
+
+def test_inverted_index_matches_reference(ray_session):
+    """Engine == single-process posting-list build: exact df and exact
+    ascending-doc_id posting bytes per term; df-weighted mass equals the
+    corpus's total distinct (doc, term) count."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import inverted_index
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ref = {}
+    for d, txt in zip(t.doc_id, t.text):
+        for w in set(txt.split()):
+            ref.setdefault(w, []).append(int(d))
+    expect = {
+        w: (len(ids), hashlib.md5(",".join(str(i) for i in sorted(ids)).encode()).hexdigest())
+        for w, ids in ref.items()
+    }
+    out = inverted_index(SF)
+    got = {r.term: (r.df, r.posting_md5) for r in out.itertuples()}
+    assert got == expect
+    assert int(out.df.sum()) == sum(len(v) for v in ref.values())
+    assert (out.df > 1).any()
