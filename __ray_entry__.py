@@ -286,7 +286,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-shingle ground truth companion (shingle_jaccard_pairs
         # demoted below the fold — r03-green; the identical shingle
         # machinery runs in-window inside curate_corpus_v4's verify step)
-        "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
+        # (minhash_missed_pairs demoted below the fold — local-gate green;
+        #  its exact-shingle verify machinery runs in-window inside
+        #  curate_corpus_v4's verify step, and set_similarity_join now
+        #  gives the corpus-wide exact-recall guarantee first-class)
+        # r4: SSJoin/PPJoin prefix-filtered EXACT Jaccard self-join —
+        # guaranteed-exact corpus-wide near-dup pairs (118k candidates vs
+        # 12.5M brute pairs at sf0.1), zero float, all exchanges slim
+        "set_similarity_join": dedup.set_similarity_join,
         # connected components over the >=0.95 char-jaccard graph
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, 0.95),
         # r4: leakage-free split — the split unit is the near-dup
@@ -395,12 +402,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixture (independent md5 key) -> Hamilton cell quotas, one
         # oracle-checked chain; sum(quota) == budget exactly
         "build_training_mix": curate.build_training_mix,
-        # r4: per-domain doc cap (anti domain-dominance; local k-prune per
-        # block so a hot domain ships k rows per block, never its corpus)
-        "domain_cap": webtext.domain_cap,
+        # (domain_cap demoted below the fold — local-gate green at 3 sfs;
+        #  its per-block k-prune machinery runs in-window inside
+        #  neyman_allocation_sample's candidate pass)
+        # r4: Neyman variance-proportional stratified sampling — exact
+        # int stratum stats (cents^2 split hi/lo), mirrored rounded-6
+        # sd, Hamilton micro-unit quotas, md5-rank keep via per-block
+        # per-stratum k-prune (#blocks x K candidate rows, never the table)
+        "neyman_allocation_sample": analysis.neyman_allocation_sample,
         # --- scrub family (PII / URL canonicalization / paragraph dedup) --
         "pii_redact": scrub.pii_redact,
-        "url_host_stats": scrub.url_host_stats,
+        # (url_host_stats demoted below the fold — r03-green; its
+        #  stateless canonicalize kernel + slim-key pre-agg shape stays
+        #  in-window via pii_redact and every partial-agg op)
+        # r4: Z-order / Morton layout clustering — the lakehouse OPTIMIZE
+        # ZORDER rectangle-locality layout; integer end-to-end, per-block
+        # bucket partials bounded by 1024
+        "zorder_layout": traindata.zorder_layout,
         "paragraph_dedup": scrub.paragraph_dedup,
         # --- training-data prep (dup-span diagnostics / resample / packing)
         # (duplicate_ngram_spans demoted below the fold — its gram-digest
@@ -435,9 +453,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: FULL iterative BPE trainer over the golden synthetic corpus
         # (merge chain pinned by an independent single-process reference)
         "bpe_train": _bpe_train_golden,
-        # r4: the encode half of the tokenizer loop — learned merge table
-        # broadcast once, applied over the distinct-word vocab
-        "bpe_encode": _bpe_encode_golden,
+        # (bpe_encode demoted below the fold — local-gate green; the
+        #  tokenizer family's window slot stays with bpe_train, whose
+        #  iterative loop nests the same merge-table machinery)
+        # r4: Merkle range-digest hierarchy — the anti-entropy structure
+        # that locates WHICH key range diverges in O(log) probes (flat
+        # table_checksum says only THAT it diverged); every node of all
+        # three levels value-locked
+        "merkle_table_digest": analysis.merkle_table_digest,
         # r4: per-lang quality-ranked token-budget cut (distributed
         # threshold/top-k-by-weight, not a per-lang sort)
         "token_budget_select": traindata.token_budget_select,
@@ -543,6 +566,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         # golden-VALUES simhash (pigeonhole segments; brute-force pytest)
         "dedup_simhash": _dedup_simhash_golden,
+        # (minhash_missed_pairs demoted here — exact-shingle verify
+        #  machinery in-window via curate_corpus_v4 + set_similarity_join)
+        "minhash_missed_pairs": lambda sf: dedup.minhash_missed_pairs(sf, MISSED_EXACT_THRESHOLD),
         "shingle_jaccard_pairs": lambda sf: dedup.shingle_jaccard_pairs(sf, SHINGLE_THRESHOLD),
         "jaccard_pairs_by_source": lambda sf: dedup.jaccard_pairs_by_source(sf, JACCARD_THRESHOLD),
         # --- remaining analysis / sketches ---------------------------------
@@ -577,6 +603,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (repetition_metrics demoted here — same stateless per-doc
         #  text-stat kernel family as quality_filter, in-window)
         "repetition_metrics": webtext.repetition_metrics,
+        # (domain_cap demoted here — per-block k-prune machinery
+        #  in-window via neyman_allocation_sample)
+        "domain_cap": webtext.domain_cap,
+        # (url_host_stats demoted here — canonicalize + slim pre-agg
+        #  shape in-window via pii_redact / partial-agg ops)
+        "url_host_stats": scrub.url_host_stats,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -606,6 +638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": similarity.kmeans_step,
         # one merge-round election — nested in-window inside bpe_train
         "bpe_pair_counts": traindata.bpe_pair_counts,
+        # (bpe_encode demoted here — merge-table machinery in-window via
+        #  bpe_train's iterative loop)
+        "bpe_encode": _bpe_encode_golden,
         # (pack_sequences demoted here — r03-driver-green; prefix-scan
         #  offsets machinery in-window via training_shards)
         "pack_sequences": traindata.pack_sequences,
@@ -723,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=SHINGLE_THRESHOLD, k=5, k_minus_1=4, k_minus_2=3
         ),
         "minhash_missed_pairs": dedup.MINHASH_MISSED_SQL,
+        "set_similarity_join": dedup.SET_SIMILARITY_SQL,
         "source_overlap_matrix": dedup.SOURCE_OVERLAP_SQL,
         # golden-constant oracle — simhash_synth_corpus is deterministic
         # and sf-independent; est_jaccard values are exact 128ths
@@ -799,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": analysis.bm25_sql(),
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
+        "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,
         "scrub_duplicate_spans": traindata.SCRUB_SPANS_SQL,
@@ -839,10 +876,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_tiers": webtext.QUALITY_TIERS_SQL,
         "build_training_mix": curate.BUILD_TRAINING_MIX_SQL,
         "domain_cap": webtext.DOMAIN_CAP_SQL,
+        "neyman_allocation_sample": analysis.neyman_sql(),
         "token_budget_select": traindata.TOKEN_BUDGET_SQL,
         "training_shards": traindata.TRAINING_SHARDS_SQL,
         "bpe_train": traindata.BPE_TRAIN_SQL,
         "bpe_encode": traindata.BPE_ENCODE_SQL,
+        "merkle_table_digest": analysis.MERKLE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

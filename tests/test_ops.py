@@ -1447,3 +1447,173 @@ def test_inverted_index_matches_reference(ray_session):
     assert got == expect
     assert int(out.df.sum()) == sum(len(v) for v in ref.values())
     assert (out.df > 1).any()
+
+
+def test_neyman_allocation_sample_matches_reference(ray_session):
+    """Engine == single-process Neyman reference (exact integer stats,
+    mirrored rounded-6 sd, Hamilton quotas, md5-rank keep); quotas sum
+    to K; the highest-N*sd stratum gets the largest quota."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import NEYMAN_K, neyman_allocation_sample
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).to_pandas()
+    t["c"] = to_cents(t.o_totalprice).astype("int64")
+    stats = []
+    for st, g in t.groupby("o_orderstatus", sort=True):
+        n = len(g)
+        s1 = int(g.c.sum())
+        s2 = sum(int(c) * int(c) for c in g.c)
+        var6 = round(float(s2 * n - s1 * s1) / (float(n) * float(n)), 6)
+        sd6 = round(math.sqrt(var6), 6)
+        stats.append((st, n, sd6, n * int(math.floor(sd6 * 1e6 + 0.5))))
+    W = sum(w for *_, w in stats)
+    base = [NEYMAN_K * w // W for *_, w in stats]
+    rem = [NEYMAN_K * w % W for *_, w in stats]
+    order = sorted(range(len(stats)), key=lambda i: (-rem[i], stats[i][0]))
+    extra = set(order[: NEYMAN_K - sum(base)])
+    quota = {stats[i][0]: base[i] + (1 if i in extra else 0) for i in range(len(stats))}
+    expect = {}
+    for st, g in t.groupby("o_orderstatus", sort=True):
+        ranked = sorted(
+            zip(g.o_orderkey.astype(int), g.c.astype(int)),
+            key=lambda kc: (hashlib.md5(f"ney:{kc[0]}".encode()).hexdigest(), kc[0]),
+        )[: quota[st]]
+        expect[st] = (
+            len(ranked),
+            sum(k for k, _ in ranked),
+            sum(c for _, c in ranked),
+        )
+    out = neyman_allocation_sample(SF)
+    assert int(out.quota.sum()) == NEYMAN_K
+    got = {r.stratum: (r.n_sel, r.sel_id_sum, r.sel_cents_sum) for r in out.itertuples()}
+    assert got == expect
+    by_w = max(stats, key=lambda s: s[3])[0]
+    assert out.set_index("stratum").quota.idxmax() == by_w
+
+
+def test_zorder_layout_matches_reference(ray_session):
+    """Engine == single-process Morton reference, and the locality
+    property holds: the mean per-bucket x-span is far below the global
+    x-span (the rectangle-pruning argument)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.traindata import (
+        ZORDER_BUCKET_SHIFT,
+        ZORDER_GRID,
+        _morton32,
+        zorder_layout,
+    )
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    x = t.o_custkey.to_numpy().astype("int64")
+    y = (t.o_orderdate.astype("int64") // 86_400_000_000).to_numpy()
+    x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
+    xi = (x - x0) * ZORDER_GRID // (x1 - x0)
+    yi = (y - y0) * ZORDER_GRID // (y1 - y0)
+    b = _morton32(xi, yi) >> ZORDER_BUCKET_SHIFT
+    import pandas as pd2
+
+    ref = (
+        pd2.DataFrame({"bucket": b, "x": x, "y": y})
+        .groupby("bucket", as_index=False)
+        .agg(n=("x", "size"), x_min=("x", "min"), x_max=("x", "max"),
+             y_min=("y", "min"), y_max=("y", "max"))
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out = zorder_layout(SF)
+    pd2.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict()))
+    big = out[out.n >= 5]
+    assert len(big) >= 4
+    mean_span = float((big.x_max - big.x_min).mean())
+    assert mean_span < 0.35 * float(x1 - x0)  # buckets are x-local rectangles
+
+
+def test_set_similarity_join_exact(ray_session):
+    """Engine == BRUTE-FORCE all-pairs exact Jaccard at tau=0.8 over the
+    3-shingle sets (the prefix filter must lose nothing — the pigeonhole
+    guarantee), and every reported stat is the exact integer."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.dedup import PPJOIN_W, set_similarity_join
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    sets = {}
+    for d, txt in zip(t.doc_id, t.text):
+        ws = txt.split()
+        if len(ws) >= PPJOIN_W:
+            sets[int(d)] = {
+                " ".join(ws[i : i + PPJOIN_W]) for i in range(len(ws) - PPJOIN_W + 1)
+            }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            un = len(sets[a]) + len(sets[b]) - inter
+            if 10 * inter >= 8 * un:
+                expect[(a, b)] = (inter, un, inter * 1_000_000 // un)
+    out = set_similarity_join(SF)
+    got = {(r.id_a, r.id_b): (r.inter, r.union_n, r.jac_e6) for r in out.itertuples()}
+    assert got == expect
+    assert len(expect) > 0  # non-vacuous corpus
+
+
+def test_merkle_table_digest_matches_reference(ray_session):
+    """Engine hierarchy == single-process Merkle build, the root covers
+    every row, and a one-row perturbation flips exactly one leaf, one
+    mid and the root (the O(log)-probe locate property)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import MERKLE_FANOUT, MERKLE_SPAN, merkle_table_digest
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ).to_pandas()
+    t["c"] = to_cents(t.o_totalprice).astype("int64")
+
+    def build(frame):
+        rows = sorted(
+            (int(k), hashlib.md5(f"{int(k)}:{int(c)}:{s}".encode()).hexdigest())
+            for k, c, s in zip(frame.o_orderkey, frame.c, frame.o_orderstatus)
+        )
+        leaves = {}
+        for k, d in rows:
+            leaves.setdefault(k // MERKLE_SPAN, []).append(d)
+        lv0 = {b: (len(ds), hashlib.md5("".join(ds).encode()).hexdigest()) for b, ds in leaves.items()}
+        mids = {}
+        for b in sorted(lv0):
+            mids.setdefault(b // MERKLE_FANOUT, []).append(b)
+        lv1 = {
+            p: (
+                sum(lv0[b][0] for b in bs),
+                hashlib.md5("".join(lv0[b][1] for b in bs).encode()).hexdigest(),
+            )
+            for p, bs in mids.items()
+        }
+        root = hashlib.md5("".join(lv1[p][1] for p in sorted(lv1)).encode()).hexdigest()
+        full = {(0, b): v for b, v in lv0.items()}
+        full.update({(1, p): v for p, v in lv1.items()})
+        full[(2, 0)] = (len(rows), root)
+        return full
+
+    ref = build(t)
+    out = merkle_table_digest(SF)
+    got = {(r.level, r.bucket): (r.n_rows, r.digest) for r in out.itertuples()}
+    assert got == ref
+
+    t2 = t.copy()
+    t2.loc[t2.index[0], "c"] += 1  # one-row divergence
+    ref2 = build(t2)
+    changed = [key for key in ref if ref[key][1] != ref2[key][1]]
+    assert sorted(lvl for lvl, _ in changed) == [0, 1, 2]  # exactly one per level
