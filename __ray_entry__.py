@@ -644,6 +644,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pack_sequences demoted here — r03-driver-green; prefix-scan
         #  offsets machinery in-window via training_shards)
         "pack_sequences": traindata.pack_sequences,
+        # r4: marginal-novelty curve per corpus increment (crawl-batch
+        # ROI diagnostic; exact min-shard election over gram digests,
+        # ONE gram-hash exchange -> n_shards-bounded partials; below the
+        # fold — gram-digest election machinery window-represented via
+        # scrub_duplicate_spans)
+        "novelty_curve": traindata.novelty_curve,
+        # r4: corpus-relative percentile rank via cumulative-histogram
+        # broadcast (global rank, no global sort; below the fold — the
+        # histogram-broadcast shape is window-represented via
+        # token_budget_select)
+        "percentile_normalize": webtext.percentile_normalize,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -882,6 +893,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": traindata.BPE_TRAIN_SQL,
         "bpe_encode": traindata.BPE_ENCODE_SQL,
         "merkle_table_digest": analysis.MERKLE_SQL,
+        "novelty_curve": traindata.novelty_sql(),
+        "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -1797,3 +1797,101 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
        MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
 FROM z GROUP BY bucket ORDER BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# novelty curve: marginal new-distinct-grams per corpus increment
+# --------------------------------------------------------------------------
+
+NOVELTY_SHARDS = 16
+
+
+def novelty_curve(sf_dir: str, k: int = NGRAM_K, n_shards: int = NOVELTY_SHARDS) -> pd.DataFrame:
+    """Marginal-novelty curve: split the corpus into {n_shards}
+    doc_id-range increments (crawl batches) and report, per increment,
+    how many distinct k-grams appear in it at all (n_seen) and how many
+    appear there FIRST (n_new — i.e. in no earlier increment). The
+    n_new/n_seen decay is the corpus-growth ROI curve dedup planning
+    reads: when marginal novelty flattens, additional crawl volume buys
+    repetition, not data. A gram's first increment is a pure Min over
+    its (gram, shard) occurrences, so the curve is exact, not sampled.
+
+    Gram key contract: the key IS md5(gram) — both sides group by the
+    digest (slim 32-char shuffle rows, the duplicate_ngram_spans hashed
+    rationale; DuckDB has md5 natively, so the oracle states the same
+    key). Scale contract: one metadata pass for the doc_id range; one
+    pass emits block-distinct (digest, shard) rows; ONE gram-hash
+    exchange into 64 coarse partitions where BOTH aggregates (min-shard
+    election -> n_new, distinct-presence -> n_seen) reduce to <=
+    {n_shards} partial rows per partition; final groupby is
+    n_shards-sized."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def mm(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        return pa.table(
+            {"lo": pa.array([int(d.min())], pa.int64()), "hi": pa.array([int(d.max())], pa.int64())}
+        )
+
+    bounds = docs.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(bounds.lo.min()), int(bounds.hi.max())
+    span = hi - lo + 1
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gs, sh = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            shard = (d - lo) * n_shards // span
+            for g in set(_grams(t, k)):
+                gs.append(hashlib.md5(g.encode()).hexdigest())
+                sh.append(shard)
+        df = pd.DataFrame({"g": gs, "shard": sh}).drop_duplicates()
+        df["part"] = [int(h[:8], 16) % 64 for h in df.g]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def both_aggs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["g", "shard"])
+        new = g.groupby("g").shard.min().value_counts().rename("n_new")
+        seen = g.groupby("shard").size().rename("n_seen")
+        out = pd.concat([new, seen], axis=1).fillna(0).reset_index(names="shard")
+        return out.astype({"shard": "int64", "n_new": "int64", "n_seen": "int64"})
+
+    out = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(both_aggs, batch_format="pandas")
+        .groupby("shard")
+        .aggregate(Sum("n_new", alias_name="n_new"), Sum("n_seen", alias_name="n_seen"))
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    return out.astype({"shard": "int64", "n_new": "int64", "n_seen": "int64"})
+
+
+def novelty_sql(k: int = NGRAM_K, n_shards: int = NOVELTY_SHARDS) -> str:
+    return rf"""
+WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT doc_id, CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+                      THEN regexp_split_to_array(trim(text), '\s+')
+                      ELSE CAST([] AS VARCHAR[]) END AS ts
+  FROM documents),
+g AS (
+  SELECT DISTINCT t.doc_id,
+         md5(array_to_string(t.ts[gs.i : gs.i + {k} - 1], ' ')) AS g
+  FROM toks t, LATERAL unnest(generate_series(1, len(t.ts) - {k} + 1)) AS gs(i)
+  WHERE len(t.ts) >= {k}),
+gsh AS (
+  SELECT DISTINCT g.g,
+         (g.doc_id - b.lo) * {n_shards} // (b.hi - b.lo + 1) AS shard
+  FROM g, bounds b),
+new AS (SELECT shard, COUNT(*) AS cnt
+        FROM (SELECT g, MIN(shard) AS shard FROM gsh GROUP BY g) GROUP BY shard),
+seen AS (SELECT shard, COUNT(*) AS cnt FROM gsh GROUP BY shard)
+SELECT s.shard, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_new,
+       CAST(s.cnt AS BIGINT) AS n_seen
+FROM seen s LEFT JOIN new n USING (shard)
+ORDER BY s.shard
+"""

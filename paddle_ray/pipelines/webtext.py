@@ -1262,3 +1262,85 @@ w{r} AS (SELECT source, loss, ROUND(raw / z{r}.z, 6) AS w FROM r{r}, z{r})"""
 SELECT source, loss, w AS weight FROM w{rounds} ORDER BY source
 """
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-relative percentile normalization (global rank, no global sort)
+# --------------------------------------------------------------------------
+
+def percentile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Per-doc corpus-relative percentile of token count:
+    pct_ppm = (#docs with strictly smaller n_tok) * 1e6 // N — the
+    feature normalization a corpus-relative quality gate wants ("is
+    this doc long FOR THIS CORPUS?") where raw thresholds drift across
+    corpora. The global rank is computed WITHOUT a global sort: pass 1
+    collapses the corpus to a value histogram (per-block value-count
+    partials, distinct n_tok values bounded by the max document length
+    in tokens — thousands, not corpus-sized), the driver prefix-sums it
+    into a strictly-smaller table broadcast once, and pass 2 is a
+    stateless per-doc lookup. Exact integers end-to-end (ties share a
+    percentile by the strict-rank definition, mirrored by the oracle's
+    windowed SUM-minus-self)."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pd.Series([len(t.split()) for t in batch["text"].to_pylist()])
+        vc = n.value_counts()
+        return pa.table(
+            {
+                "n_tok": pa.array(vc.index.astype("int64"), pa.int64()),
+                "c": pa.array(vc.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_tok")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n_tok")
+        .reset_index(drop=True)
+    )
+    total = int(hist.c.sum())
+    lt = dict(zip(hist.n_tok.astype(int), (hist.c.cumsum() - hist.c).astype(int)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ns = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tok": pa.array(ns, pa.int64()),
+                "pct_ppm": pa.array(
+                    [lt[n] * 1_000_000 // total for n in ns], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "n_tok": "int64", "pct_ppm": "int64"})
+
+
+PERCENTILE_NORMALIZE_SQL = r"""
+WITH dt AS (
+  SELECT doc_id, CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+                      THEN len(regexp_split_to_array(trim(text), '\s+'))
+                      ELSE 0 END AS n_tok
+  FROM documents),
+h AS (SELECT n_tok, COUNT(*) AS c FROM dt GROUP BY n_tok),
+cum AS (SELECT n_tok,
+               SUM(c) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) - c AS lt
+        FROM h),
+n AS (SELECT COUNT(*) AS nn FROM dt)
+SELECT dt.doc_id, CAST(dt.n_tok AS BIGINT) AS n_tok,
+       CAST(cum.lt * 1000000 // n.nn AS BIGINT) AS pct_ppm
+FROM dt JOIN cum USING (n_tok), n
+ORDER BY dt.doc_id
+"""

@@ -1617,3 +1617,63 @@ def test_merkle_table_digest_matches_reference(ray_session):
     ref2 = build(t2)
     changed = [key for key in ref if ref[key][1] != ref2[key][1]]
     assert sorted(lvl for lvl, _ in changed) == [0, 1, 2]  # exactly one per level
+
+
+def test_novelty_curve_matches_reference(ray_session):
+    """Engine == single-process first-occurrence scan; sum(n_new) ==
+    total distinct grams; increment 0's grams are all new; the curve is
+    non-vacuous (later increments repeat earlier grams)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.traindata import NGRAM_K, NOVELTY_SHARDS, _grams, novelty_curve
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    lo, hi = int(t.doc_id.min()), int(t.doc_id.max())
+    span = hi - lo + 1
+    first, per_shard = {}, {}
+    for d, txt in zip(t.doc_id, t.text):
+        sh = (int(d) - lo) * NOVELTY_SHARDS // span
+        for g in set(_grams(txt, NGRAM_K)):
+            key = hashlib.md5(g.encode()).hexdigest()
+            per_shard.setdefault(sh, set()).add(key)
+            first[key] = min(first.get(key, sh), sh)
+    exp_new = {}
+    for sh in first.values():
+        exp_new[sh] = exp_new.get(sh, 0) + 1
+    out = novelty_curve(SF)
+    got_new = dict(zip(out.shard, out.n_new))
+    got_seen = dict(zip(out.shard, out.n_seen))
+    assert got_seen == {sh: len(s) for sh, s in per_shard.items()}
+    assert {k: v for k, v in got_new.items() if v} == exp_new
+    assert int(out.n_new.sum()) == len(first)
+    first_shard = int(out.shard.min())
+    assert got_new[first_shard] == got_seen[first_shard]  # all new at the start
+    assert (out.n_new < out.n_seen).any()  # real repetition later
+
+
+def test_percentile_normalize_matches_reference(ray_session):
+    """Engine == single-process strict-rank percentile; ties share a
+    value; monotone in n_tok; bounded in [0, 1e6)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.webtext import percentile_normalize
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ns = t.text.str.split().str.len()
+    n_sorted = sorted(ns)
+    import bisect
+
+    total = len(ns)
+    expect = {
+        int(d): bisect.bisect_left(n_sorted, int(n)) * 1_000_000 // total
+        for d, n in zip(t.doc_id, ns)
+    }
+    out = percentile_normalize(SF)
+    got = dict(zip(out.doc_id.astype(int), out.pct_ppm.astype(int)))
+    assert got == expect
+    assert out.pct_ppm.min() == 0 and out.pct_ppm.max() < 1_000_000
+    s = out.sort_values(["n_tok", "doc_id"])
+    assert s.pct_ppm.is_monotonic_increasing
+    assert s.groupby("n_tok").pct_ppm.nunique().max() == 1  # ties share
