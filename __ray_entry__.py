@@ -655,6 +655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram-broadcast shape is window-represented via
         # token_budget_select)
         "percentile_normalize": webtext.percentile_normalize,
+        # r4: exact triangle count via min-vertex node-iterator (wedge
+        # self-merge at the pivot + one closure join; below the fold —
+        # the graph family's window slot stays with pagerank)
+        "triangle_count": webgraph.triangle_count,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -895,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "merkle_table_digest": analysis.MERKLE_SQL,
         "novelty_curve": traindata.novelty_sql(),
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
+        "triangle_count": webgraph.TRIANGLE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -171,3 +171,129 @@ r2 AS (
 SELECT r2.doc_id, ROUND(r2.r * n.n, 6) AS rank
 FROM r2 CROSS JOIN n ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# triangle counting (node-iterator on the minimum vertex)
+# --------------------------------------------------------------------------
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the undirected version of the derived
+    doc graph — the clustering-coefficient numerator, the standard
+    graph-analytics companion to PageRank (spam-farm link rings and
+    organic communities separate on triangle density). Node-iterator on
+    the MINIMUM vertex: every triangle a < b < c is counted exactly
+    once, as the wedge (b, c) pivoting at a that closes with edge
+    (b, c). Output: (n_edges, n_wedges, n_triangles) exact int64.
+
+    Scale contract: edges derive per block (never driver-side) and
+    canonicalize/dedup on coarse u-hash partitions; wedges form by a
+    vectorized per-partition self-merge at the shared minimum vertex
+    (all edges of a pivot co-locate by the partitioning); closure is
+    ONE native hash join of wedge rows against 'u:v' edge keys. Wedge
+    volume is sum-of-deg^2-bounded — the hub-degree skew hazard of
+    triangle counting; the derived graph's max degree is ~11, and a
+    power-law graph caps pivots by degree-ordering (each edge pivots at
+    its LOWER-degree endpoint), noted for the 100 TB path."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    n = _ids(sf_dir).count()
+    n_parts = 64
+
+    def canon(batch: pa.Table) -> pa.Table:
+        e = _edges_batch(batch, n)
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        df["part"] = (df.u % n_parts).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        _ids(sf_dir)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: g[["u", "v"]].drop_duplicates(), batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="u")
+        m = m[m.v_x < m.v_y]
+        return m[["v_x", "v_y"]].rename(columns={"v_x": "v1", "v_y": "v2"})
+
+    def repart(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array((batch["u"].to_numpy() % n_parts).astype(np.int32))
+        )
+
+    wedge_ds = (
+        edges.map_batches(repart, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    n_wedges = wedge_ds.count()
+
+    def wkey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(
+                    [
+                        f"{a}:{b}"
+                        for a, b in zip(batch["v1"].to_pylist(), batch["v2"].to_pylist())
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    def ekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(
+                    [
+                        f"{a}:{b}"
+                        for a, b in zip(batch["u"].to_pylist(), batch["v"].to_pylist())
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    closed = wedge_ds.map_batches(wkey, batch_format="pyarrow").join(
+        edges.map_batches(ekey, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("k",),
+    )
+    n_tri = closed.count()
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+        }
+    )
+
+
+TRIANGLE_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+raw AS (
+  SELECT id AS src, (id * id + 3) % nn.n AS dst FROM ids, nn
+  UNION ALL
+  SELECT id, (id // 7) % nn.n FROM ids, nn),
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst),
+w AS (SELECT a.v AS v1, b.v AS v2 FROM e a JOIN e b ON a.u = b.u AND a.v < b.v),
+t AS (SELECT COUNT(*) AS tri FROM w JOIN e ON e.u = w.v1 AND e.v = w.v2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+       CAST(t.tri AS BIGINT) AS n_triangles
+FROM t
+"""

@@ -1677,3 +1677,42 @@ def test_percentile_normalize_matches_reference(ray_session):
     s = out.sort_values(["n_tok", "doc_id"])
     assert s.pct_ppm.is_monotonic_increasing
     assert s.groupby("n_tok").pct_ppm.nunique().max() == 1  # ties share
+
+
+def test_triangle_count_matches_reference(ray_session):
+    """Engine == single-process min-vertex node-iterator over the same
+    derived graph; count is non-vacuous."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.webgraph import triangle_count
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .to_pandas()
+        .doc_id.astype(int)
+        .tolist()
+    )
+    n = len(ids)
+    edges = set()
+    for i in ids:
+        for d in ((i * i + 3) % n, (i // 7) % n):
+            if d != i:
+                edges.add((min(i, d), max(i, d)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    wedges = tri = 0
+    for u, vs in adj.items():
+        for v1, v2 in itertools.combinations(sorted(vs), 2):
+            wedges += 1
+            if (v1, v2) in edges:
+                tri += 1
+    out = triangle_count(SF)
+    assert (int(out.n_edges[0]), int(out.n_wedges[0]), int(out.n_triangles[0])) == (
+        len(edges),
+        wedges,
+        tri,
+    )
+    assert tri > 0
