@@ -659,6 +659,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-merge at the pivot + one closure join; below the fold —
         # the graph family's window slot stays with pagerank)
         "triangle_count": webgraph.triangle_count,
+        # r4: PSI distribution drift between corpus sides (ref-fixed
+        # decile bins, exact counts + rounded-6 mirrored terms; below
+        # the fold — histogram machinery window-represented via
+        # token_budget_select, chained-float via doremi_weights)
+        "distribution_drift": webtext.distribution_drift,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -900,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_curve": traindata.novelty_sql(),
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "triangle_count": webgraph.TRIANGLE_SQL,
+        "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -1344,3 +1344,127 @@ SELECT dt.doc_id, CAST(dt.n_tok AS BIGINT) AS n_tok,
 FROM dt JOIN cum USING (n_tok), n
 ORDER BY dt.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# PSI distribution drift between two corpus sides (ML-ops drift monitor)
+# --------------------------------------------------------------------------
+
+PSI_EPS = 1e-6  # proportion floor (the standard zero-bin guard)
+
+
+def distribution_drift(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index between the even-numbered sources
+    (reference) and the odd-numbered sources (production) over the
+    doc-length distribution — the drift monitor an ingest pipeline runs
+    per batch before trusting thresholds tuned on the reference
+    (PSI > 0.25 conventionally means recalibrate). Decile bins are
+    fixed FROM THE REFERENCE side (the standard recipe), bucket(x) =
+    #(boundaries < x), and each bucket row reports exact counts plus
+    term6 = round((p - q) * ln(p / q), 6) with both proportions
+    rounded-6 then floored at {PSI_EPS} — the doremi chained-float
+    discipline, one division + one ln per bucket mirrored by the
+    oracle. Per-bucket rows only (no order-dependent float total).
+
+    Scale contract: pass 1 collapses the reference side to a value
+    histogram (per-block partials, distinct-value bounded) and the
+    driver picks the 9 decile boundaries by integer rank
+    ((i*n + 9) // 10 — the quantile_disc contract); pass 2 buckets each
+    doc with one vectorized searchsorted and emits (bucket, side, n)
+    partials into a 20-row groupby."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def side_of(sources):
+        return [int(s[3:]) % 2 for s in sources]
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        sides = side_of(batch["source"].to_pylist())
+        ns = [len(t.split()) for t, sd in zip(batch["text"].to_pylist(), sides) if sd == 0]
+        vc = pd.Series(ns).value_counts() if ns else pd.Series([], dtype="int64")
+        return pa.table(
+            {
+                "n_tok": pa.array(vc.index.astype("int64") if len(vc) else [], pa.int64()),
+                "c": pa.array(vc.to_numpy().astype("int64") if len(vc) else [], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=("text", "source"))
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_tok")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n_tok")
+        .reset_index(drop=True)
+    )
+    n_ref = int(hist.c.sum())
+    cum = hist.c.cumsum()
+    bnds = []
+    for i in range(1, 10):
+        rank = (i * n_ref + 9) // 10
+        bnds.append(int(hist.n_tok[cum.searchsorted(rank, side="left")]))
+    bnds_arr = np.asarray(bnds, dtype=np.int64)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        sides = np.asarray(side_of(batch["source"].to_pylist()), dtype=np.int64)
+        ns = np.asarray([len(t.split()) for t in batch["text"].to_pylist()], dtype=np.int64)
+        bk = np.searchsorted(bnds_arr, ns, side="left")  # == #(boundaries < x)
+        df = (
+            pd.DataFrame({"bucket": bk, "side": sides})
+            .groupby(["bucket", "side"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cnt = (
+        docs.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["bucket", "side"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = cnt.pivot_table(index="bucket", columns="side", values="n", fill_value=0)
+    cr = piv.get(0, pd.Series(0, index=piv.index)).astype(int)
+    cp = piv.get(1, pd.Series(0, index=piv.index)).astype(int)
+    nr, npp = int(cr.sum()), int(cp.sum())
+    rows = []
+    for b in sorted(piv.index):
+        p = max(round(int(cr[b]) / nr, 6), PSI_EPS)
+        q = max(round(int(cp[b]) / npp, 6), PSI_EPS)
+        rows.append((int(b), int(cr[b]), int(cp[b]), round((p - q) * math.log(p / q), 6)))
+    return pd.DataFrame(rows, columns=["bucket", "cnt_ref", "cnt_prod", "term6"]).astype(
+        {"bucket": "int64", "cnt_ref": "int64", "cnt_prod": "int64", "term6": "float64"}
+    )
+
+
+DISTRIBUTION_DRIFT_SQL = rf"""
+WITH dt AS (
+  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) % 2 AS side,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN len(regexp_split_to_array(trim(text), '\s+'))
+              ELSE 0 END AS n_tok
+  FROM documents),
+refs AS (SELECT n_tok FROM dt WHERE side = 0),
+o AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rk FROM refs),
+nn AS (SELECT COUNT(*) AS n FROM refs),
+b AS (SELECT t.i, MIN(o.n_tok) AS bnd
+      FROM o, nn, range(1, 10) t(i)
+      WHERE o.rk >= (t.i * nn.n + 9) // 10 GROUP BY t.i),
+bkt AS (SELECT d.doc_id, d.side,
+               SUM(CASE WHEN d.n_tok > b.bnd THEN 1 ELSE 0 END) AS bucket
+        FROM dt d CROSS JOIN b GROUP BY d.doc_id, d.side),
+c AS (SELECT bucket,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cp
+      FROM bkt GROUP BY bucket),
+tot AS (SELECT SUM(cr) AS nr, SUM(cp) AS np FROM c)
+SELECT CAST(c.bucket AS BIGINT) AS bucket,
+       CAST(c.cr AS BIGINT) AS cnt_ref, CAST(c.cp AS BIGINT) AS cnt_prod,
+       ROUND((GREATEST(ROUND(c.cr / tot.nr, 6), {PSI_EPS})
+              - GREATEST(ROUND(c.cp / tot.np, 6), {PSI_EPS}))
+             * ln(GREATEST(ROUND(c.cr / tot.nr, 6), {PSI_EPS})
+                  / GREATEST(ROUND(c.cp / tot.np, 6), {PSI_EPS})), 6) AS term6
+FROM c, tot ORDER BY c.bucket
+"""

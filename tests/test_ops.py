@@ -1716,3 +1716,39 @@ def test_triangle_count_matches_reference(ray_session):
         tri,
     )
     assert tri > 0
+
+
+def test_distribution_drift_matches_reference(ray_session):
+    """Engine == single-process PSI (ref-fixed decile bins, strict-rank
+    boundaries, rounded-6 terms); counts cover both sides exactly and
+    terms are non-negative ((p-q)ln(p/q) >= 0)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.webtext import PSI_EPS, distribution_drift
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"]).to_pandas()
+    t["side"] = [int(s[3:]) % 2 for s in t.source]
+    t["n"] = t.text.str.split().str.len()
+    ref = sorted(t[t.side == 0].n)
+    n_ref = len(ref)
+    bnds = [ref[(i * n_ref + 9) // 10 - 1] for i in range(1, 10)]
+    import bisect
+
+    t["bucket"] = [bisect.bisect_left(bnds, x) for x in t.n]
+    exp = {}
+    nr = int((t.side == 0).sum())
+    npp = int((t.side == 1).sum())
+    for b, g in t.groupby("bucket"):
+        cr = int((g.side == 0).sum())
+        cp = int((g.side == 1).sum())
+        p = max(round(cr / nr, 6), PSI_EPS)
+        q = max(round(cp / npp, 6), PSI_EPS)
+        exp[int(b)] = (cr, cp, round((p - q) * math.log(p / q), 6))
+    out = distribution_drift(SF)
+    got = {int(r.bucket): (r.cnt_ref, r.cnt_prod, r.term6) for r in out.itertuples()}
+    assert got == exp
+    assert int(out.cnt_ref.sum()) == nr and int(out.cnt_prod.sum()) == npp
+    assert (out.term6 >= 0).all()
+    assert (out.term6 > 0).any()  # real drift measured
