@@ -664,6 +664,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the fold — histogram machinery window-represented via
         # token_budget_select, chained-float via doremi_weights)
         "distribution_drift": webtext.distribution_drift,
+        # r4: next-touch-after-order revenue analysis (forward as-of
+        # with payload + airtight (user, ts) tie reduction; below the
+        # fold — the cogrouped merge_asof machinery is represented via
+        # the asof family)
+        "next_touch_after_order": joins.next_touch_after_order,
+        # r4: interval-stabbing sweep — open-orders backlog per day via
+        # +1/-1 day deltas and a TIME-bounded running sum (below the
+        # fold — delta partials + driver scan shape as events_anomaly)
+        "orders_backlog_curve": events.orders_backlog_curve,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -906,6 +915,8 @@ def oracle_sql() -> dict[str, str]:
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "triangle_count": webgraph.TRIANGLE_SQL,
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
+        "next_touch_after_order": joins.NEXT_TOUCH_SQL,
+        "orders_backlog_curve": events.BACKLOG_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

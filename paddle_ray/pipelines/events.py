@@ -1401,3 +1401,73 @@ SELECT user_id, event_type, CAST(valid_from_us AS BIGINT) AS valid_from_us,
        n_events
 FROM g ORDER BY user_id, valid_from_us
 """
+
+
+# --------------------------------------------------------------------------
+# backlog curve: concurrent open orders per day (interval stabbing sweep)
+# --------------------------------------------------------------------------
+
+def orders_backlog_curve(sf_dir: str) -> pd.DataFrame:
+    """How many orders are OPEN on each day — the interval-stabbing
+    sweep (fulfilment backlog / concurrent-sessions / resource-overlap
+    shape): each order contributes +1 at its open day and -1 at its
+    close day, and the backlog is the running sum of the day deltas.
+    Close day is DERIVED deterministically (open + o_orderkey % 30 + 1
+    days) since orders carry no close column; the oracle restates the
+    derivation. The sweep never materializes intervals x days: the
+    distributed part is per-block (day, delta) integer partials into a
+    day-bounded groupby, and the running sum scans the TIME-bounded day
+    table on the driver (the events_anomaly_windows argument — days
+    grow with time, not data volume).
+
+    Output per delta-day: the net delta and the backlog AFTER applying
+    it. Exact integers; the final backlog is 0 (every order closes)."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        od = (pc.cast(batch["o_orderdate"], pa.int64()).to_numpy() // DAY_US).astype(np.int64)
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        close = od + (k % 30) + 1
+        df = pd.DataFrame(
+            {
+                "day": np.concatenate([od, close]),
+                "delta": np.concatenate(
+                    [np.ones(len(od), np.int64), -np.ones(len(od), np.int64)]
+                ),
+            }
+        )
+        g = df.groupby("day", as_index=False).delta.sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from .common import sized_read_parquet
+
+    out = (
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+        .map_batches(deltas, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["backlog"] = out.delta.cumsum()
+    return out.astype({"day": "int64", "delta": "int64", "backlog": "int64"})
+
+
+BACKLOG_SQL = """
+WITH o AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS od, o_orderkey % 30 + 1 AS dur
+  FROM orders),
+d AS (
+  SELECT od AS day, 1 AS dl FROM o
+  UNION ALL
+  SELECT od + dur, -1 FROM o),
+g AS (SELECT day, SUM(dl) AS delta FROM d GROUP BY day)
+SELECT day, CAST(delta AS BIGINT) AS delta,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM g ORDER BY day
+"""

@@ -754,3 +754,108 @@ w AS (SELECT * FROM ops
 SELECT k AS o_orderkey, price_cents, status FROM w
 WHERE is_del = 0 ORDER BY o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution (reverse as-of: order revenue -> crediting event)
+# --------------------------------------------------------------------------
+
+def next_touch_after_order(sf_dir: str) -> pd.DataFrame:
+    """Next-touch analysis: every order credits its full price to the
+    user's FIRST event at-or-after the order date (the post-purchase
+    follow-up model — which touchpoint do buyers hit next, and how much
+    revenue sits behind each; the forward twin of asof_events_orders,
+    and the direction that is live on this corpus, whose events all
+    postdate its orders). Orders whose user never appears in the event
+    stream credit '(none)'. Ties are airtight: events are pre-reduced
+    to ONE winner per (user, ts) by MIN event_id on BOTH sides, so the
+    as-of match is deterministic even under timestamp collisions.
+
+    Scale contract: the asof_events_orders dataflow — both sides tag
+    into a common slim schema, union, ONE cogrouped exchange by coarse
+    key hash, one vectorized `pd.merge_asof(by=key)` per partition,
+    per-partition integer-cent rollups into an #event_types-bounded
+    groupby. Revenue is exact int64 cents."""
+    from .common import to_cents
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(key)
+        return pa.table(
+            {
+                "part": _hash_part(key, N_ASOF_PARTS),
+                "key": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "event_id": batch["event_id"],
+                "cents": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(key)
+        return pa.table(
+            {
+                "part": _hash_part(key, N_ASOF_PARTS),
+                "key": batch["o_custkey"],
+                "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "event_id": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "cents": pa.array(to_cents(batch["o_totalprice"].to_numpy()), pa.int64()),
+                "event_type": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow", batch_size=None).union(
+        od.map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
+    )
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.kind == 1][["key", "ts_us", "cents"]].sort_values(
+            "ts_us", kind="mergesort"
+        )
+        right = (
+            g[g.kind == 0]
+            .sort_values(["key", "ts_us", "event_id"], kind="mergesort")
+            .drop_duplicates(["key", "ts_us"], keep="first")[["key", "ts_us", "event_type"]]
+            .rename(columns={"ts_us": "e_ts_us"})
+            .sort_values("e_ts_us", kind="mergesort")
+        )
+        if left.empty:
+            return pd.DataFrame({"event_type": [], "n_orders": [], "revenue_cents": []})
+        m = pd.merge_asof(
+            left, right, left_on="ts_us", right_on="e_ts_us", by="key", direction="forward"
+        )
+        m["event_type"] = m.event_type.fillna("(none)")
+        return m.groupby("event_type", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+
+    out = (
+        both.groupby("part")
+        .map_groups(attrib, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype({"event_type": "str", "n_orders": "int64", "revenue_cents": "int64"})
+
+
+NEXT_TOUCH_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1)
+SELECT COALESCE(e.event_type, '(none)') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+ASOF LEFT JOIN ev e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY 1 ORDER BY 1
+"""

@@ -1752,3 +1752,64 @@ def test_distribution_drift_matches_reference(ray_session):
     assert int(out.cnt_ref.sum()) == nr and int(out.cnt_prod.sum()) == npp
     assert (out.term6 >= 0).all()
     assert (out.term6 > 0).any()  # real drift measured
+
+
+def test_next_touch_after_order_matches_reference(ray_session):
+    """Engine == single-process forward-asof next-touch model; total
+    revenue conserved; both the matched and '(none)' arms are live and
+    the matched mass splits across event types."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import to_cents
+    from paddle_ray.pipelines.joins import next_touch_after_order
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    ev["tus"] = ev.ts.astype("int64")
+    ev = ev.sort_values(["user_id", "tus", "event_id"]).drop_duplicates(
+        ["user_id", "tus"], keep="first"
+    )
+    by_user = {u: list(zip(g.tus, g.event_type)) for u, g in ev.groupby("user_id")}
+    import bisect
+
+    exp = {}
+    for k, d, p in zip(od.o_custkey, od.o_orderdate.astype("int64"), to_cents(od.o_totalprice)):
+        evs = by_user.get(int(k), [])
+        tss = [t for t, _ in evs]
+        i = bisect.bisect_left(tss, int(d))
+        et = evs[i][1] if i < len(evs) else "(none)"
+        n, r = exp.get(et, (0, 0))
+        exp[et] = (n + 1, r + int(p))
+    out = next_touch_after_order(SF)
+    got = {r.event_type: (r.n_orders, r.revenue_cents) for r in out.itertuples()}
+    assert got == exp
+    assert int(out.revenue_cents.sum()) == int(to_cents(od.o_totalprice).sum())
+    assert len([k for k in got if k != "(none)"]) > 1  # real split
+    assert "(none)" in got  # no-event users exist
+
+
+def test_orders_backlog_curve_matches_reference(ray_session):
+    """Engine == single-process sweep; backlog ends at 0 and peaks > 0."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.events import orders_backlog_curve
+
+    od = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    days = od.o_orderdate.astype("int64") // 86_400_000_000
+    deltas = {}
+    for k, d in zip(od.o_orderkey.astype(int), days.astype(int)):
+        deltas[d] = deltas.get(d, 0) + 1
+        c = d + k % 30 + 1
+        deltas[c] = deltas.get(c, 0) - 1
+    out = orders_backlog_curve(SF)
+    assert dict(zip(out.day, out.delta)) == deltas
+    run = 0
+    for d in sorted(deltas):
+        run += deltas[d]
+        assert run == int(out.backlog[out.day == d].iloc[0])
+    assert int(out.backlog.iloc[-1]) == 0
+    assert int(out.backlog.max()) > 0
