@@ -673,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # +1/-1 day deltas and a TIME-bounded running sum (below the
         # fold — delta partials + driver scan shape as events_anomaly)
         "orders_backlog_curve": events.orders_backlog_curve,
+        # r4: exact integer Gini of per-user activity from the
+        # count-of-counts histogram (the salt-or-not skew diagnostic;
+        # below the fold — double-aggregation partials shape)
+        "user_activity_gini": events.user_activity_gini,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -917,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,
+        "user_activity_gini": events.GINI_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

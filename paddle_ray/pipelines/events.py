@@ -1471,3 +1471,85 @@ SELECT day, CAST(delta AS BIGINT) AS delta,
        CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
 FROM g ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# activity-skew report: exact Gini over per-user event counts
+# --------------------------------------------------------------------------
+
+def user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """EXACT Gini coefficient of per-user event counts — the skew
+    diagnostic that tells a partitioning plan whether user-keyed work is
+    power-law (salt/split hot keys) or flat (plain hash is fine).
+    Computed with zero floats from the COUNT-OF-COUNTS histogram: users
+    collapse to (events_per_user, n_users) rows — bounded by the max
+    per-user activity, not the user count — and with the histogram
+    sorted ascending, a tie-block of f users at value v whose
+    predecessors number c contributes v * f * (2c + f + 1) / 2 to the
+    rank-weighted sum S1 (consecutive-integer ranks summed in closed
+    form), giving G = (2*S1 - (n+1)*T) / (n*T) reported as exact
+    fixed-point gini_ppm = (2*S1 - (n+1)*T) * 1e6 // (n*T) via
+    arbitrary-precision driver ints (HUGEINT in the oracle).
+
+    Scale contract: per-block (user, n) partials -> user-sized groupby
+    -> per-block count-of-counts partials -> activity-bounded groupby;
+    the closed-form scan runs on the tiny histogram. Output: one row
+    (n_users, total_events, max_per_user, gini_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("user_id").aggregate([("event_id", "count")])
+        return t.rename_columns(["user_id", "n"])
+
+    per_user = (
+        _events(sf_dir, columns=["user_id", "event_id"])
+        .map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def coc_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("n").aggregate([("user_id", "count")])
+        return t.rename_columns(["n", "f"])
+
+    hist = (
+        per_user.map_batches(coc_partial, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("f", alias_name="f"))
+        .to_pandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    n_users = int(hist.f.sum())
+    total = int((hist.n * hist.f).sum())
+    s1, c = 0, 0
+    for v, f in zip(hist.n.astype(int), hist.f.astype(int)):
+        s1 += v * f * (2 * c + f + 1) // 2  # f*(2c+f+1) is always even
+        c += f
+    gini_ppm = (2 * s1 - (n_users + 1) * total) * 1_000_000 // (n_users * total)
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n_users], dtype="int64"),
+            "total_events": pd.Series([total], dtype="int64"),
+            "max_per_user": pd.Series([int(hist.n.max())], dtype="int64"),
+            "gini_ppm": pd.Series([gini_ppm], dtype="int64"),
+        }
+    )
+
+
+GINI_SQL = """
+WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+h AS (SELECT n, CAST(COUNT(*) AS HUGEINT) AS f FROM pu GROUP BY n),
+w AS (SELECT n, f,
+             COALESCE(SUM(f) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS c
+      FROM h),
+s AS (SELECT SUM(CAST(n AS HUGEINT) * f * (2 * c + f + 1) // 2) AS s1,
+             SUM(f) AS nu, SUM(CAST(n AS HUGEINT) * f) AS t,
+             MAX(n) AS mx
+      FROM w)
+SELECT CAST(nu AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_events,
+       CAST(mx AS BIGINT) AS max_per_user,
+       CAST((2 * s1 - (nu + 1) * t) * 1000000 // (nu * t) AS BIGINT) AS gini_ppm
+FROM s
+"""

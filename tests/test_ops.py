@@ -1813,3 +1813,25 @@ def test_orders_backlog_curve_matches_reference(ray_session):
         assert run == int(out.backlog[out.day == d].iloc[0])
     assert int(out.backlog.iloc[-1]) == 0
     assert int(out.backlog.max()) > 0
+
+
+def test_user_activity_gini_matches_reference(ray_session):
+    """Engine == the textbook sorted-rank Gini computed directly over
+    per-user counts (the closed-form tie-block formula must agree), and
+    the coefficient is strictly inside (0, 1) on this corpus."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.events import user_activity_gini
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    counts = sorted(t.user_id.value_counts().astype(int))
+    n = len(counts)
+    tot = sum(counts)
+    s1 = sum((i + 1) * x for i, x in enumerate(counts))
+    expect = (2 * s1 - (n + 1) * tot) * 1_000_000 // (n * tot)
+    out = user_activity_gini(SF)
+    assert int(out.n_users[0]) == n
+    assert int(out.total_events[0]) == tot
+    assert int(out.max_per_user[0]) == max(counts)
+    assert int(out.gini_ppm[0]) == expect
+    assert 0 < expect < 1_000_000
