@@ -677,6 +677,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-of-counts histogram (the salt-or-not skew diagnostic;
         # below the fold — double-aggregation partials shape)
         "user_activity_gini": events.user_activity_gini,
+        # r4: exact-k uniform global sample via partial-top-k over an
+        # independent 'samp:' md5 key (below the fold — partial-top-k
+        # window-represented via bm25_topk)
+        "uniform_sample_exact_k": webtext.uniform_sample_exact_k,
+        # r4: k-anonymity release audit over (lang, source, length
+        # decile) quasi-identifier cells (below the fold — bounded-cell
+        # partial rollup shape)
+        "k_anonymity_audit": webtext.k_anonymity_audit,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -922,6 +930,8 @@ def oracle_sql() -> dict[str, str]:
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,
         "user_activity_gini": events.GINI_SQL,
+        "uniform_sample_exact_k": webtext.uniform_sample_sql(),
+        "k_anonymity_audit": webtext.k_anonymity_sql(),
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

@@ -1468,3 +1468,129 @@ SELECT CAST(c.bucket AS BIGINT) AS bucket,
                   / GREATEST(ROUND(c.cp / tot.np, 6), {PSI_EPS})), 6) AS term6
 FROM c, tot ORDER BY c.bucket
 """
+
+
+# --------------------------------------------------------------------------
+# exact-k uniform global sample (partial-top-k, no global sort)
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 200
+
+
+def uniform_sample_exact_k(sf_dir: str, k: int = SAMPLE_K) -> pd.DataFrame:
+    """A uniform random sample of EXACTLY k documents, deterministic and
+    parallelism-invariant: rank every doc by md5('samp:' || doc_id) (an
+    independent key prefix, so composing with the other md5-keyed
+    sampling ops stays unbiased) and keep the k smallest. Rate-based
+    keeps (importance_resample, stratified_sample) give binomial sizes;
+    training-data budgets frequently need exactly k. The global top-k
+    is the bm25/knn partial-top-k pattern — each block ships at most k
+    (key, doc_id, n_tok) rows, the driver merges #blocks x k rows, and
+    no global sort ever materializes. Output: the selected docs
+    (doc_id, n_tok) ordered by doc_id, so the gate value-locks the
+    exact selected set."""
+    import hashlib
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ns = [len(t.split()) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "key": [hashlib.md5(f"samp:{d}".encode()).hexdigest() for d in ids],
+                "doc_id": ids,
+                "n_tok": ns,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.sort_values(["key", "doc_id"]).head(k), preserve_index=False
+        )
+
+    cands = (
+        _docs(sf_dir)
+        .map_batches(cand, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["key", "doc_id"])
+        .head(k)
+    )
+    out = cands[["doc_id", "n_tok"]].sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_tok": "int64"})
+
+
+def uniform_sample_sql(k: int = SAMPLE_K) -> str:
+    return rf"""
+SELECT doc_id,
+       CAST(CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+                 THEN len(regexp_split_to_array(trim(text), '\s+'))
+                 ELSE 0 END AS BIGINT) AS n_tok
+FROM documents
+ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy-release gate over quasi-identifier cells)
+# --------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+def k_anonymity_audit(sf_dir: str, k: int = K_ANON) -> pd.DataFrame:
+    """k-anonymity audit before releasing per-document metadata: with
+    the quasi-identifier tuple (lang, source, n_tok decile-of-10-token
+    bucket), a cell with fewer than k members re-identifies its docs by
+    metadata alone. Reports, per lang: the number of QI cells, the
+    cells below k, and the documents at risk (the release gate a
+    privacy review runs; pii_redact handles content, this handles the
+    aggregate side-channel).
+
+    Scale contract: one stateless pass emits per-block (lang, source,
+    bucket, n) integer partials into a QI-space-bounded groupby
+    (#langs x #sources x #buckets); the threshold rollup is cell-sized.
+    Exact integers throughout."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "source": batch["source"].to_pylist(),
+                "bucket": [len(t.split()) // 10 for t in batch["text"].to_pylist()],
+            }
+        )
+        g = df.groupby(["lang", "source", "bucket"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    cells = (
+        _docs(sf_dir, columns=("text", "lang", "source"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = (
+        cells.assign(viol=(cells.n < k).astype(int), at_risk=cells.n.where(cells.n < k, 0))
+        .groupby("lang", as_index=False)
+        .agg(n_cells=("n", "size"), cells_below_k=("viol", "sum"), docs_at_risk=("at_risk", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"lang": "str", "n_cells": "int64", "cells_below_k": "int64", "docs_at_risk": "int64"}
+    )
+
+
+def k_anonymity_sql(k: int = K_ANON) -> str:
+    return rf"""
+WITH dt AS (
+  SELECT lang, source,
+         CASE WHEN regexp_matches(text, '[^ \t\n\r\f\v]')
+              THEN len(regexp_split_to_array(trim(text), '\s+'))
+              ELSE 0 END // 10 AS bucket
+  FROM documents),
+c AS (SELECT lang, source, bucket, COUNT(*) AS n FROM dt GROUP BY 1, 2, 3)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT) AS cells_below_k,
+       CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT) AS docs_at_risk
+FROM c GROUP BY lang ORDER BY lang
+"""

@@ -1835,3 +1835,44 @@ def test_user_activity_gini_matches_reference(ray_session):
     assert int(out.max_per_user[0]) == max(counts)
     assert int(out.gini_ppm[0]) == expect
     assert 0 < expect < 1_000_000
+
+
+def test_uniform_sample_exact_k_and_k_anonymity(ray_session):
+    """uniform_sample_exact_k == single-process md5 top-k (exactly k,
+    parallelism-invariant by construction); k_anonymity_audit ==
+    single-process cell audit with both arms live."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.webtext import (
+        K_ANON,
+        SAMPLE_K,
+        k_anonymity_audit,
+        uniform_sample_exact_k,
+    )
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ).to_pandas()
+    ranked = sorted(
+        ((hashlib.md5(f"samp:{int(d)}".encode()).hexdigest(), int(d)) for d in t.doc_id)
+    )[:SAMPLE_K]
+    expect_ids = sorted(d for _, d in ranked)
+    out = uniform_sample_exact_k(SF)
+    assert list(out.doc_id) == expect_ids and len(out) == SAMPLE_K
+
+    t["bucket"] = t.text.str.split().str.len() // 10
+    cells = t.groupby(["lang", "source", "bucket"]).size()
+    exp = {}
+    for (lang, _, _), n in cells.items():
+        a = exp.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        if n < K_ANON:
+            a[1] += 1
+            a[2] += int(n)
+    audit = k_anonymity_audit(SF)
+    got = {r.lang: [r.n_cells, r.cells_below_k, r.docs_at_risk] for r in audit.itertuples()}
+    assert got == exp
+    assert audit.cells_below_k.sum() > 0  # the risk arm is live
+    assert (audit.n_cells > audit.cells_below_k).any()  # and so is the safe arm
