@@ -685,6 +685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decile) quasi-identifier cells (below the fold — bounded-cell
         # partial rollup shape)
         "k_anonymity_audit": webtext.k_anonymity_audit,
+        # r4: market-basket co-purchase lift (association mining; exact
+        # integer lift; basket-squared-bounded pair expansion per
+        # orderkey-hash partition; below the fold — self-merge +
+        # native-marginal-join shapes window-represented)
+        "copurchase_lift": analysis.copurchase_lift,
         # fixed-weight md5 keep — machinery nested in-window inside
         # temperature_mixture (data-derived rates)
         "importance_resample": traindata.importance_resample,
@@ -932,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_gini": events.GINI_SQL,
         "uniform_sample_exact_k": webtext.uniform_sample_sql(),
         "k_anonymity_audit": webtext.k_anonymity_sql(),
+        "copurchase_lift": analysis.copurchase_sql(),
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "q4_semi_order_priority": relational_ext.Q4_SEMI_SQL,
         "anti_customers_no_early_orders": relational_ext.ANTI_CUSTOMERS_SQL,

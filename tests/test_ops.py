@@ -1876,3 +1876,37 @@ def test_uniform_sample_exact_k_and_k_anonymity(ray_session):
     assert got == exp
     assert audit.cells_below_k.sum() > 0  # the risk arm is live
     assert (audit.n_cells > audit.cells_below_k).any()  # and so is the safe arm
+
+
+def test_copurchase_lift_matches_reference(ray_session):
+    """Engine == single-process basket mining (exact integer lift);
+    pairs above and below independence both exist."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import COPURCHASE_MIN_SUPPORT, copurchase_lift
+
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    baskets = {}
+    for ok, pk in zip(t.l_orderkey.astype(int), t.l_partkey.astype(int)):
+        baskets.setdefault(ok, set()).add(pk)
+    n_orders = len(baskets)
+    marg, pair_n = {}, {}
+    for parts in baskets.values():
+        for p in parts:
+            marg[p] = marg.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    exp = {
+        k: (n, n * n_orders * 1_000_000 // (marg[k[0]] * marg[k[1]]))
+        for k, n in pair_n.items()
+        if n >= COPURCHASE_MIN_SUPPORT
+    }
+    out = copurchase_lift(SF)
+    got = {(r.pa, r.pb): (r.n_ab, r.lift_ppm) for r in out.itertuples()}
+    assert got == exp
+    # support >= 2 in a sparse basket space selects positively-associated
+    # pairs: lift exceeds independence everywhere, with a real spread
+    assert (out.lift_ppm > 1_000_000).any()
+    assert int(out.lift_ppm.max()) > 2 * int(out.lift_ppm.min())
