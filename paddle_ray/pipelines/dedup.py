@@ -1286,10 +1286,24 @@ def set_similarity_join(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
+    def _tok_part(batch: pa.Table) -> pa.Table:
+        p = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_parts
+            for t in batch["tok"].to_pylist()
+        ]
+        return batch.append_column("tp", pa.array(p, pa.int32()))
+
+    # vocabulary-cardinality rollup via coarse partitions: Ray's
+    # hash-aggregate at 100k+ distinct groups runs ~50x slower than a
+    # per-partition vectorized pandas sum (measured in copurchase_lift)
     df_ds = (
         sh.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("c", alias_name="df"))
+        .map_batches(_tok_part, batch_format="pyarrow")
+        .groupby("tp")
+        .map_groups(
+            lambda g: g.groupby("tok", as_index=False).agg(df=("c", "sum")),
+            batch_format="pandas",
+        )
     )
 
     with_df = sh.join(df_ds, join_type="inner", num_partitions=8, on=("tok",))
@@ -1386,10 +1400,20 @@ def set_similarity_join(sf_dir: str) -> pd.DataFrame:
         t = batch.group_by(["id_a", "id_b"]).aggregate([("bk", "count")])
         return t.rename_columns(["id_a", "id_b", "c"])
 
+    def _pair_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = pc.cast(pc.bit_wise_and(batch["id_a"], pa.scalar(63, pa.int64())), pa.int32())
+        return batch.append_column("pp", p)
+
     inter = (
         matched.map_batches(cnt_partial, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("c", alias_name="inter"))
+        .map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(
+            lambda g: g.groupby(["id_a", "id_b"], as_index=False).agg(inter=("c", "sum")),
+            batch_format="pandas",
+        )
     )
 
     def sz_partial(batch: pa.Table) -> pa.Table:
