@@ -350,9 +350,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (token_counts demoted below the fold — r03-green; token-count
         #  kernels run in-window via temperature_mixture / bm25_topk /
         #  chunk_documents / pack_sequences)
-        # r4: adjacent-bigram PMI collocation mining (word2phrase stat;
-        # vocabulary-sized integer-partial shuffle, one ln per pair)
-        "pmi_bigrams": analysis.pmi_bigrams,
+        # (pmi_bigrams demoted below the fold — local-gate green at 3 sfs;
+        #  its shapes run in-window elsewhere: vocabulary-sized integer
+        #  partials via inverted_index, correctly-rounded division + ln
+        #  via doremi_weights / bm25_topk)
+        # r4: greedy k-Center coreset selection (Gonzalez farthest-point;
+        # Sener & Savarese 2018) — the GEOMETRIC data-selection rule next
+        # to the random/weighted samplers; k-1 re-scans, one slim argmax
+        # partial per block per round, growing k x d center broadcast
+        "coreset_kcenter": similarity.coreset_kcenter,
         # (quality_scores demoted below the fold — richer versions of the
         #  same signal family run in-window via quality_filter/quality_tiers)
         # (lang_id demoted below the fold — its heuristic's oracle arms are
@@ -583,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (no global sort / no corpus-length window frame)
         "orderkey_islands": analysis.orderkey_islands,
         "word_entropy": analysis.word_entropy,
+        "pmi_bigrams": analysis.pmi_bigrams,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
@@ -867,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "orderkey_islands": analysis.ORDERKEY_ISLANDS_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
+        "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,
         "inverted_index": analysis.INVERTED_INDEX_SQL,
         "quality_filter": webtext.QUALITY_FILTER_SQL,

@@ -1408,3 +1408,145 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(s, 6) AS rrf
 FROM f ORDER BY s DESC, doc_id LIMIT {topk}
 """
+
+
+# --------------------------------------------------------------------------
+# greedy k-Center coreset selection (farthest-point traversal)
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def coreset_kcenter(sf_dir: str, k: int = KCENTER_K) -> pd.DataFrame:
+    """Greedy k-Center coreset selection over the embeddings table
+    (farthest-point traversal / Gonzalez 1985; Sener & Savarese 2018 use
+    exactly this rule for active-learning coresets) — the GEOMETRIC
+    member of the data-selection family: uniform/stratified/Neyman pick
+    by randomness, importance/DSIR/temperature by weights, k-Center by
+    coverage (every point within r of a selected center, r = the step-k
+    dist; 2-approx of the optimal radius). Seed = smallest vec_id;
+    step i picks argmax over points of min Euclidean distance to the
+    selected set, ties -> smallest vec_id (the oracle's ORDER BY d DESC,
+    vec_id). Output one row per step: (step, vec_id, dist) where dist is
+    the farthest-point distance when that center was chosen — monotone
+    non-increasing from step 2 (pytest invariant); float64 end-to-end,
+    reported round-6 (the kmeans_step parity discipline: same
+    sum((x-c)^2) expression tree both sides, sqrt is monotone so argmax
+    on d2 == the oracle's argmax on list_distance).
+
+    Scale contract: k-1 streaming re-scans (the kmeans_train re-scan
+    contract); the only broadcast is the growing <= k x d float64 center
+    matrix (ray.put per round); each block emits exactly ONE (vec_id,
+    d2, winner-vector) partial row, so the driver reduce is O(#blocks)
+    per round and embeddings never cross a shuffle (the winning vector
+    rides in the partial — no second fetch pass per round). At 100 TB the re-scan cost can be
+    traded for memory by materializing a per-point min-dist column once
+    and updating it against only the NEW center each round (one narrow
+    column rewrite per round instead of a full re-read); same output.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def local_seed(batch: pa.Table) -> pa.Table:
+        ids, _ = _to_matrix(batch)
+        if len(ids) == 0:
+            return batch.select(["vec_id", "embedding"])
+        order = np.argsort(ids)[:1]
+        return batch.select(["vec_id", "embedding"]).take(pa.array(order))
+
+    seed = (
+        _emb(sf_dir)
+        .map_batches(local_seed, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(1)
+    )
+    center_ids = [int(seed.vec_id.iloc[0])]
+    C = np.stack(seed.embedding.to_numpy()).astype(np.float64)
+    dists = [0.0]
+
+    _empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+            "vec": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+
+    for _step in range(2, k + 1):
+        cref = ray.put(C)
+
+        def far_partial(batch: pa.Table, cref=cref) -> pa.Table:
+            cmat = ray.get(cref)
+            ids, X = _to_matrix(batch)
+            if len(ids) == 0:
+                return _empty
+            X64 = X.astype(np.float64)
+            # exact sum((x_i - c_i)^2), min over the selected set — the
+            # same expression tree the oracle's MIN(list_distance) orders
+            # by (sqrt is monotone)
+            d2 = ((X64[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1).min(axis=1)
+            best = np.lexsort((ids, -d2))[0]  # d2 desc, vec_id asc
+            # the winner's vector rides in the partial (one d-vector per
+            # block) so no second fetch pass is needed for the new center
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[best])], pa.int64()),
+                    "d2": pa.array([float(d2[best])], pa.float64()),
+                    "vec": pa.array([X64[best].tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        parts = (
+            _emb(sf_dir)
+            .map_batches(far_partial, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+            .sort_values(["d2", "vec_id"], ascending=[False, True])
+        )
+        win = parts.iloc[0]
+        center_ids.append(int(win.vec_id))
+        dists.append(float(np.sqrt(win.d2)))
+        C = np.vstack([C, np.asarray(win.vec, dtype=np.float64)])
+
+    return pd.DataFrame(
+        {
+            "step": np.arange(1, k + 1, dtype=np.int64),
+            "vec_id": np.asarray(center_ids, dtype=np.int64),
+            "dist": np.round(np.asarray(dists, dtype=np.float64), 6),
+        }
+    )
+
+
+def coreset_kcenter_sql(k: int = KCENTER_K) -> str:
+    """Chained-CTE oracle: c1 = seed, cents{i} accumulates, m{i} is the
+    min-distance table against the set so far, c{i} the argmax row."""
+    ctes = [
+        "c1 AS (SELECT CAST(vec_id AS BIGINT) AS id, 0.0 AS d"
+        " FROM embeddings ORDER BY vec_id LIMIT 1)",
+        "cents1 AS (SELECT id FROM c1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"m{i} AS (SELECT e.vec_id, MIN(list_distance("
+            "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+            "list_transform(c.embedding, x -> CAST(x AS DOUBLE)))) AS d "
+            f"FROM embeddings e, embeddings c "
+            f"WHERE c.vec_id IN (SELECT id FROM cents{i - 1}) "
+            "GROUP BY e.vec_id)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT CAST(vec_id AS BIGINT) AS id, d FROM m{i} "
+            "ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT id FROM cents{i - 1} UNION ALL SELECT id FROM c{i})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, id AS vec_id, d FROM c{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(step AS BIGINT) AS step, vec_id, ROUND(d, 6) AS dist"
+        f" FROM ({selects}) ORDER BY step"
+    )

@@ -1910,3 +1910,38 @@ def test_copurchase_lift_matches_reference(ray_session):
     # pairs: lift exceeds independence everywhere, with a real spread
     assert (out.lift_ppm > 1_000_000).any()
     assert int(out.lift_ppm.max()) > 2 * int(out.lift_ppm.min())
+
+
+def test_coreset_kcenter_matches_reference(ray_session):
+    """coreset_kcenter == single-process greedy farthest-point reference
+    (seed = min vec_id; argmax of min Euclidean distance to the selected
+    set, ties -> smallest vec_id). Also locks the monotone non-increasing
+    farthest-point distance from step 2, center distinctness, and the
+    k < 1 guard."""
+    import pyarrow.parquet as pq
+
+    k = similarity.KCENTER_K
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t.vec_id.to_numpy()
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    order0 = np.argsort(ids)
+    centers = [order0[0]]
+    exp_ids, exp_d = [int(ids[order0[0]])], [0.0]
+    for _ in range(2, k + 1):
+        C = X[centers]
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1)
+        best = np.lexsort((ids, -d2))[0]
+        centers.append(best)
+        exp_ids.append(int(ids[best]))
+        exp_d.append(round(float(np.sqrt(d2[best])), 6))
+
+    out = similarity.coreset_kcenter(SF)
+    assert list(out.step) == list(range(1, k + 1))
+    assert list(out.vec_id) == exp_ids
+    assert list(out.dist) == exp_d
+    assert len(set(out.vec_id)) == k  # centers distinct
+    d = out.dist.to_numpy()[1:]
+    assert (np.diff(d) <= 1e-12).all() and d[-1] > 0  # monotone, non-vacuous
+
+    with pytest.raises(ValueError):
+        similarity.coreset_kcenter(SF, k=0)
