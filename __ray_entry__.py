@@ -462,11 +462,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (bpe_encode demoted below the fold — local-gate green; the
         #  tokenizer family's window slot stays with bpe_train, whose
         #  iterative loop nests the same merge-table machinery)
-        # r4: Merkle range-digest hierarchy — the anti-entropy structure
-        # that locates WHICH key range diverges in O(log) probes (flat
-        # table_checksum says only THAT it diverged); every node of all
-        # three levels value-locked
-        "merkle_table_digest": analysis.merkle_table_digest,
+        # (merkle_table_digest demoted below the fold — local-gate green
+        #  at 3 sfs; the anti-entropy/digest family stays in-window via
+        #  table_diff + partitioned_roundtrip's fingerprint rollup)
+        # r4: VALUE-ORACLED per-day HyperLogLog — md5-pinned hash + exact
+        # HUGEINT register-indicator sum make the sketch's VALUE
+        # deterministic (probabilistic only in accuracy); the mergeable
+        # per-group sketch shape the rows-only hll_distinct_users can't
+        # show the driver
+        "hll_daily_users": analysis.hll_daily_users,
         # r4: per-lang quality-ranked token-budget cut (distributed
         # threshold/top-k-by-weight, not a per-lang sort)
         "token_budget_select": traindata.token_budget_select,
@@ -590,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_islands": analysis.orderkey_islands,
         "word_entropy": analysis.word_entropy,
         "pmi_bigrams": analysis.pmi_bigrams,
+        "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
         "content_hashes": analysis.content_hashes,
         "fingerprints": analysis.fingerprints,
@@ -936,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": traindata.BPE_TRAIN_SQL,
         "bpe_encode": traindata.BPE_ENCODE_SQL,
         "merkle_table_digest": analysis.MERKLE_SQL,
+        "hll_daily_users": analysis.HLL_DAILY_SQL,
         "novelty_curve": traindata.novelty_sql(),
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "triangle_count": webgraph.TRIANGLE_SQL,

@@ -2104,3 +2104,123 @@ JOIN m ma ON ma.l_partkey = p.pa
 JOIN m mb ON mb.l_partkey = p.pb
 ORDER BY p.pa, p.pb
 """
+
+
+# --------------------------------------------------------------------------
+# value-oracled per-day HyperLogLog (md5-pinned hash, exact-int registers)
+# --------------------------------------------------------------------------
+
+HLL_DAILY_P = 8
+HLL_DAILY_M = 1 << HLL_DAILY_P  # 256 registers, ~6.5% standard error
+
+
+def hll_daily_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per DAY via a per-group HyperLogLog — and, unlike
+    the rows-only `hll_distinct_users`, fully VALUE-ORACLED: the sketch
+    is probabilistic only in its accuracy, not in its value. Pinning the
+    hash to md5('hll:' || user) makes every register deterministic, and
+    the indicator sum Z is kept as an EXACT integer (each register
+    contributes 2^(57 - M_j), zero registers 2^57 — HUGEINT in the
+    oracle, python bigint here), so the only float ops are the single
+    final division (correctly rounded from identical exact operands on
+    both sides) and the small-range ln, both under the repo's round-6
+    discipline. Flores & Fuster (HLL, Flajolet et al. 2007): idx = top
+    8 hash bits, rho = 57 - bit_length(56-bit tail), estimate
+    alpha_256 * 256^2 / sum(2^-M_j) with linear counting below 2.5*m.
+
+    Scale contract: per-block per-(day, register) max pre-reduce means
+    each block ships <= #days x 256 slim int rows regardless of event
+    volume or user cardinality (the mergeable-sketch property the exact
+    `events_distinct_users` two-level distinct lacks); the final
+    groupby is (days x 256)-sized and the driver holds only the per-day
+    register tables."""
+    import math
+
+    import numpy as np
+
+    TAIL = (1 << 56) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pairs = pd.DataFrame(
+            {
+                "day": df.ts.astype("int64") // 86_400_000_000,
+                "uid": df.user_id.astype("int64"),
+            }
+        ).drop_duplicates()
+        best: dict[tuple[int, int], int] = {}
+        for d, u in zip(pairs.day.to_numpy(), pairs.uid.to_numpy()):
+            h = int(hashlib.md5(f"hll:{int(u)}".encode()).hexdigest()[:16], 16)
+            tail = h & TAIL
+            rho = 57 - tail.bit_length() if tail else 57
+            key = (int(d), h >> 56)
+            if best.get(key, 0) < rho:
+                best[key] = rho
+        ks = sorted(best)
+        return pa.table(
+            {
+                "day": pa.array([k[0] for k in ks], pa.int64()),
+                "idx": pa.array([k[1] for k in ks], pa.int64()),
+                "rho": pa.array([best[k] for k in ks], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    parts = (
+        sized_read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["day", "idx"])
+        .aggregate(Max("rho", alias_name="mr"))
+        .to_pandas()
+    )
+    m = HLL_DAILY_M
+    alpha_num = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 144115188075855872.0
+    rows = []
+    for d, g in parts.groupby("day"):
+        n_hit = len(g)
+        v_zero = m - n_hit
+        z = v_zero * (1 << 57) + sum(1 << (57 - int(r)) for r in g.mr)
+        est = alpha_num / float(z)
+        if est <= 2.5 * m and v_zero > 0:
+            est = 256.0 * math.log(256.0 / v_zero)
+        rows.append({"day": int(d), "n_hit": n_hit, "est_users": round(est, 6)})
+    return (
+        pd.DataFrame(rows)
+        .sort_values("day")
+        .reset_index(drop=True)
+        .astype({"day": "int64", "n_hit": "int64"})
+    )
+
+
+HLL_DAILY_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+h AS (
+  SELECT day,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM du
+),
+r AS (
+  SELECT day, CAST(h >> 56 AS BIGINT) AS idx,
+         CASE WHEN (h & ((1::UBIGINT << 56) - 1)) = 0 THEN 57
+              ELSE 57 - length(bin(h & ((1::UBIGINT << 56) - 1))) END AS rho
+  FROM h
+),
+mx AS (SELECT day, idx, MAX(rho) AS mr FROM r GROUP BY day, idx),
+z AS (
+  SELECT day, COUNT(*) AS n_hit,
+         (256 - COUNT(*))::HUGEINT * (1::HUGEINT << 57)
+           + SUM(1::HUGEINT << (57 - mr)) AS zz
+  FROM mx GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                       * 144115188075855872.0 / CAST(zz AS DOUBLE) <= 640.0
+                   AND n_hit < 256
+              THEN 256.0 * ln(256.0 / (256 - n_hit))
+              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                   * 144115188075855872.0 / CAST(zz AS DOUBLE) END, 6) AS est_users
+FROM z ORDER BY day
+"""

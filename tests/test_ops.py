@@ -1945,3 +1945,41 @@ def test_coreset_kcenter_matches_reference(ray_session):
 
     with pytest.raises(ValueError):
         similarity.coreset_kcenter(SF, k=0)
+
+
+def test_hll_daily_users_matches_reference(ray_session):
+    """hll_daily_users == single-process md5-pinned HLL reference, and
+    the estimate tracks the exact per-day COUNT(DISTINCT user_id) within
+    3 standard errors (1.04/sqrt(256) ~ 6.5% each side)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import analysis
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    day = (t.ts.astype("int64") // 86_400_000_000).to_numpy()
+    regs: dict[int, dict[int, int]] = {}
+    exact: dict[int, set] = {}
+    for d, u in zip(day, t.user_id.to_numpy()):
+        exact.setdefault(int(d), set()).add(int(u))
+        h = int(hashlib.md5(f"hll:{int(u)}".encode()).hexdigest()[:16], 16)
+        tail = h & ((1 << 56) - 1)
+        rho = 57 - tail.bit_length() if tail else 57
+        r = regs.setdefault(int(d), {})
+        r[h >> 56] = max(r.get(h >> 56, 0), rho)
+    expect = {}
+    for d, r in regs.items():
+        v = 256 - len(r)
+        z = v * (1 << 57) + sum(1 << (57 - x) for x in r.values())
+        est = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 144115188075855872.0 / float(z)
+        if est <= 640.0 and v > 0:
+            est = 256.0 * math.log(256.0 / v)
+        expect[d] = (len(r), round(est, 6))
+
+    out = analysis.hll_daily_users(SF)
+    got = {r.day: (r.n_hit, r.est_users) for r in out.itertuples()}
+    assert got == expect
+    for d, (_, est) in expect.items():
+        n = len(exact[d])
+        assert abs(est - n) <= max(3, 0.20 * n), (d, est, n)
