@@ -671,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-merge at the pivot + one closure join; below the fold —
         # the graph family's window slot stays with pagerank)
         "triangle_count": webgraph.triangle_count,
+        "kcore_membership": webgraph.kcore_membership,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -945,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_curve": traindata.novelty_sql(),
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "triangle_count": webgraph.TRIANGLE_SQL,
+        "kcore_membership": webgraph.kcore_sql(),
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

@@ -297,3 +297,176 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
        CAST(t.tri AS BIGINT) AS n_triangles
 FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative degree peel) over the derived doc graph
+# --------------------------------------------------------------------------
+
+KCORE_K = 3  # 6 peel rounds, non-empty core at every sf (141/141/1178 nodes)
+KCORE_ROUNDS = 10  # shared engine/oracle round budget; engine raises past it
+KCORE_BCAST_CAP = 1_000_000  # dead-id broadcast path cap (8 B ids -> <= 8 MB)
+
+
+def kcore_membership(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_ROUNDS) -> pd.DataFrame:
+    """k-core of the derived (undirected, self-loop-free, deduped) doc
+    graph: iteratively peel nodes of degree < k until fixpoint — the
+    community-density complement of pagerank (authority) and
+    triangle_count (local clustering): spam link-rings survive high
+    PageRank but collapse under peeling, organic communities persist
+    (Seidman 1983; the standard web-graph denoising cut). Returns the
+    surviving nodes with their WITHIN-CORE degree (>= k by definition —
+    pytest invariant).
+
+    Engine = iterative semi-join peel, the pregel-family machinery with
+    a DELETION (not label-exchange) round body: live edges ->
+    per-block (node, c) degree partials -> coarse node-hash partition
+    sum (one exchange, node-sized) -> dead = deg < k. Dead-node removal
+    is HYBRID like dedup_clusters' driver-cap: below KCORE_BCAST_CAP
+    the dead-id array broadcasts once (ray.put) and the prune is a
+    stateless vectorized np.isin filter (zero shuffle); above it, two
+    LEFT-ANTI native hash joins (u-side, v-side) keep the dead set
+    distributed — the 100 TB round-1 path where half the corpus can
+    die at once. Every round materialize()s the shrinking edge set
+    (the dedup_clusters lazy-lineage lesson). Rounds are bounded by
+    peel depth; raises loudly past the shared `max_rounds` budget
+    (KCORE_ROUNDS — the oracle runs the identical fixed round count,
+    idempotent after fixpoint, so both sides fail together if a corpus
+    ever peels deeper).
+
+    Oracled by kcore_sql() — chained MATERIALIZED CTEs (one join pair +
+    groupby per round; MATERIALIZED is load-bearing: inlined CTEs
+    re-open the parquet per reference and hit the fd limit)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum  # noqa: F401  (Sum kept for parity with sibling ops)
+
+    if k < 1 or max_rounds < 1:
+        raise ValueError(f"need k >= 1 and max_rounds >= 1, got k={k}, max_rounds={max_rounds}")
+    n = _ids(sf_dir).count()
+
+    def pair_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([ids, ids])
+        v = np.concatenate([(ids * ids + 3) % n, (ids // 7) % n])
+        keep = u != v  # self-loops never count toward degree
+        uu = np.minimum(u[keep], v[keep])
+        vv = np.maximum(u[keep], v[keep])
+        t = pa.table({"u": pa.array(uu, pa.int64()), "v": pa.array(vv, pa.int64())})
+        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
+        return t.append_column(
+            "ep", pc.cast(pc.bit_wise_and(t["u"], pa.scalar(63, pa.int64())), pa.int32())
+        )
+
+    def global_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    live = (
+        _ids(sf_dir)
+        .map_batches(pair_batch, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(global_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(un, pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+                "dp": pa.array(un & 63, pa.int32()),
+            }
+        )
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False).agg(deg=("c", "sum"))
+
+    _empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "core_deg": pd.Series([], dtype="int64")}
+    )
+
+    for _rnd in range(1, max_rounds + 1):
+        deg = (
+            live.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("dp")
+            .map_groups(deg_sum, batch_format="pandas")
+            .materialize()
+        )
+        dead = deg.filter(expr=f"deg < {k}")
+        n_dead = dead.count()
+        if n_dead == 0:
+            out = deg.to_pandas()
+            if out.empty:
+                return _empty
+            return (
+                out.rename(columns={"node": "doc_id", "deg": "core_deg"})
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "core_deg": "int64"})
+            )
+        if n_dead <= KCORE_BCAST_CAP:
+            dead_ref = ray.put(np.sort(dead.to_pandas().node.to_numpy().astype(np.int64)))
+
+            def drop_dead(batch: pa.Table, ref=dead_ref) -> pa.Table:
+                arr = ray.get(ref)
+                uu = batch["u"].to_numpy(zero_copy_only=False)
+                vv = batch["v"].to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(uu, arr) | np.isin(vv, arr))
+                return batch.filter(pa.array(keep))
+
+            live = live.map_batches(drop_dead, batch_format="pyarrow").materialize()
+        else:
+            dead_u = dead.map_batches(
+                lambda b: pa.table({"u": b["node"]}), batch_format="pyarrow"
+            )
+            dead_v = dead.map_batches(
+                lambda b: pa.table({"v": b["node"]}), batch_format="pyarrow"
+            )
+            live = (
+                live.join(dead_u, join_type="left_anti", num_partitions=8, on=("u",))
+                .join(dead_v, join_type="left_anti", num_partitions=8, on=("v",))
+                .materialize()
+            )
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds; raise max_rounds "
+        "(and the shared oracle round count KCORE_ROUNDS) — peel depth is "
+        "graph-dependent, not corpus-size-dependent"
+    )
+
+
+def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)",
+        "e0 AS (\n"
+        "  SELECT doc_id AS s, (doc_id * doc_id + 3) % nn.n AS d FROM documents, nn\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, (doc_id // 7) % nn.n FROM documents, nn)",
+        "edges AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v"
+        " FROM e0 WHERE s != d)",
+        "s0 AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (\n"
+            "  SELECT node, COUNT(*) AS c FROM (\n"
+            f"    SELECT e.u AS node FROM edges e JOIN s{p} a ON e.u = a.node"
+            f" JOIN s{p} b ON e.v = b.node\n"
+            "    UNION ALL\n"
+            f"    SELECT e.v FROM edges e JOIN s{p} a ON e.u = a.node"
+            f" JOIN s{p} b ON e.v = b.node\n"
+            "  ) GROUP BY node)"
+        )
+        ctes.append(f"s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(d.node AS BIGINT) AS doc_id, CAST(d.c AS BIGINT) AS core_deg"
+        f"\nFROM d{rounds} d JOIN s{rounds} s ON d.node = s.node ORDER BY doc_id"
+    )

@@ -1983,3 +1983,46 @@ def test_hll_daily_users_matches_reference(ray_session):
     for d, (_, est) in expect.items():
         n = len(exact[d])
         assert abs(est - n) <= max(3, 0.20 * n), (d, est, n)
+
+
+def test_kcore_membership_matches_reference(ray_session, monkeypatch):
+    """kcore_membership == single-process peel reference; the within-core
+    degree is >= K everywhere; the LEFT-ANTI join path (dead set above
+    the broadcast cap) returns the identical frame; max_rounds raises
+    when exhausted before fixpoint."""
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import webgraph
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    E = set()
+    for s, d in zip(
+        np.concatenate([ids, ids]),
+        np.concatenate([(ids * ids + 3) % n, (ids // 7) % n]),
+    ):
+        if s != d:
+            E.add((min(int(s), int(d)), max(int(s), int(d))))
+    surv = set(int(x) for x in ids)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in E:
+            if u in surv and v in surv:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        new = {x for x in surv if deg.get(x, 0) >= webgraph.KCORE_K}
+        if new == surv:
+            break
+        surv = new
+    expect = {x: deg[x] for x in sorted(surv)}
+
+    out = webgraph.kcore_membership(SF)
+    assert {r.doc_id: r.core_deg for r in out.itertuples()} == expect
+    assert (out.core_deg >= webgraph.KCORE_K).all()
+    assert 0 < len(out) < n  # non-vacuous peel
+
+    monkeypatch.setattr(webgraph, "KCORE_BCAST_CAP", 0)  # force the anti-join path
+    out_join = webgraph.kcore_membership(SF)
+    pd.testing.assert_frame_equal(out, out_join)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        webgraph.kcore_membership(SF, max_rounds=2)
