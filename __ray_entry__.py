@@ -513,7 +513,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  slot driver-covers the whole MOSS family; q10_returned_revenue
         #  demoted — r03-driver-green, join family stays represented by
         #  salted_segment_rollup / retention_cohorts / rag_index_coverage)
-        "edit_distance_pairs": analysis.edit_distance_pairs,
+        # (edit_distance_pairs demoted below the fold — r4-local-green at 3
+        #  sfs; its _lev_row_dp kernel + argmin election run in-window
+        #  inside record_linkage, which adds blocking + the dirty-registry
+        #  derivation; the MOSS pair provenance stays locked below the
+        #  fold via winnow_overlap_pairs + edit_distance_pairs)
+        # r4: entity resolution / record linkage — the ROUND4_NOTES round-5
+        # candidate closed early: derived dirty registry (md5-worded names
+        # with real string entropy, one id-derived char deletion),
+        # double-ended 8-char blocking (complete for the corruption model
+        # by construction), Levenshtein scoring, per-record argmin election
+        "record_linkage": analysis.record_linkage,
         # ============ BELOW THE DRIVER WINDOW (slot 51+) ===================
         # (all still gated by tools/check_oracles.py; driver-green in
         #  CORRECTNESS_r01/r03 artifacts)
@@ -601,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: MOSS winnow-overlap near-dup pairs (df-capped fingerprint
         # self-merge over 64 coarse hash partitions)
         "winnow_overlap_pairs": analysis.winnow_overlap_pairs,
+        "edit_distance_pairs": analysis.edit_distance_pairs,
         # (q10_returned_revenue demoted here — r03-driver-green TPC-H join)
         "q10_returned_revenue": joins.q10_returned_revenue,
         # (source_overlap_matrix demoted here — its vectorized self-merge
@@ -869,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hashes": analysis.CONTENT_HASHES_SQL,
         "fingerprints": analysis.FINGERPRINTS_SQL,
         "winnow_overlap_pairs": analysis.WINNOW_PAIRS_SQL,
+        "record_linkage": analysis.record_linkage_sql(),
         "edit_distance_pairs": analysis.edit_distance_pairs_sql(),
         "lang_doc_stats": analysis.LANG_DOC_STATS_SQL,
         "corr_quantity_price": analysis.CORR_SQL,

@@ -2224,3 +2224,228 @@ SELECT CAST(day AS BIGINT) AS day, CAST(n_hit AS BIGINT) AS n_hit,
                    * 144115188075855872.0 / CAST(zz AS DOUBLE) END, 6) AS est_users
 FROM z ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# entity resolution / record linkage over a derived dirty registry
+# --------------------------------------------------------------------------
+#
+# The tables ship no name/address column with real string entropy
+# (c_name is 'Customer#...' — every pair is distance-1), so the registry
+# is DERIVED deterministically (the cdc_merge_snapshot changelog
+# pattern): entity name = three md5-indexed words from RL_WORDS, and
+# every third entity also appears as a DIRTY record with one character
+# deleted at an id-derived position. The oracle rederives the identical
+# registry, so the whole chain — corruption, blocking, scoring,
+# election — is value-checked with zero golden constants.
+
+RL_WORDS = [
+    "amber", "birch", "cobalt", "delta", "flint", "fjord", "grove", "heron",
+    "indigo", "jasper", "kelpie", "lumen", "maple", "noble", "ochre", "plume",
+    "quartz", "raven", "sable", "topaz", "tundra", "vireo", "walnut", "zephyr",
+]
+RL_OFFSET = 10_000_000
+RL_DIRTY_MOD = 3
+RL_BLOCK_W = 8  # double-ended block key width
+RL_MAX_LEV = 2
+
+
+def _rl_name(ck: int) -> str:
+    # 4 tokens -> 24^4 = 331k distinct names: entity collisions (two
+    # customers drawing the SAME name — indistinguishable records, the
+    # honest ER failure mode) stay rare at every sf
+    return " ".join(
+        RL_WORDS[int(hashlib.md5(f"nm{i}:{ck}".encode()).hexdigest()[:8], 16) % len(RL_WORDS)]
+        for i in (1, 2, 3, 4)
+    )
+
+
+def record_linkage(sf_dir: str) -> pd.DataFrame:
+    """Record linkage / entity resolution (Fellegi & Sunter 1969 shape;
+    Papadakis et al. survey the blocking): link every dirty registry
+    record back to a clean entity by double-ended 8-char blocking +
+    exact Levenshtein scoring + deterministic per-record argmin
+    (lev asc, clean id asc). Blocking is COMPLETE for the corruption
+    model by construction: a single deletion at position p >= 2 of a
+    >= 17-char name cannot damage both the first 8 and the last 8
+    characters, so at least one of the two passes always co-blocks a
+    dirty record with its source (the classic multi-pass blocking
+    completeness argument) — every dirty record therefore has a match
+    row with lev = 1 (pytest invariant).
+
+    Scale contract: the registry derives per block (one md5 triple per
+    entity); each blocking pass ships slim (block_key, id, name) rows
+    into 64 coarse key-hash partitions where the dirty x clean pair
+    expansion is a vectorized per-partition merge bounded by block size
+    squared (the word list is built so 8-char keys split the corpus
+    into ~500 blocks — the hot-block hazard and its key-widening escape
+    are the inverted_index stopword story); cross-pass pair dedup and
+    the final argmin election run on coarse dirty-id partitions
+    (two-level: per-block best, then partition best). Levenshtein is
+    the shared vectorized row DP (_lev_row_dp), never a per-cell Python
+    loop; nothing corpus-sized lands on the driver before the final
+    match-table collect (output = one row per dirty record)."""
+    import numpy as np
+
+    n_words = len(RL_WORDS)
+    w = RL_BLOCK_W
+
+    def registry(batch: pa.Table) -> pa.Table:
+        cks = batch["c_custkey"].to_pylist()
+        rid, name, side = [], [], []
+        for ck in cks:
+            nm = _rl_name(int(ck))
+            rid.append(int(ck))
+            name.append(nm)
+            side.append(0)
+            if ck % RL_DIRTY_MOD == 0:
+                p = 2 + int(ck) % (len(nm) - 2)  # 1-based delete position in [2, L-1]
+                rid.append(int(ck) + RL_OFFSET)
+                name.append(nm[: p - 1] + nm[p:])
+                side.append(1)
+        return pa.table(
+            {
+                "rid": pa.array(rid, pa.int64()),
+                "name": pa.array(name, pa.string()),
+                "side": pa.array(side, pa.int32()),
+            }
+        )
+
+    reg = (
+        sized_read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(registry, batch_format="pyarrow")
+        .materialize()  # two blocking passes consume it
+    )
+
+    def block_key(end: str):
+        def _bk(batch: pa.Table) -> pa.Table:
+            names = batch["name"].to_pylist()
+            bks = [nm[:w] if end == "prefix" else nm[-w:] for nm in names]
+            kp = [int(hashlib.md5(b.encode()).hexdigest()[:4], 16) & 63 for b in bks]
+            return pa.table(
+                {
+                    "bk": pa.array(bks, pa.string()),
+                    "rid": batch["rid"],
+                    "name": batch["name"],
+                    "side": batch["side"],
+                    "kp": pa.array(kp, pa.int32()),
+                }
+            )
+
+        return _bk
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g.side == 1][["bk", "rid", "name"]]
+        c = g[g.side == 0][["bk", "rid", "name"]]
+        m = d.merge(c, on="bk", suffixes=("_d", "_c"))
+        out = m[["rid_d", "rid_c", "name_d", "name_c"]].rename(
+            columns={"rid_d": "did", "rid_c": "cid", "name_d": "dname", "name_c": "cname"}
+        )
+        out["dp"] = out.did.to_numpy() & 63
+        return out
+
+    passes = [
+        reg.map_batches(block_key(end), batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(expand_pairs, batch_format="pandas")
+        for end in ("prefix", "suffix")
+    ]
+    cand = (
+        passes[0]
+        .union(passes[1])
+        .groupby("dp")
+        .map_groups(
+            lambda g: g.drop_duplicates(["did", "cid"]), batch_format="pandas"
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "did": pa.array([], pa.int64()),
+                    "cid": pa.array([], pa.int64()),
+                    "lev": pa.array([], pa.int64()),
+                }
+            )
+        df["lev"] = [
+            _lev_row_dp(a, b) for a, b in zip(df.dname.to_numpy(), df.cname.to_numpy())
+        ]
+        df = df[df.lev <= RL_MAX_LEV]
+        # per-block best per dirty id (two-level argmin election)
+        best = (
+            df.sort_values(["did", "lev", "cid"]).groupby("did", sort=False).head(1)
+        )
+        return pa.table(
+            {
+                "did": pa.array(best.did.to_numpy(), pa.int64()),
+                "cid": pa.array(best.cid.to_numpy(), pa.int64()),
+                "lev": pa.array(best.lev.to_numpy(), pa.int64()),
+            }
+        )
+
+    def final_best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["did", "lev", "cid"]).groupby("did", sort=False).head(1)[
+            ["did", "cid", "lev"]
+        ]
+
+    out = (
+        cand.map_batches(score, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "fp",
+                pa.array(
+                    (b["did"].to_numpy(zero_copy_only=False) & 63).astype(np.int32),
+                    pa.int32(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("fp")
+        .map_groups(final_best, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.rename(columns={"did": "dirty_id", "cid": "matched_id"})
+        .sort_values("dirty_id")
+        .reset_index(drop=True)
+        .astype({"dirty_id": "int64", "matched_id": "int64", "lev": "int64"})
+    )
+
+
+def record_linkage_sql() -> str:
+    words = ", ".join(f"'{x}'" for x in RL_WORDS)
+    name_expr = " || ' ' || ".join(
+        f"wl.w[(1 + ('0x' || substr(md5('nm{i}:' || CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT"
+        f" % {len(RL_WORDS)})::INT]"
+        for i in (1, 2, 3, 4)
+    )
+    return f"""
+WITH wl AS (SELECT [{words}] AS w),
+clean AS (SELECT c_custkey AS id, {name_expr} AS name FROM customer, wl),
+dpos AS (
+  SELECT id, name, 2 + (id % (length(name) - 2)) AS p
+  FROM clean WHERE id % {RL_DIRTY_MOD} = 0),
+dirty AS (
+  SELECT id + {RL_OFFSET} AS did,
+         substr(name, 1, CAST(p - 1 AS INT)) || substr(name, CAST(p + 1 AS INT)) AS dname
+  FROM dpos),
+cand AS (
+  SELECT d.did, c.id AS cid, d.dname, c.name
+  FROM dirty d JOIN clean c ON substr(d.dname, 1, {RL_BLOCK_W}) = substr(c.name, 1, {RL_BLOCK_W})
+  UNION
+  SELECT d.did, c.id, d.dname, c.name
+  FROM dirty d JOIN clean c ON right(d.dname, {RL_BLOCK_W}) = right(c.name, {RL_BLOCK_W})
+),
+scored AS (
+  SELECT did, cid, levenshtein(dname, name) AS lev FROM cand
+  WHERE levenshtein(dname, name) <= {RL_MAX_LEV}),
+best AS (
+  SELECT did, cid, lev,
+         row_number() OVER (PARTITION BY did ORDER BY lev, cid) AS rn
+  FROM scored)
+SELECT CAST(did AS BIGINT) AS dirty_id, CAST(cid AS BIGINT) AS matched_id,
+       CAST(lev AS BIGINT) AS lev
+FROM best WHERE rn = 1 ORDER BY dirty_id
+"""

@@ -2026,3 +2026,52 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         webgraph.kcore_membership(SF, max_rounds=2)
+
+
+def test_record_linkage_matches_reference(ray_session):
+    """record_linkage == single-process reference (registry derivation,
+    double-ended blocking UNION, Levenshtein <= 2, argmin by (lev, cid));
+    blocking completeness holds (every dirty record matches at lev 1);
+    truth recall >= 0.95 (losses are only same-name entity collisions)."""
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import analysis
+    from paddle_ray.pipelines.analysis import (
+        RL_BLOCK_W,
+        RL_DIRTY_MOD,
+        RL_MAX_LEV,
+        RL_OFFSET,
+        _lev_row_dp,
+        _rl_name,
+    )
+
+    cks = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_pylist()
+    clean = {int(ck): _rl_name(int(ck)) for ck in cks}
+    dirty = {}
+    for ck, nm in clean.items():
+        if ck % RL_DIRTY_MOD == 0:
+            p = 2 + ck % (len(nm) - 2)
+            dirty[ck + RL_OFFSET] = nm[: p - 1] + nm[p:]
+    pre = {}
+    suf = {}
+    for cid, nm in clean.items():
+        pre.setdefault(nm[:RL_BLOCK_W], []).append(cid)
+        suf.setdefault(nm[-RL_BLOCK_W:], []).append(cid)
+    expect = {}
+    for did, dn in dirty.items():
+        cands = set(pre.get(dn[:RL_BLOCK_W], [])) | set(suf.get(dn[-RL_BLOCK_W:], []))
+        scored = sorted(
+            (lv, cid)
+            for cid in cands
+            if (lv := _lev_row_dp(dn, clean[cid])) <= RL_MAX_LEV
+        )
+        if scored:
+            expect[did] = (scored[0][1], scored[0][0])
+
+    out = analysis.record_linkage(SF)
+    assert {r.dirty_id: (r.matched_id, r.lev) for r in out.itertuples()} == expect
+    assert len(out) == len(dirty)  # blocking completeness: everyone matched
+    assert (out.lev == 1).all()
+    recall = (out.matched_id == out.dirty_id - RL_OFFSET).mean()
+    assert recall >= 0.95, recall
