@@ -683,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the graph family's window slot stays with pagerank)
         "triangle_count": webgraph.triangle_count,
         "kcore_membership": webgraph.kcore_membership,
+        # r4: synchronous label-propagation communities (min-label ties,
+        # fixed shared round budget — integer-only, zero float drift)
+        "label_propagation": webgraph.label_propagation,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -959,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_normalize": webtext.PERCENTILE_NORMALIZE_SQL,
         "triangle_count": webgraph.TRIANGLE_SQL,
         "kcore_membership": webgraph.kcore_sql(),
+        "label_propagation": webgraph.label_propagation_sql(),
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

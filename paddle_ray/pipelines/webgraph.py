@@ -308,6 +308,41 @@ KCORE_ROUNDS = 10  # shared engine/oracle round budget; engine raises past it
 KCORE_BCAST_CAP = 1_000_000  # dead-id broadcast path cap (8 B ids -> <= 8 MB)
 
 
+def _undirected_edges(sf_dir: str):
+    """The derived doc graph as a globally-deduped undirected,
+    self-loop-free edge Dataset (u < v) — shared by kcore_membership
+    and label_propagation (pagerank keeps the DIRECTED multi-edge view
+    its mass semantics need). Slim int rows cross ONE coarse
+    u-hash dedup exchange; materialized for the iterative consumers."""
+    import pyarrow.compute as pc
+
+    n = _ids(sf_dir).count()
+
+    def pair_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([ids, ids])
+        v = np.concatenate([(ids * ids + 3) % n, (ids // 7) % n])
+        keep = u != v  # self-loops never count toward degree
+        uu = np.minimum(u[keep], v[keep])
+        vv = np.maximum(u[keep], v[keep])
+        t = pa.table({"u": pa.array(uu, pa.int64()), "v": pa.array(vv, pa.int64())})
+        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
+        return t.append_column(
+            "ep", pc.cast(pc.bit_wise_and(t["u"], pa.scalar(63, pa.int64())), pa.int32())
+        )
+
+    def global_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return (
+        _ids(sf_dir)
+        .map_batches(pair_batch, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(global_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+
 def kcore_membership(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_ROUNDS) -> pd.DataFrame:
     """k-core of the derived (undirected, self-loop-free, deduped) doc
     graph: iteratively peel nodes of degree < k until fixpoint — the
@@ -337,36 +372,9 @@ def kcore_membership(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_ROUN
     Oracled by kcore_sql() — chained MATERIALIZED CTEs (one join pair +
     groupby per round; MATERIALIZED is load-bearing: inlined CTEs
     re-open the parquet per reference and hit the fd limit)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum  # noqa: F401  (Sum kept for parity with sibling ops)
-
     if k < 1 or max_rounds < 1:
         raise ValueError(f"need k >= 1 and max_rounds >= 1, got k={k}, max_rounds={max_rounds}")
-    n = _ids(sf_dir).count()
-
-    def pair_batch(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = np.concatenate([ids, ids])
-        v = np.concatenate([(ids * ids + 3) % n, (ids // 7) % n])
-        keep = u != v  # self-loops never count toward degree
-        uu = np.minimum(u[keep], v[keep])
-        vv = np.maximum(u[keep], v[keep])
-        t = pa.table({"u": pa.array(uu, pa.int64()), "v": pa.array(vv, pa.int64())})
-        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
-        return t.append_column(
-            "ep", pc.cast(pc.bit_wise_and(t["u"], pa.scalar(63, pa.int64())), pa.int32())
-        )
-
-    def global_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["u", "v"])[["u", "v"]]
-
-    live = (
-        _ids(sf_dir)
-        .map_batches(pair_batch, batch_format="pyarrow")
-        .groupby("ep")
-        .map_groups(global_dedup, batch_format="pandas")
-        .materialize()
-    )
+    live = _undirected_edges(sf_dir)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         nodes = np.concatenate(
@@ -437,6 +445,151 @@ def kcore_membership(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_ROUN
         f"k-core peel did not converge in {max_rounds} rounds; raise max_rounds "
         "(and the shared oracle round count KCORE_ROUNDS) — peel depth is "
         "graph-dependent, not corpus-size-dependent"
+    )
+
+
+# --------------------------------------------------------------------------
+# label-propagation community detection (synchronous, deterministic ties)
+# --------------------------------------------------------------------------
+
+LP_ROUNDS = 3  # fixed synchronous round count, shared engine/oracle
+
+
+def label_propagation(sf_dir: str, rounds: int = LP_ROUNDS) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the shared undirected doc graph — the third web-graph
+    denoising signal next to pagerank (authority) and kcore (density):
+    link farms collapse into one community, organic topic clusters stay
+    distinct. Determinism: SYNCHRONOUS rounds (the async random-order
+    variant of the paper is irreproducible by design) with ties among
+    equally-frequent neighbor labels broken toward the SMALLEST label,
+    run for a FIXED `rounds` budget on both engine and oracle — parity
+    holds even on oscillating (near-bipartite) neighborhoods because
+    both sides compute the identical fixed-point-free recurrence.
+    Integer-only end to end: labels are doc_ids and votes are COUNTs,
+    so there is zero float drift (the zorder/source_budget discipline).
+
+    Round body (all exchanges slim): labels keyed by neighbor -> native
+    hash join against the (node, nbr) directed view (16 B label rows) ->
+    per-block (node, lab, cnt) pyarrow partials -> coarse node-hash
+    partition election (sort by cnt desc, lab asc; first per node) ->
+    left-outer join back onto the previous labels (isolated nodes keep
+    their own). Each round materialize()s the node-sized label snapshot
+    (the dedup_clusters lazy-lineage lesson). Returns per-node
+    (doc_id, community), the full label vector value-locked by
+    LABEL_PROP_SQL's identical chained-CTE recurrence."""
+    from ray.data.aggregate import Sum  # noqa: F401  (parity with siblings)
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edges = _undirected_edges(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = (
+        _ids(sf_dir)
+        .map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "lab": b["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": batch["node"],
+                "lab": batch["lab"],
+                "cnt": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by(["node", "lab"]).aggregate([("cnt", "sum")])
+        g = g.rename_columns(["node", "lab", "cnt"])
+        return g.append_column(
+            "lp", pa.array((g["node"].to_numpy() & 63).astype(np.int32))
+        )
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["node", "lab"], as_index=False).agg(cnt=("cnt", "sum"))
+        s = s.sort_values(["node", "cnt", "lab"], ascending=[True, False, True])
+        w = s.drop_duplicates("node")
+        return pd.DataFrame({"doc_id": w.node.to_numpy(), "new_lab": w.lab.to_numpy()})
+
+    for _ in range(rounds):
+        lab_by_nbr = labels.map_batches(
+            lambda b: pa.table({"nbr": b["doc_id"], "lab": b["lab"]}),
+            batch_format="pyarrow",
+        )
+        winners = (
+            und.join(lab_by_nbr, join_type="inner", num_partitions=8, on=("nbr",))
+            .map_batches(cnt_partial, batch_format="pyarrow")
+            .groupby("lp")
+            .map_groups(elect, batch_format="pandas")
+        )
+        joined = labels.join(winners, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+        def upd(batch: pa.Table) -> pa.Table:
+            nl = batch["new_lab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            old = batch["lab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lab = np.where(np.isnan(nl), old, nl).astype(np.int64)
+            return pa.table({"doc_id": batch["doc_id"], "lab": pa.array(lab, pa.int64())})
+
+        labels = joined.map_batches(upd, batch_format="pyarrow").materialize()
+
+    out = labels.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return (
+        out.rename(columns={"lab": "community"})[["doc_id", "community"]]
+        .astype({"doc_id": "int64", "community": "int64"})
+    )
+
+
+def label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
+    ctes = [
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)",
+        "e0 AS (\n"
+        "  SELECT doc_id AS s, (doc_id * doc_id + 3) % nn.n AS d FROM documents, nn\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, (doc_id // 7) % nn.n FROM documents, nn)",
+        "edges AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v"
+        " FROM e0 WHERE s != d)",
+        "und AS MATERIALIZED (SELECT u AS node, v AS nbr FROM edges"
+        " UNION ALL SELECT v, u FROM edges)",
+        "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (\n"
+            f"  SELECT und.node, l.lab, COUNT(*) AS cnt\n"
+            f"  FROM und JOIN l{p} l ON l.node = und.nbr GROUP BY und.node, l.lab)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (\n"
+            "  SELECT node, lab FROM (\n"
+            "    SELECT node, lab, ROW_NUMBER() OVER"
+            " (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn\n"
+            f"    FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT p.node, COALESCE(w.lab, p.lab) AS lab\n"
+            f"  FROM l{p} p LEFT JOIN w{i} w ON w.node = p.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS community"
+        f"\nFROM l{rounds} ORDER BY doc_id"
     )
 
 

@@ -2028,6 +2028,48 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
         webgraph.kcore_membership(SF, max_rounds=2)
 
 
+def test_label_propagation_matches_reference(ray_session):
+    """label_propagation == single-process synchronous-LPA reference
+    (neighbor-vote max, ties -> smallest label, isolated keep own);
+    communities are non-vacuous; rounds < 1 raises."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from paddle_ray.pipelines import webgraph
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    E = set()
+    for s, d in zip(
+        np.concatenate([ids, ids]),
+        np.concatenate([(ids * ids + 3) % n, (ids // 7) % n]),
+    ):
+        if s != d:
+            E.add((min(int(s), int(d)), max(int(s), int(d))))
+    nbrs: dict[int, list[int]] = {}
+    for u, v in E:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    lab = {int(x): int(x) for x in ids}
+    for _ in range(webgraph.LP_ROUNDS):
+        new = {}
+        for x in lab:
+            if x not in nbrs:
+                new[x] = lab[x]
+                continue
+            votes = Counter(lab[y] for y in nbrs[x])
+            best = max(votes.values())
+            new[x] = min(l for l, c in votes.items() if c == best)
+        lab = new
+
+    out = webgraph.label_propagation(SF)
+    assert {r.doc_id: r.community for r in out.itertuples()} == lab
+    n_comm = out.community.nunique()
+    assert 1 < n_comm < n  # non-vacuous community structure
+
+    with pytest.raises(ValueError, match="rounds"):
+        webgraph.label_propagation(SF, rounds=0)
+
+
 def test_record_linkage_matches_reference(ray_session):
     """record_linkage == single-process reference (registry derivation,
     double-ended blocking UNION, Levenshtein <= 2, argmin by (lev, cid));
