@@ -603,6 +603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (no global sort / no corpus-length window frame)
         "orderkey_islands": analysis.orderkey_islands,
         "word_entropy": analysis.word_entropy,
+        # r4: exact grouped Mann-Whitney ROC-AUC (integer rank-sum, one
+        # round-6 division) — the model-eval metrics family
+        "roc_auc_by_source": analysis.roc_auc_by_source,
         "pmi_bigrams": analysis.pmi_bigrams,
         "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
@@ -894,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders": analysis.VALIDATE_ORDERS_SQL,
         "orderkey_islands": analysis.ORDERKEY_ISLANDS_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
+        "roc_auc_by_source": analysis.ROC_AUC_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,

@@ -2449,3 +2449,130 @@ SELECT CAST(did AS BIGINT) AS dirty_id, CAST(cid AS BIGINT) AS matched_id,
        CAST(lev AS BIGINT) AS lev
 FROM best WHERE rn = 1 ORDER BY dirty_id
 """
+
+
+# --------------------------------------------------------------------------
+# exact distributed ROC-AUC (Mann-Whitney rank-sum) — model-eval metrics
+# --------------------------------------------------------------------------
+
+AUC_SCALE = 1_000_000  # fixed-point stop-ratio score (integer end to end)
+AUC_SCORE_CAP = 5_000_000  # loud cap on distinct (source, score) cells
+
+
+def roc_auc_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped ROC-AUC audit — the model-evaluation metric a
+    quality-classifier training pipeline computes at corpus scale:
+    does the stopword-ratio signal (the Gopher-gate feature) separate
+    English from non-English documents, per source? AUC is computed
+    EXACTLY as the Mann-Whitney U rank-sum with standard half-credit
+    ties, never by sampling or sorting the corpus:
+
+        2U = sum over distinct scores s of  p_s * (2 * N_below(s) + n_s)
+        AUC = U / (P * N)
+
+    where p_s/n_s are the positive/negative counts at score s and
+    N_below the negatives strictly below. The score is the FIXED-POINT
+    integer (n_stop * 1e6) // n_words (the dsir_select discipline), so
+    everything up to the single final division is exact integer
+    arithmetic on both engine and oracle (one correctly-rounded float
+    op -> round-6 bit parity, the hll/doremi float contract).
+
+    Scale contract: per-block (source, score, p, n) partials pre-reduce
+    inside map_batches, so the one exchange is bounded by distinct
+    (source, score) cells x #blocks — stop-ratio quantizes to at most
+    1e6+1 values and real corpora use a few thousand; the per-source
+    map_groups then holds only distinct-score rows (prefix-sum +
+    integer dot product, fully vectorized). Raises loudly past
+    AUC_SCORE_CAP distinct cells naming the histogram-bucket fallback
+    (percentile_normalize's coarse-bucket machinery). No text crosses
+    any shuffle; u2 stays < 2^53 so the oracle's HUGEINT -> DOUBLE
+    division is exact (u2 <= P*N*2 <= corpus^2/2 — guard documented)."""
+    from ..functions.textstats import STOPWORDS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows: dict[tuple, list[int]] = {}
+        for src, lang, text in zip(
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            ws = text.split()
+            n = len(ws)
+            score = (
+                sum(1 for w in ws if w.lower() in STOPWORDS) * AUC_SCALE
+            ) // n if n else 0
+            cell = rows.setdefault((src, score), [0, 0])
+            cell[0 if lang == "en" else 1] += 1
+        keys = sorted(rows)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "score": pa.array([k[1] for k in keys], pa.int64()),
+                "p": pa.array([rows[k][0] for k in keys], pa.int64()),
+                "n": pa.array([rows[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    cells = _docs(sf_dir, columns=("source", "lang", "text")).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    n_cells = cells.count()
+    if n_cells > AUC_SCORE_CAP:
+        raise RuntimeError(
+            f"{n_cells} (source, score) partial cells exceed AUC_SCORE_CAP="
+            f"{AUC_SCORE_CAP}; coarsen the fixed-point scale or bucket scores "
+            "first (percentile_normalize's histogram machinery) — exactness "
+            "then holds per bucket instead of per distinct score"
+        )
+
+    def auc_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("score", as_index=False).agg(p=("p", "sum"), n=("n", "sum"))
+        s = s.sort_values("score")
+        nb = s.n.cumsum().shift(1, fill_value=0).to_numpy()
+        u2 = int((s.p.to_numpy() * (2 * nb + s.n.to_numpy())).sum())
+        P, N = int(s.p.sum()), int(s.n.sum())
+        return pd.DataFrame(
+            {
+                "source": [g.source.iloc[0]],
+                "n_pos": pd.Series([P], dtype="int64"),
+                "n_neg": pd.Series([N], dtype="int64"),
+                "auc": [round(u2 / (2.0 * P * N), 6)],
+            }
+        )
+
+    out = (
+        cells.groupby("source")
+        .map_groups(auc_of_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ROC_AUC_SQL = f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        w -> lower(w) IN
+      ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')))
+                    * {AUC_SCALE})
+                   // len(regexp_split_to_array(trim(text), '\\s+')) END AS score
+  FROM documents),
+g AS (
+  SELECT source, score, SUM(pos) AS p, SUM(1 - pos) AS n
+  FROM t GROUP BY source, score),
+c AS (
+  SELECT source, score, p, n,
+         COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM g),
+u AS (
+  SELECT source, SUM(p * (2 * nb + n)) AS u2, SUM(p) AS np, SUM(n) AS nn
+  FROM c GROUP BY source)
+SELECT source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       ROUND(u2 / (2.0 * np * nn), 6) AS auc
+FROM u ORDER BY source
+"""

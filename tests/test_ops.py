@@ -2028,6 +2028,44 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
         webgraph.kcore_membership(SF, max_rounds=2)
 
 
+def test_roc_auc_matches_bruteforce_pairs(ray_session, monkeypatch):
+    """roc_auc_by_source == the O(P*N) brute-force pairwise AUC
+    definition (score_p > score_n counts 1, ties 0.5) — an independent
+    formulation of the rank-sum the engine computes; the distinct-cell
+    cap raises loudly."""
+    import pyarrow.parquet as pq
+    from paddle_ray.functions.textstats import STOPWORDS
+    from paddle_ray.pipelines import analysis
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "lang", "text"]
+    ).to_pandas()
+
+    def score(text: str) -> int:
+        ws = text.split()
+        if not ws:
+            return 0
+        return (sum(1 for w in ws if w.lower() in STOPWORDS) * analysis.AUC_SCALE) // len(ws)
+
+    t["s"] = t.text.map(score)
+    t["pos"] = t.lang == "en"
+    expect = {}
+    for src, g in t.groupby("source"):
+        ps = g[g.pos].s.to_numpy()
+        ns = g[~g.pos].s.to_numpy()
+        wins = (ps[:, None] > ns[None, :]).sum() + 0.5 * (ps[:, None] == ns[None, :]).sum()
+        expect[src] = (len(ps), len(ns), round(wins / (len(ps) * len(ns)), 6))
+
+    out = analysis.roc_auc_by_source(SF)
+    got = {r.source: (r.n_pos, r.n_neg, r.auc) for r in out.itertuples()}
+    assert got == expect
+    assert any(abs(a - 0.5) > 0.05 for _, _, a in got.values())  # non-vacuous signal
+
+    monkeypatch.setattr(analysis, "AUC_SCORE_CAP", 1)
+    with pytest.raises(RuntimeError, match="AUC_SCORE_CAP"):
+        analysis.roc_auc_by_source(SF)
+
+
 def test_label_propagation_matches_reference(ray_session):
     """label_propagation == single-process synchronous-LPA reference
     (neighbor-vote max, ties -> smallest label, isolated keep own);
