@@ -635,6 +635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (url_host_stats demoted here — canonicalize + slim pre-agg
         #  shape in-window via pii_redact / partial-agg ops)
         "url_host_stats": scrub.url_host_stats,
+        # r4: k-anonymity / l-diversity privacy audit (exact-int QI
+        # class stats; one coarse nation-hash exchange, 64 summary rows)
+        "k_anonymity_audit": scrub.k_anonymity_audit,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -914,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": analysis.bm25_sql(),
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
+        "k_anonymity_audit": scrub.K_ANONYMITY_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

@@ -376,3 +376,110 @@ SELECT doc_id,
            FILTER (WHERE rn = 1)) AS clean_md5
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — the privacy-compliance companion to
+# pii_redact: redaction scrubs direct identifiers, this measures whether
+# QUASI-identifiers still single people out (Sweeney 2002; Machanavajjhala
+# et al. 2007 for l-diversity)
+# --------------------------------------------------------------------------
+
+K_ANON_K = 5
+K_ANON_BAND_CENTS = 250_000  # $2,500 account-balance bands (the sensitive attr)
+
+
+def k_anonymity_audit(sf_dir: str, k: int = K_ANON_K) -> pd.DataFrame:
+    """Audit the customer table's quasi-identifier equivalence classes
+    (nationkey, mktsegment): a class smaller than k re-identifies its
+    members by linkage; a class whose sensitive attribute (the $2,500
+    acctbal band) takes a single value discloses that attribute even
+    when k-anonymous (l-diversity < 2). Returns ONE exact-integer
+    summary row: class count, row count, below-k classes/rows-at-risk,
+    min class size, and single-band (l=1) classes/rows.
+
+    Scale contract: per-block (nation, segment, band, cnt) partials
+    pre-reduce inside map_batches (bounded by distinct QI x band cells
+    per block, never rows), ONE coarse nation-hash exchange co-locates
+    each class, per-partition class stats collapse to ONE summary row
+    per partition, and the driver folds <= 64 rows. Money crosses as
+    exact int cents (to_cents ≙ DuckDB ROUND(x*100)); the band is int
+    floor division so both sides agree at negative balances (DuckDB's
+    integer // truncates toward zero — the oracle uses FLOOR instead,
+    matching numpy's floor semantics)."""
+    import numpy as np
+
+    from .common import to_cents
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cust = sized_read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = to_cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "n": batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "s": batch["c_mktsegment"].to_pylist(),
+                "b": cents // K_ANON_BAND_CENTS,
+            }
+        )
+        g = df.groupby(["n", "s", "b"], as_index=False).size().rename(columns={"size": "cnt"})
+        g["qp"] = (g.n & 63).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def part_summary(g: pd.DataFrame) -> pd.DataFrame:
+        cls = g.groupby(["n", "s"]).agg(sz=("cnt", "sum"), l=("b", "nunique"))
+        return pd.DataFrame(
+            {
+                "n_classes": [len(cls)],
+                "n_rows": [int(cls.sz.sum())],
+                "n_classes_below_k": [int((cls.sz < k).sum())],
+                "n_rows_at_risk": [int(cls.sz[cls.sz < k].sum())],
+                "min_class_size": [int(cls.sz.min())],
+                "n_classes_l1": [int((cls.l < 2).sum())],
+                "n_rows_l1": [int(cls.sz[cls.l < 2].sum())],
+            }
+        )
+
+    parts = (
+        cust.map_batches(partials, batch_format="pyarrow")
+        .groupby("qp")
+        .map_groups(part_summary, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.drop(columns=["min_class_size"]).sum().to_frame().T
+    out["min_class_size"] = parts.min_class_size.min()
+    cols = [
+        "n_classes",
+        "n_rows",
+        "n_classes_below_k",
+        "n_rows_at_risk",
+        "min_class_size",
+        "n_classes_l1",
+        "n_rows_l1",
+    ]
+    return out[cols].astype("int64")
+
+
+K_ANONYMITY_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey AS n, c_mktsegment AS s,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+                    / {K_ANON_BAND_CENTS}.0) AS BIGINT) AS b
+  FROM customer),
+cls AS (
+  SELECT n, s, COUNT(*) AS sz, COUNT(DISTINCT b) AS l
+  FROM c GROUP BY n, s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_k,
+       CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_l1,
+       CAST(SUM(CASE WHEN l < 2 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_l1
+FROM cls
+"""

@@ -144,3 +144,41 @@ def test_paragraph_dedup_adversarial_cross_position_duplicates(ray_session):
         assert expect[4] == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_k_anonymity_matches_single_process_reference(ray_session):
+    """k_anonymity_audit == a pandas single-process reference over the
+    same QI/band/sensitive definitions; both audit arms (below-k and
+    l-diversity) are live at sf0.001; k < 1 raises."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    ).to_pandas()
+    t["b"] = to_cents(t.c_acctbal.to_numpy()) // scrub.K_ANON_BAND_CENTS
+    cls = t.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        sz=("b", "size"), l=("b", "nunique")
+    )
+    k = scrub.K_ANON_K
+    expect = {
+        "n_classes": len(cls),
+        "n_rows": int(cls.sz.sum()),
+        "n_classes_below_k": int((cls.sz < k).sum()),
+        "n_rows_at_risk": int(cls.sz[cls.sz < k].sum()),
+        "min_class_size": int(cls.sz.min()),
+        "n_classes_l1": int((cls.l < 2).sum()),
+        "n_rows_l1": int(cls.sz[cls.l < 2].sum()),
+    }
+
+    out = scrub.k_anonymity_audit(SF)
+    assert out.iloc[0].to_dict() == expect
+    assert expect["n_classes_below_k"] > 0 and expect["n_classes_l1"] > 0
+    assert expect["n_classes_below_k"] < expect["n_classes"]  # non-vacuous both ways
+
+    with pytest.raises(ValueError, match="k must be"):
+        scrub.k_anonymity_audit(SF, k=0)
