@@ -751,6 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": lambda sf: events.events_sliding(sf, 2 * TUMBLE_S, TUMBLE_S),
         "events_distinct_users": events.events_distinct_users,
         "events_interval_pairs": lambda sf: events.events_interval_pairs(sf, 900),
+        # r4: KEYLESS interval overlap join via time-grid cells —
+        # broadcast calendar side, counted-once max-start rule
+        "interval_overlap_join": events.interval_overlap_join,
         # heavy hitters: rows-only (Misra-Gries estimate is engine-defined;
         # value companion = events_topk_users' exact shuffle, accuracy in
         # tests/test_sketch.py)
@@ -949,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events.EVENTS_SLIDING_SQL_T.format(hop_s=TUMBLE_S),
         "events_distinct_users": events.EVENTS_DISTINCT_USERS_SQL,
         "events_interval_pairs": events.EVENTS_INTERVAL_SQL_T.format(band_s=900),
+        "interval_overlap_join": events.INTERVAL_OVERLAP_SQL,
         "events_running_value": events.EVENTS_RUNNING_SQL,
         "events_latest_per_user": events.EVENTS_LATEST_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,

@@ -1553,3 +1553,137 @@ SELECT CAST(nu AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_events,
        CAST((2 * s1 - (nu + 1) * t) * 1000000 // (nu * t) AS BIGINT) AS gini_ppm
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# keyless interval overlap join via grid-cell bucketing (broadcast side)
+# --------------------------------------------------------------------------
+
+IOJ_SLOTS = 8          # maintenance windows per day
+IOJ_STEP_S = 10_800    # one window every 3 h
+IOJ_LEN_S = 5_400      # 90 min long -> every window SPANS two 1 h cells
+IOJ_CELL_S = 3_600     # grid cell width (the bucketing key)
+
+
+def interval_overlap_join(sf_dir: str) -> pd.DataFrame:
+    """Keyless interval overlap join — the join shape Ray Data has no
+    native operator for (range_join_price_bands covers scalar-in-range,
+    events_interval_pairs the user-keyed band self-join; here NEITHER
+    side shares an equi key): per-(user, day) activity spans
+    [min ts, max ts] ⋈ a derived calendar of 90-minute maintenance
+    windows every 3 h, overlap iff a.s < w.end AND w.start <= a.e.
+    Returns per window-of-day slot the exact overlapping-span count —
+    the "how many user sessions would each maintenance slot disturb"
+    capacity-planning rollup.
+
+    The custom-operator recipe, documented partitioning assumption and
+    all: (1) EQUI-IZE by time-grid cells — each span fans out to its
+    <= 24 one-hour cells, each window to its 2; (2) the window side is
+    CALENDAR-SIZED, so it broadcasts once via ray.put as a cell-keyed
+    frame and the probe is a per-batch vectorized merge — zero shuffle
+    at any corpus size (the bounded fan-out + bounded-broadcast
+    assumption; two BIG interval sets instead would hash-join the cell
+    columns natively); (3) a pair meeting in several shared cells is
+    counted EXACTLY ONCE by the max-start rule — only the cell
+    containing max(a.s, w.start) reports it (that instant lies inside
+    both intervals, so both sides emitted the cell; no distinct pass,
+    the spatial-join dedup trick); (4) per-block (slot, cnt) partials
+    collapse to an 8-row Sum. All-integer microsecond arithmetic,
+    exact on both sides (oracle = quadratic explicit-predicate join)."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Max, Sum
+
+    US = 1_000_000
+    day_us = 86_400 * US
+    cell_us = IOJ_CELL_S * US
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tus = df.ts.astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "day": (tus // day_us).astype("int64"),
+                "s": tus,
+                "e": tus,
+            }
+        )
+        g = out.groupby(["user_id", "day"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    spans = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(span_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+        .materialize()
+    )
+
+    # calendar side: distinct active days (bounded by the calendar, not
+    # the corpus) -> slot windows, exploded to their two grid cells
+    days = np.unique(
+        spans.select_columns(["day"]).to_pandas().day.to_numpy().astype(np.int64)
+    )
+    w_day = np.repeat(days, IOJ_SLOTS)
+    w_slot = np.tile(np.arange(IOJ_SLOTS, dtype=np.int64), len(days))
+    ws = w_day * day_us + w_slot * (IOJ_STEP_S * US)
+    we = ws + IOJ_LEN_S * US
+    c0 = ws // cell_us
+    n_c = (we - 1) // cell_us - c0 + 1
+    idx = np.repeat(np.arange(len(ws)), n_c)
+    off = np.arange(n_c.sum()) - np.repeat(np.cumsum(n_c) - n_c, n_c)
+    cells = pd.DataFrame(
+        {"cell": c0[idx] + off, "ws": ws[idx], "we": we[idx], "slot": w_slot[idx]}
+    )
+    wref = ray.put(cells)
+
+    def probe(batch: pa.Table, ref=wref) -> pa.Table:
+        w = ray.get(ref)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c0 = s // cell_us
+        n_c = (e // cell_us - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), n_c)
+        off = np.arange(n_c.sum()) - np.repeat(np.cumsum(n_c) - n_c, n_c)
+        a = pd.DataFrame({"cell": c0[idx] + off, "s": s[idx], "e": e[idx]})
+        m = a.merge(w, on="cell")
+        keep = (
+            (m.s < m.we)
+            & (m.ws <= m.e)
+            & (np.maximum(m.s, m.ws) // cell_us == m.cell)  # counted-once rule
+        )
+        g = m[keep].groupby("slot", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_pairs"}), preserve_index=False
+        )
+
+    out = (
+        spans.map_batches(probe, batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    return out.astype({"slot": "int64", "n_pairs": "int64"})
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+  FROM events GROUP BY user_id, epoch_us(ts) // {86_400 * 1_000_000}),
+days AS (SELECT DISTINCT day FROM a),
+w AS (
+  SELECT k.range AS slot,
+         d.day * {86_400 * 1_000_000} + k.range * {IOJ_STEP_S * 1_000_000} AS ws,
+         d.day * {86_400 * 1_000_000} + k.range * {IOJ_STEP_S * 1_000_000}
+           + {IOJ_LEN_S * 1_000_000} AS we
+  FROM days d, range({IOJ_SLOTS}) k)
+SELECT CAST(w.slot AS BIGINT) AS slot, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN w ON a.s < w.we AND w.ws <= a.e
+GROUP BY w.slot ORDER BY slot
+"""

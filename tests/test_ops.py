@@ -2028,6 +2028,39 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
         webgraph.kcore_membership(SF, max_rounds=2)
 
 
+def test_interval_overlap_join_matches_bruteforce(ray_session):
+    """interval_overlap_join == an explicit O(spans x windows) loop —
+    if the grid fan-out double-counted a pair meeting in several shared
+    cells (every window spans 2 cells, spans up to 24) the counts would
+    inflate; every slot is populated (non-vacuous)."""
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import events
+
+    US = 1_000_000
+    day_us = 86_400 * US
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    tus = t.ts.astype("int64")
+    t = pd.DataFrame({"u": t.user_id, "day": tus // day_us, "ts": tus})
+    spans = t.groupby(["u", "day"]).agg(s=("ts", "min"), e=("ts", "max")).reset_index()
+    days = sorted(spans.day.unique())
+    windows = [
+        (d * day_us + k * events.IOJ_STEP_S * US,
+         d * day_us + k * events.IOJ_STEP_S * US + events.IOJ_LEN_S * US,
+         k)
+        for d in days
+        for k in range(events.IOJ_SLOTS)
+    ]
+    expect: dict[int, int] = {}
+    for s, e in zip(spans.s, spans.e):
+        for ws, we, slot in windows:
+            if s < we and ws <= e:
+                expect[slot] = expect.get(slot, 0) + 1
+
+    out = events.interval_overlap_join(SF)
+    assert {r.slot: r.n_pairs for r in out.itertuples()} == expect
+    assert len(out) == events.IOJ_SLOTS  # every slot live
+
+
 def test_roc_auc_matches_bruteforce_pairs(ray_session, monkeypatch):
     """roc_auc_by_source == the O(P*N) brute-force pairwise AUC
     definition (score_p > score_n counts 1, ties 0.5) — an independent
