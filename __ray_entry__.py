@@ -697,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: synchronous label-propagation communities (min-label ties,
         # fixed shared round budget — integer-only, zero float drift)
         "label_propagation": webgraph.label_propagation,
+        # r4: HITS hubs/authorities — unnormalized fixed rounds keep the
+        # scores exact INTEGERS; only the two final rescale divisions
+        # are float (round-6 bit parity)
+        "hits_scores": webgraph.hits_scores,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -980,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": webgraph.TRIANGLE_SQL,
         "kcore_membership": webgraph.kcore_sql(),
         "label_propagation": webgraph.label_propagation_sql(),
+        "hits_scores": webgraph.hits_sql(),
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

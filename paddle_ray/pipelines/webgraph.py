@@ -623,3 +623,135 @@ def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
         + f"\nSELECT CAST(d.node AS BIGINT) AS doc_id, CAST(d.c AS BIGINT) AS core_deg"
         f"\nFROM d{rounds} d JOIN s{rounds} s ON d.node = s.node ORDER BY doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) over the directed doc graph
+# --------------------------------------------------------------------------
+
+HITS_ROUNDS = 2  # fixed round budget shared engine/oracle
+
+
+def hits_scores(sf_dir: str, rounds: int = HITS_ROUNDS) -> pd.DataFrame:
+    """HITS hubs/authorities over the DIRECTED multi-edge doc graph
+    (pagerank's exact edge view, self-loops and the dst1==dst2
+    multi-edge included) — the mutually-recursive complement of
+    PageRank's single authority score: hubs point at good authorities,
+    authorities are pointed at by good hubs (link directories vs
+    content pages separate here, not under PageRank). Runs `rounds`
+    full update pairs a := A^T h, h := A a from h0 = 1 **without
+    per-round normalization**: normalization only guards overflow, and
+    for a fixed round budget the scores stay exact INTEGERS (degree
+    sums of degree sums — bounded by max_deg^(2*rounds), tiny in
+    int64), so the ONLY float ops are the two final rescale divisions
+    (authority * n / sum, hub * n / sum — exact int operands, one
+    correctly-rounded division each, round-6 bit parity; the pagerank
+    r*n convention).
+
+    Scale contract: every spread step is the pagerank round topology —
+    16 B score rows ⋈ edges (native hash join) -> per-block (node, v)
+    partials -> node-sized Sum -> left-outer join back for
+    zero-score nodes; node-sized materialize per step (the lazy-lineage
+    lesson). Nothing driver-side until the final n-row collect."""
+    from ray.data.aggregate import Sum
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    nodes = _ids(sf_dir)
+    n = nodes.count()
+    edges = nodes.map_batches(
+        lambda b: _edges_batch(b, n), batch_format="pyarrow"
+    ).materialize()
+
+    def _with_zeros(summed):
+        """left-outer join the node list so score vectors stay n-row."""
+        joined = nodes.join(summed, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+        def fill(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = np.where(np.isnan(v), 0.0, v).astype(np.int64)
+            return pa.table({"doc_id": batch["doc_id"], "v": pa.array(v, pa.int64())})
+
+        return joined.map_batches(fill, batch_format="pyarrow").materialize()
+
+    def _spread(scores, key_from: str, key_to: str):
+        """v'(y) = sum over edges x->y (or y<-x) of v(x): join scores
+        on key_from, integer-sum per key_to."""
+        keyed = scores.map_batches(
+            lambda b, kf=key_from: pa.table({kf: b["doc_id"], "v": b["v"]}),
+            batch_format="pyarrow",
+        )
+        j = edges.join(keyed, join_type="inner", num_partitions=8, on=(key_from,))
+
+        def partial(batch: pa.Table, kt=key_to) -> pa.Table:
+            t = pa.table({"doc_id": batch[kt], "v": batch["v"]})
+            g = t.group_by("doc_id").aggregate([("v", "sum")])
+            return g.rename_columns(["doc_id", "v"])
+
+        s = (
+            j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Sum("v", alias_name="v"))
+        )
+        return _with_zeros(s)
+
+    ones = nodes.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "v": pa.array(np.ones(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    h = ones
+    for _ in range(rounds):
+        a = _spread(h, "src", "dst")
+        h = _spread(a, "dst", "src")
+
+    sa = int(a.sum("v"))
+    sh = int(h.sum("v"))
+    adf = a.to_pandas().rename(columns={"v": "a"})
+    hdf = h.to_pandas().rename(columns={"v": "h"})
+    out = adf.merge(hdf, on="doc_id").sort_values("doc_id").reset_index(drop=True)
+    out["authority"] = (out.a.astype("int64") * n / sa).round(6)
+    out["hub"] = (out.h.astype("int64") * n / sh).round(6)
+    return out[["doc_id", "authority", "hub"]].astype({"doc_id": "int64"})
+
+
+def hits_sql(rounds: int = HITS_ROUNDS) -> str:
+    ctes = [
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)",
+        "e AS MATERIALIZED (\n"
+        "  SELECT doc_id AS src, (doc_id * doc_id + 3) % nn.n AS dst FROM documents, nn\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, (doc_id // 7) % nn.n FROM documents, nn)",
+        "h0 AS MATERIALIZED (SELECT doc_id, 1 AS v FROM documents)",
+    ]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (\n"
+            "  SELECT d.doc_id, COALESCE(s.v, 0) AS v FROM documents d LEFT JOIN (\n"
+            f"    SELECT e.dst, SUM({prev_h}.v) AS v FROM e"
+            f" JOIN {prev_h} ON {prev_h}.doc_id = e.src GROUP BY e.dst\n"
+            "  ) s ON s.dst = d.doc_id)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (\n"
+            "  SELECT d.doc_id, COALESCE(s.v, 0) AS v FROM documents d LEFT JOIN (\n"
+            f"    SELECT e.src, SUM(a{i}.v) AS v FROM e"
+            f" JOIN a{i} ON a{i}.doc_id = e.dst GROUP BY e.src\n"
+            "  ) s ON s.src = d.doc_id)"
+        )
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+ta AS (SELECT SUM(v) AS s FROM a{rounds}),
+th AS (SELECT SUM(v) AS s FROM h{rounds})
+SELECT a.doc_id,
+       ROUND(a.v * nn.n * 1.0 / ta.s, 6) AS authority,
+       ROUND(h.v * nn.n * 1.0 / th.s, 6) AS hub
+FROM a{rounds} a JOIN h{rounds} h USING (doc_id), nn, ta, th
+ORDER BY a.doc_id"""
+    )

@@ -2028,6 +2028,36 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
         webgraph.kcore_membership(SF, max_rounds=2)
 
 
+def test_hits_matches_single_process_reference(ray_session):
+    """hits_scores == a single-process integer HITS reference (a := A^T h,
+    h := A a from h0 = 1, no normalization, final n/sum rescale);
+    hubs and authorities genuinely differ (non-vacuous); rounds < 1
+    raises."""
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import webgraph
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    src = np.concatenate([ids, ids]).astype(np.int64)
+    dst = np.concatenate([(ids * ids + 3) % n, (ids // 7) % n]).astype(np.int64)
+    h = np.ones(n, dtype=np.int64)
+    for _ in range(webgraph.HITS_ROUNDS):
+        a = np.bincount(dst, weights=h[src], minlength=n).astype(np.int64)
+        h = np.bincount(src, weights=a[dst], minlength=n).astype(np.int64)
+    exp_auth = np.round(a * n / a.sum(), 6)
+    exp_hub = np.round(h * n / h.sum(), 6)
+
+    out = webgraph.hits_scores(SF).sort_values("doc_id")
+    assert (out.doc_id.to_numpy() == np.arange(n)).all()
+    np.testing.assert_array_equal(out.authority.to_numpy(), exp_auth)
+    np.testing.assert_array_equal(out.hub.to_numpy(), exp_hub)
+    # hubs and authorities rank nodes differently (the HITS point)
+    assert (np.argsort(-exp_auth)[:10] != np.argsort(-exp_hub)[:10]).any()
+
+    with pytest.raises(ValueError, match="rounds"):
+        webgraph.hits_scores(SF, rounds=0)
+
+
 def test_interval_overlap_join_matches_bruteforce(ray_session):
     """interval_overlap_join == an explicit O(spans x windows) loop —
     if the grid fan-out double-counted a pair meeting in several shared
