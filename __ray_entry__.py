@@ -643,6 +643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: k-anonymity / l-diversity privacy audit (exact-int QI
         # class stats; one coarse nation-hash exchange, 64 summary rows)
         "k_anonymity_audit": scrub.k_anonymity_audit,
+        # r4: GDPR right-to-be-forgotten cascade (customer -> orders ->
+        # lineitem; each hop ONE native join against a slim key table)
+        "gdpr_delete_cascade": scrub.gdpr_delete_cascade,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -930,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
         "k_anonymity_audit": scrub.K_ANONYMITY_SQL,
+        "gdpr_delete_cascade": scrub.GDPR_CASCADE_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

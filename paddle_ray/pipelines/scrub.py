@@ -483,3 +483,84 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
        CAST(SUM(CASE WHEN l < 2 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_l1
 FROM cls
 """
+
+
+# --------------------------------------------------------------------------
+# GDPR deletion cascade — referential right-to-be-forgotten propagation
+# --------------------------------------------------------------------------
+
+GDPR_DEL_MOD = 53  # deterministic erasure-request list: c_custkey % 53 == 0
+
+
+def gdpr_delete_cascade(sf_dir: str) -> pd.DataFrame:
+    """Right-to-be-forgotten cascade audit — the third privacy op next
+    to pii_redact (direct identifiers) and k_anonymity_audit (quasi-
+    identifiers): an erasure-request list over customers propagates
+    through the foreign-key chain customer -> orders -> lineitem, and
+    the audit reports exact deleted/surviving counts per table (the
+    numbers a deletion job must reconcile before committing the purge).
+    The request list is derived deterministically (c_custkey %
+    GDPR_DEL_MOD == 0 — the scrub.py derivation-oracle pattern).
+
+    Scale contract: each cascade hop is ONE native hash join against a
+    SLIM key table (8 B keys — the erasure list and the deleted-order
+    keys; fact-table payloads never join, only their FK columns are
+    read), so the shuffle is key-sized at every hop; totals are
+    Dataset.count() off the parquet footers. No driver-side set ever
+    holds the fact keys — at 100 TB the deleted-order key table is
+    itself distributed (this is why the hop is a join, not an np.isin
+    broadcast)."""
+    import ray.data as rd  # noqa: F401  (parity with sibling modules)
+
+    def erasure_list(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % GDPR_DEL_MOD == 0))
+
+    del_cust = (
+        sized_read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(erasure_list, batch_format="pyarrow")
+        .materialize()
+    )
+    orders = sized_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    del_orders = orders.join(
+        del_cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey"]).materialize()
+    lineitem = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    del_line = lineitem.join(
+        del_orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    n_cust = sized_read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    n_ord = orders.count()
+    n_li = lineitem.count()
+    d_cust = del_cust.count()
+    d_ord = del_orders.count()
+    d_li = del_line.count()
+    return pd.DataFrame(
+        {
+            "n_del_customers": pd.Series([d_cust], dtype="int64"),
+            "n_del_orders": pd.Series([d_ord], dtype="int64"),
+            "n_del_lineitems": pd.Series([d_li], dtype="int64"),
+            "n_keep_customers": pd.Series([n_cust - d_cust], dtype="int64"),
+            "n_keep_orders": pd.Series([n_ord - d_ord], dtype="int64"),
+            "n_keep_lineitems": pd.Series([n_li - d_li], dtype="int64"),
+        }
+    )
+
+
+GDPR_CASCADE_SQL = f"""
+WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % {GDPR_DEL_MOD} = 0),
+do_ AS (SELECT o_orderkey FROM orders JOIN dc ON o_custkey = c_custkey),
+dl AS (SELECT l_orderkey FROM lineitem JOIN do_ ON l_orderkey = o_orderkey)
+SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_del_customers,
+       CAST((SELECT COUNT(*) FROM do_) AS BIGINT) AS n_del_orders,
+       CAST((SELECT COUNT(*) FROM dl) AS BIGINT) AS n_del_lineitems,
+       CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM dc) AS BIGINT)
+         AS n_keep_customers,
+       CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM do_) AS BIGINT)
+         AS n_keep_orders,
+       CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dl) AS BIGINT)
+         AS n_keep_lineitems
+"""

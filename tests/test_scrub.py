@@ -182,3 +182,31 @@ def test_k_anonymity_matches_single_process_reference(ray_session):
 
     with pytest.raises(ValueError, match="k must be"):
         scrub.k_anonymity_audit(SF, k=0)
+
+
+def test_gdpr_cascade_matches_single_process_reference(ray_session):
+    """gdpr_delete_cascade == pandas FK-chain reference; every deleted
+    lineitem's order belongs to an erased customer and vice versa (the
+    cascade is exactly the transitive closure); both arms live."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"]).to_pandas()
+    dc = set(cust.c_custkey[cust.c_custkey % scrub.GDPR_DEL_MOD == 0])
+    do = set(orders.o_orderkey[orders.o_custkey.isin(dc)])
+    dl = int(li.l_orderkey.isin(do).sum())
+    expect = {
+        "n_del_customers": len(dc),
+        "n_del_orders": len(do),
+        "n_del_lineitems": dl,
+        "n_keep_customers": len(cust) - len(dc),
+        "n_keep_orders": len(orders) - len(do),
+        "n_keep_lineitems": len(li) - dl,
+    }
+
+    out = scrub.gdpr_delete_cascade(SF)
+    assert out.iloc[0].to_dict() == expect
+    assert expect["n_del_lineitems"] > 0 and expect["n_keep_lineitems"] > 0
