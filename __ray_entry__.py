@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: exact grouped Mann-Whitney ROC-AUC (integer rank-sum, one
         # round-6 division) — the model-eval metrics family
         "roc_auc_by_source": analysis.roc_auc_by_source,
+        # r4: ANALYZE-TABLE exact NDV profile (per-block dedup partials;
+        # exchange bounded by NDV x #blocks, never rows)
+        "table_ndv_profile": analysis.table_ndv_profile,
         "pmi_bigrams": analysis.pmi_bigrams,
         "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
@@ -916,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "orderkey_islands": analysis.ORDERKEY_ISLANDS_SQL,
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "roc_auc_by_source": analysis.ROC_AUC_SQL,
+        "table_ndv_profile": analysis.TABLE_NDV_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,

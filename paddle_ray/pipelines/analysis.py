@@ -2576,3 +2576,88 @@ SELECT source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
        ROUND(u2 / (2.0 * np * nn), 6) AS auc
 FROM u ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# table NDV profile — the ANALYZE TABLE / optimizer-statistics pass
+# --------------------------------------------------------------------------
+
+NDV_COLUMNS = ("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+
+def table_ndv_profile(sf_dir: str) -> pd.DataFrame:
+    """Exact per-column distinct-value counts over `orders` — the
+    ANALYZE-TABLE statistics pass every cost-based planner (and every
+    partitioning decision in this repo) feeds on: NDV decides join
+    sides, salt factors, and dictionary-encoding wins. One scan emits
+    per-block per-column DEDUPED (col, val) rows — the exchange is
+    bounded by NDV x #blocks per column, never row count — then one
+    composite groupby distincts globally and a per-block partial count
+    folds to (column, n_distinct).
+
+    Canonicalization is injective on both sides so 'distinct canonical'
+    == 'distinct raw': ints/strings pass through, timestamps become
+    epoch-us, money becomes exact cents (to_cents ≙ ROUND(x*100) —
+    NOTE the oracle counts distinct CENTS too; two doubles inside the
+    same cent are one value by contract on BOTH sides)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from .common import to_cents
+
+    ds = sized_read_parquet(f"{sf_dir}/orders.parquet", columns=list(NDV_COLUMNS))
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name in NDV_COLUMNS:
+            arr = batch[name]
+            if name == "o_totalprice":
+                u = np.unique(to_cents(arr.to_numpy(zero_copy_only=False)))
+                sv = [str(int(x)) for x in u]
+            elif pa.types.is_timestamp(arr.type):
+                u = np.unique(arr.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64"))
+                sv = [str(int(x)) for x in u]
+            elif pa.types.is_integer(arr.type):
+                u = np.unique(arr.to_numpy(zero_copy_only=False))
+                sv = [str(int(x)) for x in u]
+            else:
+                sv = sorted(set(arr.to_pylist()))
+            cols.extend([name] * len(sv))
+            vals.extend(sv)
+        return pa.table({"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())})
+
+    distinct = (
+        ds.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count())
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"col": batch["col"], "c": pa.array(np.ones(len(batch), np.int64))})
+        g = t.group_by("col").aggregate([("c", "sum")])
+        return g.rename_columns(["column", "n_distinct"])
+
+    out = (
+        distinct.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("column")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .to_pandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    return out.astype({"column": "string", "n_distinct": "int64"}).astype({"column": object})
+
+
+TABLE_NDV_SQL = """
+SELECT 'o_custkey' AS "column", CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(DISTINCT epoch_us(o_orderdate)) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) FROM orders
+ORDER BY "column"
+"""

@@ -2028,6 +2028,26 @@ def test_kcore_membership_matches_reference(ray_session, monkeypatch):
         webgraph.kcore_membership(SF, max_rounds=2)
 
 
+def test_table_ndv_profile_matches_pandas(ray_session):
+    """table_ndv_profile == pandas nunique over the same injective
+    canonicalization (cents for money, epoch-us for timestamps)."""
+    import pyarrow.parquet as pq
+    from paddle_ray.pipelines import analysis
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=list(analysis.NDV_COLUMNS)).to_pandas()
+    expect = {
+        "o_custkey": t.o_custkey.nunique(),
+        "o_orderdate": t.o_orderdate.nunique(),
+        "o_orderpriority": t.o_orderpriority.nunique(),
+        "o_orderstatus": t.o_orderstatus.nunique(),
+        "o_totalprice": int(pd.Series(to_cents(t.o_totalprice.to_numpy())).nunique()),
+    }
+    out = analysis.table_ndv_profile(SF)
+    assert {r.column: r.n_distinct for r in out.itertuples()} == expect
+    assert expect["o_orderstatus"] < 10 < expect["o_custkey"]  # spread is real
+
+
 def test_hits_matches_single_process_reference(ray_session):
     """hits_scores == a single-process integer HITS reference (a := A^T h,
     h := A a from h0 = 1, no normalization, final n/sum rescale);
