@@ -859,3 +859,136 @@ FROM orders o
 ASOF LEFT JOIN ev e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# bucketed (storage-partitioned) join — the shuffle-free join layout
+# --------------------------------------------------------------------------
+
+BUCKETS = 16
+
+
+def bucketed_join(sf_dir: str, n_buckets: int = BUCKETS) -> pd.DataFrame:
+    """Storage-bucketed zero-exchange join (the Hive/Iceberg bucketed-table
+    / Spark storage-partitioned-join layout): both fact tables are written
+    ONCE hive-partitioned by `bucket = splitmix64(orderkey) % n_buckets`,
+    after which ANY number of orderkey joins run with NO shuffle at all —
+    bucket i of lineitem can only match bucket i of orders, so each join
+    task reads exactly one co-bucketed directory pair and joins in-heap.
+
+    This is the "bucket by key hash when you must co-locate" scale
+    technique: at 100 TB the one-time bucketing cost at ingest replaces an
+    all-to-all exchange in EVERY downstream join of the key. Here the
+    layout lives under /tmp (single node); on a cluster the same
+    directories sit on shared storage and the per-bucket task reads stay
+    node-local to wherever the scheduler places them.
+
+    Scale contract: the bucketed write is per-block streaming
+    (write_parquet(partition_cols)); the join phase is one task per
+    bucket over a #buckets-sized Dataset — each task's heap holds one
+    bucket pair (size the bucket count to the heap: 100 TB / n_buckets
+    per task). The per-task output is a <=#priorities-row partial; the
+    driver folds #buckets x 5 rows. Revenue is exact integer
+    price_cents x (100 - disc_pct) (1e-4 dollar units), so the oracle
+    equality is bit-exact — any row lost or duplicated by the bucket
+    routing flips the hash.
+
+    Reference parity note: the reference engine has no bucketed layout
+    (single-process, `server/` serving loop); this is part of the general
+    join family SURVEY.md §2 J1-J3 motivates.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..functions.hashes import splitmix64
+    from .common import sized_read_parquet, to_cents
+
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    try:
+        def add_bucket(batch: pa.Table, key: str) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = (splitmix64(k) % np.uint64(n_buckets)).astype(np.int32)
+            return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+        orders = sized_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ).map_batches(lambda t: add_bucket(t, "o_orderkey"), batch_format="pyarrow")
+        orders.write_parquet(f"{root}/orders", partition_cols=["bucket"])
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            t = add_bucket(batch, "l_orderkey")
+            cents = to_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = to_cents(t["l_discount"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "price_cents": pa.array(cents, pa.int64()),
+                    "disc_pct": pa.array(disc, pa.int64()),
+                    "bucket": t["bucket"],
+                }
+            )
+
+        lineitem = sized_read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow")
+        lineitem.write_parquet(f"{root}/lineitem", partition_cols=["bucket"])
+
+        import pyarrow.parquet as pq
+
+        def join_bucket(batch: pa.Table) -> pa.Table:
+            parts = []
+            for b in batch["item"].to_pylist():
+                od = os.path.join(root, "orders", f"bucket={b}")
+                ld = os.path.join(root, "lineitem", f"bucket={b}")
+                if not (os.path.isdir(od) and os.path.isdir(ld)):
+                    continue  # a side with no rows in this bucket joins to nothing
+                o = pq.read_table(od).to_pandas()
+                li = pq.read_table(ld).to_pandas()
+                m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+                m["revenue_e4"] = m.price_cents * (100 - m.disc_pct)
+                parts.append(
+                    m.groupby("o_orderpriority", as_index=False).agg(
+                        n_items=("l_orderkey", "size"), revenue_e4=("revenue_e4", "sum")
+                    )
+                )
+            if not parts:
+                return pa.table(
+                    {
+                        "o_orderpriority": pa.array([], pa.string()),
+                        "n_items": pa.array([], pa.int64()),
+                        "revenue_e4": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+
+        partials = (
+            rd.from_items(list(range(n_buckets)))
+            .map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+            .to_pandas()
+        )
+        out = (
+            partials.groupby("o_orderpriority", as_index=False)
+            .agg(n_items=("n_items", "sum"), revenue_e4=("revenue_e4", "sum"))
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        return out.astype(
+            {"o_orderpriority": "str", "n_items": "int64", "revenue_e4": "int64"}
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -73,3 +73,33 @@ def test_salted_join_equals_plain_join(ray_session):
 
     with pytest.raises(ValueError):
         salted_segment_rollup(sf, n_salts=0)
+
+
+def test_bucketed_join_equals_plain_join(ray_session):
+    """The storage-bucketed zero-exchange join must produce EXACTLY the
+    plain single-process join's rollup at any bucket count (1 == a single
+    co-located pair, 16 == default, 7 == coprime with the key stride), and
+    the bucket routing must not lose or duplicate a single row — n_items
+    is the full join cardinality."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import to_cents
+    from paddle_ray.pipelines.joins import bucketed_join
+
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+    m["revenue_e4"] = to_cents(m.l_extendedprice) * (100 - to_cents(m.l_discount))
+    ref = (
+        m.groupby("o_orderpriority", as_index=False)
+        .agg(n_items=("l_orderkey", "size"), revenue_e4=("revenue_e4", "sum"))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert ref.n_items.sum() == len(li)  # every lineitem joins (FK complete)
+    for b in (1, 7, 16):
+        out = bucketed_join(SF, n_buckets=b)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), ref.astype(out.dtypes.to_dict())
+        )
