@@ -716,6 +716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scores exact INTEGERS; only the two final rescale divisions
         # are float (round-6 bit parity)
         "hits_scores": webgraph.hits_scores,
+        # multi-source BFS crawl depth — the frontier-expansion primitive
+        # (integer-only; frontier-filtered join per round, exact oracle)
+        "bfs_distance": webgraph.bfs_distance,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -1003,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": webgraph.kcore_sql(),
         "label_propagation": webgraph.label_propagation_sql(),
         "hits_scores": webgraph.hits_sql(),
+        "bfs_distance": webgraph.bfs_sql(),
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

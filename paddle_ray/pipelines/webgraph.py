@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .common import sized_read_parquet
@@ -755,3 +756,134 @@ SELECT a.doc_id,
 FROM a{rounds} a JOIN h{rounds} h USING (doc_id), nn, ta, th
 ORDER BY a.doc_id"""
     )
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS (crawl depth from the seed list)
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 101
+_BFS_BIG = 1 << 31  # unreached sentinel inside the loop; -1 in the output
+
+
+def bfs_distance(sf_dir: str, rounds: int = BFS_ROUNDS) -> pd.DataFrame:
+    """Multi-source BFS over the directed doc graph: dist(v) = min #hops
+    from the seed set {doc_id % BFS_SEED_MOD == 0} following out-links,
+    bounded at `rounds` hops (unreached -> -1). The crawl-frontier depth
+    signal (how far a page sits from the seed list) every crawl scheduler
+    keeps next to PageRank — and the FRONTIER-EXPANSION primitive the
+    graph family was missing (pagerank/HITS spread mass, kcore peels,
+    LPA relabels; BFS grows a set).
+
+    Scale contract (the pagerank round topology, integer-only): per round
+    the FRONTIER (rows with d == r, never the full reached set) joins
+    edges natively on src -> per-block dst dedup (the candidate value is
+    the constant r+1, so the partial is a distinct, not a min) ->
+    node-bounded groupby Min -> left-outer min-update against the dist
+    snapshot. Each round's dist Dataset is materialize()d (the
+    dedup_clusters pregel lesson); rows are 16 B. All arithmetic is int64
+    — the oracle equality is exact, no float discipline needed.
+
+    Oracled by bfs_sql(rounds) — the identical chained MATERIALIZED-CTE
+    recurrence (one LEFT JOIN min-update per round).
+    """
+    from ray.data.aggregate import Min
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    nodes = _ids(sf_dir)
+    n = nodes.count()
+    edges = nodes.map_batches(
+        lambda b: _edges_batch(b, n), batch_format="pyarrow"
+    ).materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.where(ids % BFS_SEED_MOD == 0, 0, _BFS_BIG).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "d": pa.array(d, pa.int64())})
+
+    dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for r in range(rounds):
+        def frontier_by_src(batch: pa.Table, rr=r) -> pa.Table:
+            m = pc.equal(batch["d"], pa.scalar(rr, pa.int64()))
+            t = batch.filter(m)
+            return pa.table({"src": t["doc_id"], "d": t["d"]})
+
+        frontier = dist.map_batches(
+            frontier_by_src, batch_format="pyarrow", batch_size=None
+        )
+        reached = edges.join(frontier, join_type="inner", num_partitions=8, on=("src",))
+
+        def cand_partial(batch: pa.Table, rr=r) -> pa.Table:
+            dst = np.unique(batch["dst"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "doc_id": pa.array(dst, pa.int64()),
+                    "cd": pa.array(np.full(len(dst), rr + 1, dtype=np.int64)),
+                }
+            )
+
+        cand = (
+            reached.map_batches(cand_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Min("cd", alias_name="cd"))
+        )
+        joined = dist.join(cand, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+        def upd(batch: pa.Table) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cd = batch["cd"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cd = np.where(np.isnan(cd), float(_BFS_BIG), cd).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "d": pa.array(np.minimum(d, cd), pa.int64()),
+                }
+            )
+
+        dist = joined.map_batches(upd, batch_format="pyarrow").materialize()
+
+    out = dist.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["dist"] = np.where(out.d >= _BFS_BIG, -1, out.d).astype("int64")
+    return out[["doc_id", "dist"]].astype({"doc_id": "int64"})
+
+
+def bfs_sql(rounds: int = BFS_ROUNDS) -> str:
+    parts = [
+        f"""
+WITH ids AS MATERIALIZED (SELECT doc_id FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * doc_id + 3) % (SELECT COUNT(*) FROM ids) AS dst FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id // 7) % (SELECT COUNT(*) FROM ids) FROM ids
+),
+d0 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE {_BFS_BIG} END AS d
+  FROM ids
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT p.doc_id, LEAST(p.d, COALESCE(m.md, {_BFS_BIG})) AS d
+  FROM d{r} p LEFT JOIN (
+    SELECT e.dst AS doc_id, MIN(s.d) + 1 AS md
+    FROM e JOIN d{r} s ON s.doc_id = e.src
+    WHERE s.d = {r}
+    GROUP BY e.dst
+  ) m ON m.doc_id = p.doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+       CAST(CASE WHEN d >= {_BFS_BIG} THEN -1 ELSE d END AS BIGINT) AS dist
+FROM d{rounds} ORDER BY doc_id
+"""
+    )
+    return "".join(parts)

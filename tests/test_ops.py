@@ -2238,3 +2238,43 @@ def test_record_linkage_matches_reference(ray_session):
     assert (out.lev == 1).all()
     recall = (out.matched_id == out.dirty_id - RL_OFFSET).mean()
     assert recall >= 0.95, recall
+
+
+def test_bfs_distance_matches_reference(ray_session):
+    """bfs_distance == single-process frontier BFS over the same derived
+    graph; seeds at 0, monotone frontier growth, and unreached == -1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import webgraph
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n = len(ids)
+    rounds = 4
+    dist = {int(i): 0 for i in ids if i % webgraph.BFS_SEED_MOD == 0}
+    assert dist, "seed set must be non-empty at this sf"
+    out_links = {int(i): [int((i * i + 3) % n), int((i // 7) % n)] for i in ids}
+    frontier = set(dist)
+    for r in range(rounds):
+        nxt = set()
+        for u in frontier:
+            for v in out_links[u]:
+                if v not in dist:
+                    dist[v] = r + 1
+                    nxt.add(v)
+        frontier = nxt
+    ref = {int(i): dist.get(int(i), -1) for i in ids}
+
+    got = webgraph.bfs_distance(SF, rounds=rounds)
+    assert got.doc_id.is_monotonic_increasing
+    got_map = dict(zip(got.doc_id, got.dist))
+    assert got_map == ref
+    # the operator genuinely discriminates: several depths + unreached
+    depths = set(got.dist)
+    assert 0 in depths and -1 in depths and len(depths) >= 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        webgraph.bfs_distance(SF, rounds=0)
