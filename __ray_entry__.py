@@ -649,12 +649,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (url_host_stats demoted here — canonicalize + slim pre-agg
         #  shape in-window via pii_redact / partial-agg ops)
         "url_host_stats": scrub.url_host_stats,
-        # r4: k-anonymity / l-diversity privacy audit (exact-int QI
-        # class stats; one coarse nation-hash exchange, 64 summary rows)
-        "k_anonymity_audit": scrub.k_anonymity_audit,
+        # r4: k-anonymity / l-diversity privacy audit over the customer
+        # table's (nation, segment) QI classes (exact-int stats; one
+        # coarse nation-hash exchange). NOTE: distinct key — the webtext
+        # module has a SEPARATE k_anonymity_audit over document metadata
+        # registered further down; a shared key silently dropped this one
+        # from the dict (dup-key fix, round 4 session 7).
+        "k_anonymity_customers": scrub.k_anonymity_audit,
         # r4: GDPR right-to-be-forgotten cascade (customer -> orders ->
         # lineitem; each hop ONE native join against a slim key table)
         "gdpr_delete_cascade": scrub.gdpr_delete_cascade,
+        # r4: eps-DP Laplace-released per-lang counts (seeded noise —
+        # md5 inverse-CDF draw identical on both sides; #langs-sized)
+        "dp_group_counts": scrub.dp_group_counts,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -949,8 +956,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": analysis.bm25_sql(),
         "pii_redact": scrub.PII_REDACT_SQL,
         "url_host_stats": scrub.URL_HOST_SQL,
-        "k_anonymity_audit": scrub.K_ANONYMITY_SQL,
+        "k_anonymity_customers": scrub.K_ANONYMITY_SQL,
         "gdpr_delete_cascade": scrub.GDPR_CASCADE_SQL,
+        "dp_group_counts": scrub.DP_GROUP_COUNTS_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

@@ -564,3 +564,82 @@ SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_del_customers,
        CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dl) AS BIGINT)
          AS n_keep_lineitems
 """
+
+
+# --------------------------------------------------------------------------
+# differentially-private group counts (seeded Laplace mechanism)
+# --------------------------------------------------------------------------
+
+DP_EPS = 0.5
+
+
+def dp_group_counts(sf_dir: str, eps: float = DP_EPS) -> pd.DataFrame:
+    """eps-DP released per-lang document counts via the Laplace mechanism
+    — the fourth privacy op (pii_redact scrubs direct identifiers,
+    k_anonymity_audit measures quasi-identifier risk, gdpr_delete_cascade
+    erases, this RELEASES an aggregate with calibrated noise). Count has
+    L1 sensitivity 1, so noise ~ Laplace(1/eps).
+
+    Determinism/oracle contract: the noise draw is SEEDED per group —
+    u = md5('dp:' || lang)[:12 hex] / 16^12 - 0.5 (exact in double: a
+    <2^48 integer divided by a power of two), then the inverse-CDF
+    transform noise = -(1/eps) * sign(u) * ln(1 - 2|u|). The only
+    inexact steps are one IEEE subtraction, one correctly-rounded libm
+    ln and one multiply, identical in numpy and DuckDB to ~15
+    significant digits; the gate rounds to 6. (A production deployment
+    feeds a secret per-release salt where 'dp:' sits — the mechanism and
+    its calibration are unchanged; the fixed salt is what makes the
+    result value-oracle-able.)
+
+    Scale contract: one streaming scan emits per-block (lang, n)
+    partials; the exchange is #langs x #blocks rows, the noise pass runs
+    on the #langs-sized result. Reference parity: the reference engine
+    has no aggregate-release path; this extends SURVEY §2's A-family
+    (aggregates) with the private-release variant.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    u = np.array(
+        [
+            int(hashlib.md5(f"dp:{lang}".encode()).hexdigest()[:12], 16) / float(1 << 48)
+            - 0.5
+            for lang in counts.lang
+        ]
+    )
+    noise = -(1.0 / eps) * np.sign(u) * np.log(1.0 - 2.0 * np.abs(u))
+    counts["n_noisy"] = (counts.n.to_numpy(dtype=np.float64) + noise).round(6)
+    return counts[["lang", "n_noisy"]].astype({"lang": "str"})
+
+
+DP_GROUP_COUNTS_SQL = f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+u AS (
+  SELECT lang, n,
+         CAST(CONCAT('0x', substr(md5('dp:' || lang), 1, 12)) AS BIGINT)
+           / 281474976710656.0 - 0.5 AS uu
+  FROM c
+)
+SELECT lang,
+       ROUND(n + (-1.0 / {DP_EPS}) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6)
+         AS n_noisy
+FROM u ORDER BY lang
+"""

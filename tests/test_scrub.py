@@ -210,3 +210,54 @@ def test_gdpr_cascade_matches_single_process_reference(ray_session):
     out = scrub.gdpr_delete_cascade(SF)
     assert out.iloc[0].to_dict() == expect
     assert expect["n_del_lineitems"] > 0 and expect["n_keep_lineitems"] > 0
+
+
+def test_dp_group_counts_noise_is_calibrated_laplace(ray_session):
+    """dp_group_counts == exact counts + the seeded Laplace draw recomputed
+    independently; noise must be nonzero (the mechanism is live) and eps
+    must scale it inversely (twice the privacy budget -> half the noise)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines.scrub import dp_group_counts
+
+    sf = "/root/testdata/sf0.001"
+    langs = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]).to_pandas()
+    true = langs.groupby("lang").size()
+
+    def draw(lang, eps):
+        u = int(hashlib.md5(f"dp:{lang}".encode()).hexdigest()[:12], 16) / float(1 << 48) - 0.5
+        return -(1.0 / eps) * np.sign(u) * np.log(1.0 - 2.0 * abs(u))
+
+    for eps in (0.5, 1.0):
+        out = dp_group_counts(sf, eps=eps)
+        assert list(out.lang) == sorted(true.index)
+        for lang, noisy in zip(out.lang, out.n_noisy):
+            expect = round(true[lang] + draw(lang, eps), 6)
+            assert noisy == pytest.approx(expect, abs=1e-6)
+            assert noisy != true[lang]  # noise actually applied
+    a = dp_group_counts(sf, eps=0.5)
+    b = dp_group_counts(sf, eps=1.0)
+    ratio = (a.n_noisy - true.loc[a.lang].to_numpy()) / (b.n_noisy - true.loc[b.lang].to_numpy())
+    assert np.allclose(ratio, 2.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        dp_group_counts(sf, eps=0.0)
+
+
+def test_ray_entry_has_no_duplicate_dict_keys():
+    """Regression guard for the k_anonymity_audit dup-key bug: a repeated
+    key in queries()/oracle_sql() dict literals silently drops the earlier
+    operator from the driver contract. Parse the module AST and assert
+    every dict literal's constant keys are unique."""
+    import ast
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate dict keys at line {node.lineno}: {dupes}"
