@@ -680,6 +680,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RRF fusion of the BM25 + vector lists (demoted from the window
         # when bucketed_join came in; both fused arms run in-window)
         "hybrid_rrf": similarity.hybrid_rrf,
+        # product-quantization encode + distortion (the FAISS IVFPQ
+        # memory path next to SQ8; codebook broadcast once, m x k x
+        # #blocks slim partials)
+        "pq_quantize_error": similarity.pq_quantize_error,
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -899,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_free_split": dedup.leakage_free_split_sql(),
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "hybrid_rrf": similarity.hybrid_rrf_sql(),
+        "pq_quantize_error": similarity.pq_quantize_error_sql(),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),

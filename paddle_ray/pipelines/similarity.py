@@ -1550,3 +1550,131 @@ def coreset_kcenter_sql(k: int = KCENTER_K) -> str:
         + f"\nSELECT CAST(step AS BIGINT) AS step, vec_id, ROUND(d, 6) AS dist"
         f" FROM ({selects}) ORDER BY step"
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — the sub-vector codebook ANN memory path
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64 dims -> 4 x 16)
+PQ_K = 8  # codebook entries per subspace
+
+
+def pq_quantize_error(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> pd.DataFrame:
+    """Product-quantization encode + distortion report — the OTHER
+    vector-compression scale path next to SQ8 (embedding_quantize_error):
+    SQ8 keeps 1 byte/dim; PQ keeps m sub-vector codebook ids per vector
+    (here 4 x 3 bits), the layout FAISS IVFPQ ships a trillion-vector
+    index in. Each vector's d dims split into m contiguous subspaces;
+    per subspace the codebook is the sub-vectors of vec_id < k
+    (the kmeans_step deterministic-init convention — a production build
+    trains the codebook with kmeans_train first; the assignment/
+    distortion machinery checked here is identical), each sub-vector is
+    assigned to its nearest codeword by exact float64 squared distance
+    (ties -> smallest cid ≙ oracle ORDER BY dist, cid), and the
+    reported distortion is the per-(subspace, codeword) member count +
+    mean squared sub-vector error.
+
+    Scale contract: the only broadcast is the m x k x (d/m) codebook
+    (ray.put once); per block each subspace emits <= k
+    (subspace, cid, n, sum_d2) partial rows — embeddings never cross a
+    shuffle, the groupby folds m x k x #blocks slim rows. Float parity:
+    engine sums exact float64 d2 per block; the oracle squares DuckDB's
+    float64 list_distance over CAST-to-DOUBLE slices (<= 1 ulp apart),
+    and avg_d2 is O(10), so round-6 leaves ~8 digits of headroom.
+    """
+    import ray
+
+    from .common import read_table
+
+    init = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k - 1} present for deterministic init")
+    C = np.stack(init.embedding.to_numpy()).astype(np.float64)  # k x d
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+    # codebook[s] = k x w sub-vectors of subspace s
+    cref = ray.put(np.stack([C[:, s * w : (s + 1) * w] for s in range(m)]))
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cref)  # m x k x w
+        ids, X = _to_matrix(batch)
+        rows = {"subspace": [], "cid": [], "n": [], "sum_d2": []}
+        if len(ids):
+            X64 = X.astype(np.float64)
+            for s in range(m):
+                sub = X64[:, s * w : (s + 1) * w]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=-1)
+                cid = d2.argmin(axis=1)
+                best = d2[np.arange(len(sub)), cid]
+                for c_ in np.unique(cid):
+                    sel = cid == c_
+                    rows["subspace"].append(s)
+                    rows["cid"].append(int(c_))
+                    rows["n"].append(int(sel.sum()))
+                    rows["sum_d2"].append(float(best[sel].sum()))
+        return pa.table(
+            {
+                "subspace": pa.array(rows["subspace"], pa.int64()),
+                "cid": pa.array(rows["cid"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sum_d2": pa.array(rows["sum_d2"], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(assign_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["subspace", "cid"])
+        .aggregate(Sum("n", alias_name="n_members"), Sum("sum_d2", alias_name="sum_d2"))
+        .to_pandas()
+        .sort_values(["subspace", "cid"])
+        .reset_index(drop=True)
+    )
+    out["avg_d2"] = (out.sum_d2 / out.n_members).round(6)
+    return out[["subspace", "cid", "n_members", "avg_d2"]].astype(
+        {"subspace": "int64", "cid": "int64", "n_members": "int64"}
+    )
+
+
+def pq_quantize_error_sql(m: int = PQ_M, k: int = PQ_K) -> str:
+    # one (subspace, slice) arm per s keeps the slicing explicit; w is
+    # derived from the live table so the oracle tracks the corpus dim
+    return f"""
+WITH dim AS (SELECT len(embedding) AS d, len(embedding) // {m} AS w
+             FROM embeddings LIMIT 1),
+cb AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {k}),
+dists AS MATERIALIZED (
+  SELECT e.vec_id, s.s AS subspace, cb.cid,
+         list_distance(
+           CAST(e.embedding[s.s * dim.w + 1 : (s.s + 1) * dim.w] AS DOUBLE[]),
+           CAST(cb.embedding[s.s * dim.w + 1 : (s.s + 1) * dim.w] AS DOUBLE[])
+         ) AS dist
+  FROM embeddings e
+  CROSS JOIN dim
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
+  CROSS JOIN cb
+),
+assigned AS (
+  SELECT vec_id, subspace, cid, dist FROM (
+    SELECT vec_id, subspace, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT CAST(subspace AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(dist * dist), 6) AS avg_d2
+FROM assigned GROUP BY subspace, cid ORDER BY subspace, cid
+"""

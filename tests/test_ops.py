@@ -2278,3 +2278,47 @@ def test_bfs_distance_matches_reference(ray_session):
 
     with _pytest.raises(ValueError):
         webgraph.bfs_distance(SF, rounds=0)
+
+
+def test_pq_quantize_error_matches_reference(ray_session):
+    """pq_quantize_error == single-process numpy PQ over the same
+    deterministic codebook; every subspace's member counts partition the
+    corpus and distortion is the exact mean of per-subvector d2."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines import similarity
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    m, k = similarity.PQ_M, similarity.PQ_K
+    C = X[t.vec_id.to_numpy() < k][np.argsort(t.vec_id.to_numpy()[t.vec_id.to_numpy() < k])]
+    w = X.shape[1] // m
+    ref = {}
+    for s in range(m):
+        sub, cb = X[:, s * w : (s + 1) * w], C[:, s * w : (s + 1) * w]
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+        cid = d2.argmin(axis=1)
+        best = d2[np.arange(len(sub)), cid]
+        for c_ in np.unique(cid):
+            sel = cid == c_
+            ref[(s, int(c_))] = (int(sel.sum()), round(float(best[sel].mean()), 6))
+
+    out = similarity.pq_quantize_error(SF)
+    got = {
+        (int(r.subspace), int(r.cid)): (int(r.n_members), float(r.avg_d2))
+        for r in out.itertuples()
+    }
+    assert set(got) == set(ref)
+    for key in ref:
+        assert got[key][0] == ref[key][0]
+        assert got[key][1] == pytest.approx(ref[key][1], abs=1e-6)
+    # each subspace's assignment partitions the whole corpus
+    per_sub = out.groupby("subspace").n_members.sum()
+    assert (per_sub == len(t)).all()
+    # codewords genuinely compete (several used per subspace)
+    assert (out.groupby("subspace").cid.nunique() >= 2).all()
+    with pytest.raises(ValueError):
+        similarity.pq_quantize_error(SF, m=7)  # 64 % 7 != 0
