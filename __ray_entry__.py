@@ -730,6 +730,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS crawl depth — the frontier-expansion primitive
         # (integer-only; frontier-filtered join per round, exact oracle)
         "bfs_distance": webgraph.bfs_distance,
+        # Count-Min sketch, VALUE-oracled (md5-pinned rows -> exact
+        # integer registers; d x w x #blocks bounded exchange) with the
+        # exact true counts alongside so the overestimate bound shows
+        "countmin_user_counts": events.countmin_user_counts,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -1020,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": webgraph.label_propagation_sql(),
         "hits_scores": webgraph.hits_sql(),
         "bfs_distance": webgraph.bfs_sql(),
+        "countmin_user_counts": events.COUNTMIN_SQL,
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

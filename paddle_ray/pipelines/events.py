@@ -1687,3 +1687,122 @@ SELECT CAST(w.slot AS BIGINT) AS slot, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM a JOIN w ON a.s < w.we AND w.ws <= a.e
 GROUP BY w.slot ORDER BY slot
 """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (value-oracled: md5-pinned rows make registers exact)
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_QUERY_MOD = 37
+
+
+def countmin_user_counts(
+    sf_dir: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> pd.DataFrame:
+    """Count-Min sketch of per-user event counts, queried for the
+    deterministic user set {user_id % CM_QUERY_MOD == 0} — the sketch
+    family's second VALUE-ORACLED member (hll_daily_users pins HLL
+    registers the same way): with the row hashes pinned to
+    md5('cm<j>:<user>') the d x w register matrix is an exact integer
+    function of the input, so est_count (min over rows of the hit
+    register) is value-checkable, and the CM overestimate guarantee
+    (est >= true, exceeding it only by collision mass) is visible
+    against the exact true_count column computed alongside.
+
+    Scale contract: every block folds its rows into its OWN d x w
+    register partial (<= d*w rows per block, any block size), so the
+    exchange is d x w x #blocks bounded — never event-count sized; the
+    register matrix (1024 int64s) merges by plain Sum, the same
+    mergeability that lets 256 nodes sketch 100 TB and union the
+    results in KBs. True counts for the query slice ride the same scan
+    as (user, n) partials into a query-set-sized groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(u, return_counts=True)
+        rows = {"j": [], "b": [], "cnt": []}
+        for j in range(depth):
+            bs = np.array(
+                [
+                    int(hashlib.md5(f"cm{j}:{x}".encode()).hexdigest()[:8], 16) % width
+                    for x in uniq
+                ],
+                dtype=np.int64,
+            )
+            for b in np.unique(bs):
+                rows["j"].append(j)
+                rows["b"].append(int(b))
+                rows["cnt"].append(int(cnt[bs == b].sum()))
+        # true-count partials for the query slice ride the same pass,
+        # tagged j = -1 (never a register row)
+        qm = uniq % CM_QUERY_MOD == 0
+        rows["j"].extend([-1] * int(qm.sum()))
+        rows["b"].extend(int(x) for x in uniq[qm])
+        rows["cnt"].extend(int(c) for c in cnt[qm])
+        return pa.table(
+            {
+                "j": pa.array(rows["j"], pa.int64()),
+                "b": pa.array(rows["b"], pa.int64()),
+                "cnt": pa.array(rows["cnt"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["j", "b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    regs = {
+        (int(r.j), int(r.b)): int(r.cnt) for r in folded[folded.j >= 0].itertuples()
+    }
+    true = folded[folded.j < 0].set_index("b").cnt
+    import hashlib
+
+    out = []
+    for u in sorted(true.index):
+        est = min(
+            regs.get(
+                (j, int(hashlib.md5(f"cm{j}:{u}".encode()).hexdigest()[:8], 16) % width),
+                0,
+            )
+            for j in range(depth)
+        )
+        out.append({"user_id": int(u), "true_count": int(true[u]), "est_count": est})
+    return pd.DataFrame(out, columns=["user_id", "true_count", "est_count"]).astype(
+        {"user_id": "int64", "true_count": "int64", "est_count": "int64"}
+    )
+
+
+COUNTMIN_SQL = f"""
+WITH arms AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS j),
+regs AS MATERIALIZED (
+  SELECT arms.j,
+         CAST(CONCAT('0x', substr(md5('cm' || arms.j || ':' ||
+              CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {CM_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN arms GROUP BY 1, 2
+),
+q AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events WHERE user_id % {CM_QUERY_MOD} = 0 GROUP BY 1
+),
+probes AS (
+  SELECT q.user_id, q.true_count, arms.j,
+         CAST(CONCAT('0x', substr(md5('cm' || arms.j || ':' ||
+              CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {CM_WIDTH} AS b
+  FROM q CROSS JOIN arms
+)
+SELECT p.user_id, p.true_count,
+       CAST(MIN(COALESCE(r.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN regs r ON r.j = p.j AND r.b = p.b
+GROUP BY 1, 2 ORDER BY 1
+"""

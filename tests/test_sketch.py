@@ -160,3 +160,38 @@ def test_bloom_prejoin_matches_plain_join(ray_session):
     ora = con.sql(URGENT_REVENUE_SQL).df()
     assert out.n_orders.iloc[0] == ora.n_orders.iloc[0]
     assert abs(out.revenue.iloc[0] - ora.revenue.iloc[0]) < 1e-6
+
+
+def test_countmin_overestimates_and_matches_reference(ray_session):
+    """CM invariants: est >= true for EVERY query user (the one-sided
+    sketch guarantee), est == single-process reference sketch, and the
+    register fold is block-size-invariant by construction (exercised by
+    the distributed run against the sequential reference)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import events as ev
+
+    u = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    d, w = ev.CM_DEPTH, ev.CM_WIDTH
+    regs = np.zeros((d, w), dtype=np.int64)
+    uniq, cnt = np.unique(u, return_counts=True)
+    for j in range(d):
+        for x, c in zip(uniq, cnt):
+            regs[j, int(hashlib.md5(f"cm{j}:{x}".encode()).hexdigest()[:8], 16) % w] += c
+
+    out = ev.countmin_user_counts(SF)
+    assert len(out), "query slice must be non-empty"
+    for r in out.itertuples():
+        true = int(cnt[uniq == r.user_id][0])
+        est = min(
+            regs[j, int(hashlib.md5(f"cm{j}:{r.user_id}".encode()).hexdigest()[:8], 16) % w]
+            for j in range(d)
+        )
+        assert r.true_count == true
+        assert r.est_count == est
+        assert r.est_count >= r.true_count  # one-sided CM guarantee
