@@ -734,6 +734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer registers; d x w x #blocks bounded exchange) with the
         # exact true counts alongside so the overestimate bound shows
         "countmin_user_counts": events.countmin_user_counts,
+        # T5/UL2 span corruption — corrupted bytes value-locked per doc
+        # via 48-bit digest sums (#langs x #blocks integer partials)
+        "span_corruption": traindata.span_corruption,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -1025,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": webgraph.hits_sql(),
         "bfs_distance": webgraph.bfs_sql(),
         "countmin_user_counts": events.COUNTMIN_SQL,
+        "span_corruption": traindata.SPAN_CORRUPTION_SQL,
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

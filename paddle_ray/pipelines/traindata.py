@@ -1895,3 +1895,168 @@ SELECT s.shard, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_new,
 FROM seen s LEFT JOIN new n USING (shard)
 ORDER BY s.shard
 """
+
+
+# --------------------------------------------------------------------------
+# T5/UL2 span corruption (deterministic denoising-objective masking)
+# --------------------------------------------------------------------------
+
+SC_THR = int(0.1 * (1 << 32))  # ~10% of positions start a span
+SC_SPAN = 3  # fixed span length (tokens)
+
+
+def span_corruption(sf_dir: str) -> pd.DataFrame:
+    """T5-style span-corruption preprocessing (Raffel et al. 2020; the
+    UL2 R-denoiser): mask contiguous token SPANS and replace each run
+    with ONE sentinel, producing the corrupted input stream a denoising
+    LM trains on. Deterministic twin of the usual random draw: position
+    i starts a span iff md5('sc:<doc_id>:<i>')[:8] < SC_THR (~10%), the
+    span covers [i, i+SC_SPAN); overlapping spans merge into one run and
+    one sentinel (exactly the T5 contract).
+
+    Output: per-lang rollup — docs, tokens, masked tokens, emitted
+    sentinel spans, and the sum of each doc's corrupted-text 48-bit md5
+    prefix, so the oracle value-locks the corrupted BYTES of every doc
+    (the extract_synth_digest contract), not just the mask rates.
+
+    Scale contract: one stateless streaming pass; each block folds to
+    <= #langs partial rows (ints only), the exchange is #langs x
+    #blocks. The md5-per-position cost is the determinism price — a
+    production run swaps in any seeded counter RNG per (doc, position)
+    without touching the dataflow. Empty/whitespace docs are excluded
+    on both sides (the ADVICE r3 zero-token guard class).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows: dict[str, dict[str, int]] = {}
+        for did, lang, text in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            toks = text.split()
+            if not toks:
+                continue
+            n = len(toks)
+            starts = np.fromiter(
+                (
+                    int(hashlib.md5(f"sc:{did}:{i}".encode()).hexdigest()[:8], 16)
+                    < SC_THR
+                    for i in range(n)
+                ),
+                dtype=bool,
+                count=n,
+            )
+            m = starts.copy()
+            for off in range(1, SC_SPAN):
+                m[off:] |= starts[:-off]
+            run_start = m & ~np.concatenate(([False], m[:-1]))
+            corrupted = " ".join(
+                "<X>" if run_start[i] else toks[i]
+                for i in range(n)
+                if run_start[i] or not m[i]
+            )
+            d48 = int(hashlib.md5(corrupted.encode()).hexdigest()[:12], 16)
+            r = rows.setdefault(
+                lang,
+                {"n_docs": 0, "n_tokens": 0, "n_masked": 0, "n_spans": 0, "digest_sum": 0},
+            )
+            r["n_docs"] += 1
+            r["n_tokens"] += n
+            r["n_masked"] += int(m.sum())
+            r["n_spans"] += int(run_start.sum())
+            r["digest_sum"] += d48
+        return pa.table(
+            {
+                "lang": pa.array(list(rows), pa.string()),
+                "n_docs": pa.array([r["n_docs"] for r in rows.values()], pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in rows.values()], pa.int64()),
+                "n_masked": pa.array([r["n_masked"] for r in rows.values()], pa.int64()),
+                "n_spans": pa.array([r["n_spans"] for r in rows.values()], pa.int64()),
+                "digest_sum": pa.array(
+                    [r["digest_sum"] for r in rows.values()], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_masked", alias_name="n_masked"),
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("digest_sum", alias_name="digest_sum"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "lang": "str",
+            "n_docs": "int64",
+            "n_tokens": "int64",
+            "n_masked": "int64",
+            "n_spans": "int64",
+            "digest_sum": "int64",
+        }
+    )
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, gs.i AS i, arr[gs.i] AS tok, len(arr) AS n
+  FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS arr
+    FROM documents WHERE regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+  ), LATERAL unnest(generate_series(1, len(arr))) AS gs(i)
+),
+h AS (
+  SELECT doc_id, lang, i, tok,
+         CAST(CONCAT('0x', substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) < {SC_THR} AS is_start
+  FROM toks
+),
+m AS (
+  SELECT *, MAX(CASE WHEN is_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN {SC_SPAN - 1} PRECEDING AND CURRENT ROW) = 1
+              AS masked
+  FROM h
+),
+r AS (
+  SELECT *, masked AND NOT COALESCE(
+              LAG(masked) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+            AS run_start
+  FROM m
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+         SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS n_spans,
+         CAST(CONCAT('0x', substr(md5(string_agg(
+           CASE WHEN NOT masked THEN tok
+                WHEN run_start THEN '<X>' END, ' ' ORDER BY i)), 1, 12)) AS BIGINT)
+           AS d48
+  FROM r GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(d48) AS BIGINT) AS digest_sum
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -521,3 +521,59 @@ def test_scrub_duplicate_spans_bytes(ray_session):
     got = {r.doc_id: (r.n_tok_in, r.n_removed, r.scrubbed_md5) for r in out.itertuples()}
     assert got == expect
     assert (out.n_removed > 0).any() and (out.n_removed < out.n_tok_in).any()
+
+
+def test_span_corruption_matches_reference(ray_session):
+    """span_corruption == single-process reference masking; T5 contract
+    invariants: every span start is masked, overlapping spans merge to
+    one sentinel, sentinel count == masked-run count, and the corrupted
+    digest changes if the mask rule shifts by one position."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import traindata as td
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    agg = {}
+    for r in t.itertuples():
+        toks = r.text.split()
+        if not toks:
+            continue
+        n = len(toks)
+        starts = np.array(
+            [
+                int(hashlib.md5(f"sc:{r.doc_id}:{i}".encode()).hexdigest()[:8], 16)
+                < td.SC_THR
+                for i in range(n)
+            ]
+        )
+        m = starts.copy()
+        for off in range(1, td.SC_SPAN):
+            m[off:] |= starts[:-off]
+        run_start = m & ~np.concatenate(([False], m[:-1]))
+        corrupted = " ".join(
+            "<X>" if run_start[i] else toks[i]
+            for i in range(n)
+            if run_start[i] or not m[i]
+        )
+        assert corrupted.count("<X>") == int(run_start.sum())
+        a = agg.setdefault(r.lang, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += int(m.sum())
+        a[3] += int(run_start.sum())
+        a[4] += int(hashlib.md5(corrupted.encode()).hexdigest()[:12], 16)
+
+    out = td.span_corruption(SF)
+    assert list(out.lang) == sorted(agg)
+    for r in out.itertuples():
+        assert [r.n_docs, r.n_tokens, r.n_masked, r.n_spans, r.digest_sum] == agg[r.lang]
+        # masking is live and every sentinel covers >= 1 masked token
+        # (a merged run may contain MANY starts, so SPAN * n_spans is
+        # NOT an upper bound on n_masked)
+        assert 0 < r.n_masked < r.n_tokens
+        assert 0 < r.n_spans <= r.n_masked
