@@ -684,6 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # memory path next to SQ8; codebook broadcast once, m x k x
         # #blocks slim partials)
         "pq_quantize_error": similarity.pq_quantize_error,
+        # MMR diverse re-ranking of the vector top-pool (one streaming
+        # top-pool scan; greedy phase is O(k x pool) on a config-bounded
+        # candidate set)
+        "mmr_rerank": similarity.mmr_rerank,
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -911,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "hybrid_rrf": similarity.hybrid_rrf_sql(),
         "pq_quantize_error": similarity.pq_quantize_error_sql(),
+        "mmr_rerank": similarity.mmr_rerank_sql(),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),

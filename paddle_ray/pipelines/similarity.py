@@ -1678,3 +1678,164 @@ SELECT CAST(subspace AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
        ROUND(AVG(dist * dist), 6) AS avg_d2
 FROM assigned GROUP BY subspace, cid ORDER BY subspace, cid
 """
+
+
+# --------------------------------------------------------------------------
+# MMR diverse re-ranking (Carbonell & Goldstein 1998)
+# --------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 16
+MMR_K = 5
+
+
+def mmr_rerank(
+    sf_dir: str, k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
+) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the vector top-`pool`
+    for the deterministic query (the vec_id 0 embedding): greedily pick
+    k results maximizing lam * sim(q, d) - (1 - lam) * max_{s in S}
+    sim(d, s) — the diversity-aware cut every RAG retrieval stack runs
+    after its ANN pass (hybrid_rrf fuses rankers; this de-redundifies
+    one). Step 1 scores plain sim (S is empty); ties -> smallest vec_id
+    on both sides.
+
+    Scale contract: the corpus-sized work is ONE streaming top-`pool`
+    scan (per-block top-pool partials, the knn_bruteforce shape — the
+    query vector broadcast, embeddings never shuffled); the greedy
+    phase is O(k x pool) on the pool-sized candidate set driver-side
+    (pool is a config constant, not data-sized). Float contract: both
+    sides score in float64 from the same float32 inputs
+    (list_cosine_similarity over CAST-DOUBLE lists ≙ numpy dot/norms,
+    <= ulps apart), scores reported round-6; selection compares raw
+    float64 — exact ties are broken by vec_id, near-ties (<1e-13) are
+    the same measure-zero exposure kmeans/coreset accept.
+    """
+    import ray
+
+    from .common import read_table
+
+    if not (0.0 < lam <= 1.0) or k < 1 or pool < k:
+        raise ValueError(f"need 0<lam<=1, 1<=k<=pool; got lam={lam} k={k} pool={pool}")
+
+    qdf = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id == 0")
+        .to_pandas()
+    )
+    if len(qdf) != 1:
+        raise ValueError("need vec_id 0 present as the deterministic query")
+    q = np.asarray(qdf.embedding.iloc[0], dtype=np.float64)
+    qref = ray.put(q)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        X64 = X.astype(np.float64)
+        sim = (X64 @ qv) / (np.linalg.norm(X64, axis=1) * np.linalg.norm(qv))
+        keep = ids != 0
+        ids, sim = ids[keep], sim[keep]
+        order = np.lexsort((ids, -sim))[:pool]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sim[order], pa.float64()),
+            }
+        )
+
+    parts = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(topk_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(pool)
+        .reset_index(drop=True)
+    )
+    pool_arr = parts.vec_id.to_numpy(dtype=np.int64)
+
+    def keep_pool(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, pool_arr)))
+
+    vecs = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(keep_pool, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    V = {int(i): np.asarray(v, dtype=np.float64) for i, v in vecs.embedding.items()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sim_q = dict(zip((int(v) for v in parts.vec_id), parts.sim.astype(float)))
+    selected: list[int] = []
+    out = []
+    for step in range(1, k + 1):
+        best_id, best_score = None, None
+        for cid in sorted(sim_q):
+            if cid in selected:
+                continue
+            if selected:
+                red = max(cos(V[cid], V[s]) for s in selected)
+                score = lam * sim_q[cid] - (1.0 - lam) * red
+            else:
+                score = sim_q[cid]
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append(best_id)
+        out.append({"step": step, "vec_id": best_id, "score": round(best_score, 6)})
+    return pd.DataFrame(out, columns=["step", "vec_id", "score"]).astype(
+        {"step": "int64", "vec_id": "int64", "score": "float64"}
+    )
+
+
+def mmr_rerank_sql(k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA) -> str:
+    head = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id LIMIT {pool}
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, sim AS score FROM cand ORDER BY sim DESC, vec_id LIMIT 1
+),
+sel1 AS (SELECT vec_id FROM s1)"""
+    parts = [head]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT vec_id, score FROM (
+    SELECT c.vec_id,
+           {lam} * c.sim - {1.0 - lam:.10g} * MAX(
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))) AS score
+    FROM cand c
+    JOIN embeddings e ON e.vec_id IN (SELECT vec_id FROM sel{t - 1})
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+    GROUP BY c.vec_id, c.sim
+  ) ORDER BY score DESC, vec_id LIMIT 1
+),
+sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM s{t})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS step, vec_id, score FROM s{t}" for t in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(step AS BIGINT) AS step, vec_id, ROUND(score, 6) AS score
+FROM ({selects}) ORDER BY step
+"""
+    )
+    return "".join(parts)

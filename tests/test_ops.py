@@ -2322,3 +2322,63 @@ def test_pq_quantize_error_matches_reference(ray_session):
     assert (out.groupby("subspace").cid.nunique() >= 2).all()
     with pytest.raises(ValueError):
         similarity.pq_quantize_error(SF, m=7)  # 64 % 7 != 0
+
+
+def test_mmr_rerank_diversity_tradeoff(ray_session):
+    """MMR invariants: engine == single-process reference greedy; step 1
+    is the plain top-1; lam=1.0 degenerates to the similarity top-k; a
+    diversity-weighted run must not produce a WORSE-diversity selection
+    than the pure-relevance one (its min pairwise distance is >= )."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines import similarity as sim
+
+    t = (
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    ids = t.vec_id.to_numpy()
+    q = X[ids == 0][0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = {int(i): cos(X[n], q) for n, i in enumerate(ids) if i != 0}
+    pool = sorted(sims, key=lambda i: (-sims[i], i))[: sim.MMR_POOL]
+    V = {int(i): X[list(ids).index(i)] for i in pool}
+    lam = sim.MMR_LAMBDA
+    sel, ref = [], []
+    for step in range(1, sim.MMR_K + 1):
+        best, bs = None, None
+        for c in sorted(pool):
+            if c in sel:
+                continue
+            s = sims[c] if not sel else lam * sims[c] - (1 - lam) * max(
+                cos(V[c], V[x]) for x in sel
+            )
+            if bs is None or s > bs:
+                best, bs = c, s
+        sel.append(best)
+        ref.append((step, best, round(bs, 6)))
+
+    out = sim.mmr_rerank(SF)
+    got = [(int(r.step), int(r.vec_id), float(r.score)) for r in out.itertuples()]
+    assert [(s, v) for s, v, _ in got] == [(s, v) for s, v, _ in ref]
+    for (_, _, a), (_, _, b) in zip(got, ref):
+        assert a == pytest.approx(b, abs=1e-6)
+    # lam=1 -> pure relevance == the sims top-k
+    pure = sim.mmr_rerank(SF, lam=1.0)
+    assert list(pure.vec_id) == sorted(sims, key=lambda i: (-sims[i], i))[: sim.MMR_K]
+    # diversity is real: the MMR set's min pairwise cos <= the pure set's
+    def min_gap(vids):
+        vv = [X[list(ids).index(v)] for v in vids]
+        return min(cos(a, b) for i, a in enumerate(vv) for b in vv[i + 1 :])
+
+    assert min_gap(list(out.vec_id)) <= min_gap(list(pure.vec_id)) + 1e-12
+    with pytest.raises(ValueError):
+        sim.mmr_rerank(SF, k=10, pool=5)
