@@ -741,6 +741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T5/UL2 span corruption — corrupted bytes value-locked per doc
         # via 48-bit digest sums (#langs x #blocks integer partials)
         "span_corruption": traindata.span_corruption,
+        # Kneser-Ney trigram count-of-count stats (grams shuffle as
+        # blake2b digests; gram-type-bounded exchange)
+        "kn_ngram_stats": traindata.kn_ngram_stats,
         # r4: PSI distribution drift between corpus sides (ref-fixed
         # decile bins, exact counts + rounded-6 mirrored terms; below
         # the fold — histogram machinery window-represented via
@@ -1034,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": webgraph.bfs_sql(),
         "countmin_user_counts": events.COUNTMIN_SQL,
         "span_corruption": traindata.SPAN_CORRUPTION_SQL,
+        "kn_ngram_stats": traindata.KN_NGRAM_SQL,
         "distribution_drift": webtext.DISTRIBUTION_DRIFT_SQL,
         "next_touch_after_order": joins.NEXT_TOUCH_SQL,
         "orders_backlog_curve": events.BACKLOG_SQL,

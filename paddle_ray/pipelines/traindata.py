@@ -2060,3 +2060,163 @@ SELECT lang,
        CAST(SUM(d48) AS BIGINT) AS digest_sum
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney n-gram count statistics (LM training-data profiling)
+# --------------------------------------------------------------------------
+
+KN_N = 3  # trigrams
+
+
+def kn_ngram_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-lang trigram count statistics a Kneser-Ney / Katz LM trainer
+    needs before smoothing: total and unique trigram counts, the
+    count-of-count stats n1/n2 (singleton and doubleton gram types —
+    they set the absolute discount D = n1 / (n1 + 2*n2), reported
+    round-6), and the distinct left-context (bigram) type count that
+    feeds KN continuation probabilities. The corpus-profiling sibling
+    of pmi_bigrams (association) and bpe_pair_counts (merge election).
+
+    Scale contract: trigrams cross the shuffle as blake2b-128 DIGESTS,
+    never strings (the duplicate_ngram_spans default) — per block each
+    doc's trigrams fold to deduped (lang, digest, cnt) partial rows plus
+    deduped (lang, ctx_digest) context rows tagged in the same stream,
+    so the exchange is gram-type x #blocks bounded; the groupby reduces
+    to per-type totals and the count-of-count fold is #langs-sized.
+    Digest equality stands in for string equality (2^-128 collision;
+    the oracle counts the strings themselves, so a collision would fail
+    the gate loudly rather than pass silently).
+
+    Oracle: LEAD-window trigram assembly partitioned by doc (no grams
+    bridge documents), GROUP BY gram, conditional count-of-count sums.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gram_cnt: dict[tuple[str, str], int] = {}
+        ctxs: set[tuple[str, str]] = set()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            toks = text.split()
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                g = hashlib.blake2b(
+                    f"{a} {b} {c}".encode(), digest_size=16
+                ).hexdigest()
+                gram_cnt[(lang, g)] = gram_cnt.get((lang, g), 0) + 1
+                ctxs.add(
+                    (lang, hashlib.blake2b(f"{a} {b}".encode(), digest_size=16).hexdigest())
+                )
+        # one row stream, tagged: is_ctx=0 gram rows carry counts,
+        # is_ctx=1 context rows carry cnt=0 (their multiplicity is
+        # irrelevant — only type counts matter)
+        langs = [k[0] for k in gram_cnt] + [k[0] for k in ctxs]
+        digs = [k[1] for k in gram_cnt] + [k[1] for k in ctxs]
+        cnts = list(gram_cnt.values()) + [0] * len(ctxs)
+        tags = [0] * len(gram_cnt) + [1] * len(ctxs)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "dig": pa.array(digs, pa.string()),
+                "is_ctx": pa.array(tags, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    folded = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "dig", "is_ctx"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "is_ctx": batch["is_ctx"].to_numpy(zero_copy_only=False),
+                "cnt": batch["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df[df.is_ctx == 0].groupby("lang")
+        c = df[df.is_ctx == 1].groupby("lang").size()
+        out = pd.DataFrame(
+            {
+                "total_trigrams": g.cnt.sum(),
+                "unique_trigrams": g.size(),
+                "n1": g.cnt.agg(lambda s: int((s == 1).sum())),
+                "n2": g.cnt.agg(lambda s: int((s == 2).sum())),
+            }
+        )
+        out["unique_contexts"] = c.reindex(out.index).fillna(0).astype(int)
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    out = (
+        folded.map_batches(stats_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("total_trigrams", alias_name="total_trigrams"),
+            Sum("unique_trigrams", alias_name="unique_trigrams"),
+            Sum("n1", alias_name="n1"),
+            Sum("n2", alias_name="n2"),
+            Sum("unique_contexts", alias_name="unique_contexts"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["discount"] = (out.n1 / (out.n1 + 2 * out.n2)).round(6)
+    return out.astype(
+        {
+            "lang": "str",
+            "total_trigrams": "int64",
+            "unique_trigrams": "int64",
+            "n1": "int64",
+            "n2": "int64",
+            "unique_contexts": "int64",
+        }
+    )
+
+
+KN_NGRAM_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, gs.i AS i, arr[gs.i] AS tok
+  FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS arr
+    FROM documents WHERE regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+  ), LATERAL unnest(generate_series(1, len(arr))) AS gs(i)
+),
+tri AS MATERIALIZED (
+  SELECT lang,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS gram,
+         tok || ' ' || LEAD(tok, 1) OVER w AS ctx
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+),
+cnts AS MATERIALIZED (
+  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY lang, gram
+),
+gram_stats AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS total_trigrams,
+         CAST(COUNT(*) AS BIGINT) AS unique_trigrams,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM cnts GROUP BY lang
+),
+ctx_stats AS (
+  SELECT lang, CAST(COUNT(DISTINCT ctx) AS BIGINT) AS unique_contexts
+  FROM tri GROUP BY lang
+)
+SELECT g.lang, g.total_trigrams, g.unique_trigrams, g.n1, g.n2,
+       x.unique_contexts,
+       ROUND(CAST(g.n1 AS DOUBLE) / (g.n1 + 2 * g.n2), 6) AS discount
+FROM gram_stats g JOIN ctx_stats x ON x.lang = g.lang
+ORDER BY g.lang
+"""

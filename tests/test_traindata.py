@@ -577,3 +577,52 @@ def test_span_corruption_matches_reference(ray_session):
         # NOT an upper bound on n_masked)
         assert 0 < r.n_masked < r.n_tokens
         assert 0 < r.n_spans <= r.n_masked
+
+
+def test_kn_ngram_stats_matches_reference(ray_session):
+    """kn_ngram_stats == single-process trigram counter over raw STRINGS
+    (the engine ships digests — equality here also certifies the digest
+    substitution), plus KN sanity: n1+n2 <= unique <= total, contexts <=
+    unique, 0 < discount < 1."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines import traindata as td
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"]).to_pandas()
+    ref = {}
+    for lang, g in t.groupby("lang"):
+        grams, ctxs = Counter(), set()
+        for text in g.text:
+            toks = text.split()
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                grams[(a, b, c)] += 1
+                ctxs.add((a, b))
+        n1 = sum(1 for v in grams.values() if v == 1)
+        n2 = sum(1 for v in grams.values() if v == 2)
+        ref[lang] = (
+            sum(grams.values()),
+            len(grams),
+            n1,
+            n2,
+            len(ctxs),
+            round(n1 / (n1 + 2 * n2), 6),
+        )
+
+    out = td.kn_ngram_stats(SF)
+    assert list(out.lang) == sorted(ref)
+    for r in out.itertuples():
+        exp = ref[r.lang]
+        assert (
+            r.total_trigrams,
+            r.unique_trigrams,
+            r.n1,
+            r.n2,
+            r.unique_contexts,
+        ) == exp[:5]
+        assert r.discount == pytest.approx(exp[5], abs=1e-6)
+        assert r.n1 + r.n2 <= r.unique_trigrams <= r.total_trigrams
+        assert r.unique_contexts <= r.unique_trigrams
+        assert 0 < r.discount < 1
