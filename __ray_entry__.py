@@ -789,6 +789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": webtext.lm_perplexity,
         # --- remaining io / events / windows ---------------------------------
         "csv_roundtrip": io_roundtrip.csv_roundtrip,
+        # ORC write->read identity (typed interchange: int64/double/
+        # varchar/timestamp cross a custom per-block sink + per-file
+        # source over pyarrow.orc — Ray 2.49 has no ORC connector)
+        "orc_roundtrip": io_roundtrip.orc_roundtrip,
         # line-format fidelity — local-gate green; io slot went to the
         # hive-partition-pruning roundtrip
         "jsonl_roundtrip": io_roundtrip.jsonl_roundtrip,
@@ -996,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": io_roundtrip.JSONL_ROUNDTRIP_SQL,
         "partitioned_roundtrip": io_roundtrip.PARTITIONED_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
+        "orc_roundtrip": io_roundtrip.ORC_ROUNDTRIP_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),
         "events_json_props": events.EVENTS_JSON_SQL,

@@ -144,3 +144,56 @@ SELECT lang,
        CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents WHERE lang = 'en' GROUP BY lang
 """
+
+
+def orc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """lineitem -> write_orc -> read_orc -> identity (oracled): ORC is
+    the third interchange format next to CSV/JSONL, and the typed one —
+    int64, double, VARCHAR and TIMESTAMP columns all cross the format,
+    so any encoder/decoder dtype drift (the reason ORC exists over CSV)
+    fails the value hash. Ray 2.49 ships no ORC connector; the sink is
+    a per-block map_batches writer and the source a one-task-per-file
+    reader over pyarrow.orc (sources/export.py) — both streaming, the
+    driver only ever sees the #files-sized listing."""
+    import pyarrow.orc  # noqa: F401 — fail loudly here if ORC is absent
+
+    from ..sources.export import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="pr_orc_")
+    try:
+        ds = sized_read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_linenumber",
+                "l_extendedprice",
+                "l_returnflag",
+                "l_shipdate",
+            ],
+        )
+        write_orc(ds, out)
+        back = (
+            read_orc(out)
+            .to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)[
+                ["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipdate"]
+            ]
+        )
+        return back.astype(
+            {
+                "l_orderkey": "int64",
+                "l_linenumber": "int64",
+                "l_extendedprice": "float64",
+                "l_returnflag": "str",
+                "l_shipdate": "datetime64[us]",
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag, l_shipdate
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""

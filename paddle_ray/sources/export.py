@@ -112,3 +112,42 @@ def read_csv(path: str):
     import ray.data as rd
 
     return rd.read_csv(path)
+
+
+def write_orc(ds, out_dir: str) -> None:
+    """Distributed ORC sink (one file per block; Ray 2.49 has no native
+    ORC sink, so this is a map_batches writer over pyarrow.orc — each
+    task writes its own file, no driver materialization)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"block-{uuid.uuid4().hex}.orc")
+        orc.write_table(batch, path)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([batch.num_rows])})
+
+    # consume the manifest (small: one row per block) to drive the write
+    ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).materialize()
+
+
+def read_orc(path: str):
+    """Distributed ORC source: one read task per file (the file list is
+    driver-side but #files-sized, never row-sized)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(path, "*.orc")))
+    if not files:
+        raise FileNotFoundError(f"no .orc files under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([orc.read_table(p) for p in batch["item"].to_pylist()])
+
+    return rd.from_items(files).map_batches(load, batch_format="pyarrow", batch_size=1)

@@ -71,3 +71,31 @@ def test_partitioned_roundtrip_prunes_and_preserves(ray_session):
         )
     with pytest.raises(ValueError, match="no partition"):
         partitioned_roundtrip(sf, lang="xx-missing")
+
+
+def test_orc_roundtrip_preserves_types_and_rows(ray_session):
+    """ORC identity: row count, dtypes (incl. timestamp) and exact values
+    survive the per-block sink + per-file source; empty dir fails loudly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddle_ray.pipelines.io_roundtrip import orc_roundtrip
+    from paddle_ray.sources.export import read_orc
+
+    sf = "/root/testdata/sf0.001"
+    out = orc_roundtrip(sf)
+    src = (
+        pq.read_table(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipdate"],
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(src)
+    assert str(out.l_shipdate.dtype).startswith("datetime64")
+    pd.testing.assert_frame_equal(out, src.astype(out.dtypes.to_dict()))
+    with pytest.raises(FileNotFoundError):
+        read_orc("/tmp/definitely_missing_orc_dir_xyz")
