@@ -85,17 +85,18 @@ def test_orc_roundtrip_preserves_types_and_rows(ray_session):
 
     sf = "/root/testdata/sf0.001"
     out = orc_roundtrip(sf)
-    src = (
-        pq.read_table(
-            f"{sf}/lineitem.parquet",
-            columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipdate"],
-        )
-        .to_pandas()
-        .sort_values(["l_orderkey", "l_linenumber"])
-        .reset_index(drop=True)
-    )
+    src = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    ).to_pandas()
     assert len(out) == len(src)
     assert str(out.l_shipdate.dtype).startswith("datetime64")
-    pd.testing.assert_frame_equal(out, src.astype(out.dtypes.to_dict()))
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus (1401 dup
+    # pairs at sf0.001), so compare under a TOTAL order over all columns
+    # — the same canonicalization the driver gate applies
+    cols = list(out.columns)
+    a = out.sort_values(cols).reset_index(drop=True)
+    b = src.astype(out.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
     with pytest.raises(FileNotFoundError):
         read_orc("/tmp/definitely_missing_orc_dir_xyz")
