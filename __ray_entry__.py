@@ -766,6 +766,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # independent 'samp:' md5 key (below the fold — partial-top-k
         # window-represented via bm25_topk)
         "uniform_sample_exact_k": webtext.uniform_sample_exact_k,
+        # Efraimidis-Spirakis A-Res PPS sample (weight = doc size; the
+        # per-block top-k shape, seeded u^(1/w) keys)
+        "weighted_sample_ares": webtext.weighted_sample_ares,
         # r4: k-anonymity release audit over (lang, source, length
         # decile) quasi-identifier cells (below the fold — bounded-cell
         # partial rollup shape)
@@ -1048,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_backlog_curve": events.BACKLOG_SQL,
         "user_activity_gini": events.GINI_SQL,
         "uniform_sample_exact_k": webtext.uniform_sample_sql(),
+        "weighted_sample_ares": webtext.weighted_sample_sql(),
         "k_anonymity_audit": webtext.k_anonymity_sql(),
         "copurchase_lift": analysis.copurchase_sql(),
         "media_features": multimodal.MEDIA_FEATURES_SQL,

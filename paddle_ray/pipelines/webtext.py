@@ -1594,3 +1594,70 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT) AS docs_at_risk
 FROM c GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-Res)
+# --------------------------------------------------------------------------
+
+WS_K = 64
+
+
+def weighted_sample_ares(sf_dir: str, k: int = WS_K) -> pd.DataFrame:
+    """Weighted sample of exactly k docs WITHOUT replacement, inclusion
+    probability proportional to size (weight = n_chars + 1) — the
+    Efraimidis-Spirakis A-Res rule: key(d) = u_d^(1/w_d) with u_d the
+    seeded uniform md5('ws:' || doc_id)[:12] / 2^48, keep the k largest
+    keys. Completes the sampling family's missing member (uniform
+    exact-k / rate-based importance / stratified / Neyman are all
+    equal-weight within strata; this is the PPS draw a corpus builder
+    uses to sample bytes, not documents).
+
+    Scale contract: the uniform_sample_exact_k top-k shape — each block
+    ships at most k (key, doc_id, n_chars) rows, the driver merges
+    #blocks x k, no global sort. Float contract: u is exact in double
+    (48-bit int / 2^48), one glibc pow per doc on both sides (numpy and
+    DuckDB call the same correctly-rounded libm; key ordering is as
+    robust as every other float-argmax op here). Output value-locks the
+    exact selected set (doc_id, n_chars), ordered by doc_id.
+    """
+    import hashlib
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ws = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.array(
+            [
+                int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:12], 16) / float(1 << 48)
+                for d in ids
+            ]
+        )
+        key = u ** (1.0 / (ws + 1))
+        df = pd.DataFrame({"key": key, "doc_id": ids, "n_chars": ws})
+        return pa.Table.from_pandas(
+            df.sort_values(["key", "doc_id"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    cands = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .map_batches(cand, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(k)
+    )
+    out = cands[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def weighted_sample_sql(k: int = WS_K) -> str:
+    return f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow(CAST(CONCAT('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+             1, 12)) AS BIGINT) / 281474976710656.0,
+             1.0 / (n_chars + 1)) AS key
+  FROM documents
+  ORDER BY key DESC, doc_id LIMIT {k}
+) ORDER BY doc_id
+"""

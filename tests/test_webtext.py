@@ -526,3 +526,33 @@ def test_doremi_weights_matches_bruteforce(ray_session):
 
     with pytest.raises(ValueError):
         doremi_weights(SF, rounds=0)
+
+
+def test_weighted_sample_ares_reference_and_bias(ray_session):
+    """A-Res == single-process reference; exactly k selected; PPS bias is
+    real: the selected docs' mean size exceeds the corpus mean (a fixed,
+    deterministic fact of this corpus + seed, not a flaky draw)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import webtext as wt
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    u = np.array(
+        [
+            int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:12], 16) / float(1 << 48)
+            for d in t.doc_id
+        ]
+    )
+    key = u ** (1.0 / (t.n_chars.to_numpy() + 1))
+    t = t.assign(key=key).sort_values(["key", "doc_id"], ascending=[False, True])
+    ref = t.head(wt.WS_K).sort_values("doc_id").reset_index(drop=True)
+
+    out = wt.weighted_sample_ares(sf)
+    assert len(out) == wt.WS_K
+    assert out.doc_id.tolist() == ref.doc_id.tolist()
+    assert out.n_chars.tolist() == ref.n_chars.tolist()
+    assert out.n_chars.mean() > t.n_chars.mean()
