@@ -620,6 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: ANALYZE-TABLE exact NDV profile (per-block dedup partials;
         # exchange bounded by NDV x #blocks, never rows)
         "table_ndv_profile": analysis.table_ndv_profile,
+        # Benford first-digit audit over order totals (9-row partials;
+        # exact int counts + round-6 chi-square terms)
+        "benford_audit": analysis.benford_audit,
         "pmi_bigrams": analysis.pmi_bigrams,
         "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
@@ -967,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "word_entropy": analysis.WORD_ENTROPY_SQL,
         "roc_auc_by_source": analysis.ROC_AUC_SQL,
         "table_ndv_profile": analysis.TABLE_NDV_SQL,
+        "benford_audit": analysis.BENFORD_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,

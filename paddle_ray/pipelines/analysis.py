@@ -2661,3 +2661,82 @@ UNION ALL
 SELECT 'o_totalprice', CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) FROM orders
 ORDER BY "column"
 """
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / fraud screening)
+# --------------------------------------------------------------------------
+
+
+def benford_audit(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law, with the per-digit chi-square contribution — the classic
+    fabricated-data screen an auditor (or a synthetic-data debugger)
+    runs over money columns. Genuinely discriminating here: TPC-H-ish
+    totals are sums of uniform-ish prices, NOT Benford-distributed, so
+    the contributions are large and any drift in the pipeline shows.
+
+    Exactness: the observed counts are exact ints over cents (first
+    significant digit is invariant to the x100 power-of-ten scaling);
+    expected = n * log10(1 + 1/d) and contribution = (o - e)^2 / e use
+    one libm log10 + the same literal arithmetic on both sides, reported
+    round-6. Scale: per-block 9-row digit-count partials -> 9-row
+    groupby; nothing else moves."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet, to_cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        first = np.array([int(str(c)[0]) for c in cents], dtype=np.int64)
+        d, n = np.unique(first, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(d, pa.int64()), "observed": pa.array(n, pa.int64())}
+        )
+
+    obs = (
+        sized_read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("digit")
+        .aggregate(Sum("observed", alias_name="observed"))
+        .to_pandas()
+        .set_index("digit")
+        .observed
+    )
+    n = int(obs.sum())
+    rows = []
+    for d in range(1, 10):
+        o = int(obs.get(d, 0))
+        e = n * np.log10(1.0 + 1.0 / d)
+        rows.append(
+            {
+                "digit": d,
+                "observed": o,
+                "expected": round(float(e), 6),
+                "chi2_term": round(float((o - e) ** 2 / e), 6),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"digit": "int64", "observed": "int64", "expected": "float64", "chi2_term": "float64"}
+    )
+
+
+BENFORD_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM obs),
+digits AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT d.digit,
+       CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+       ROUND(n.n * log10(1.0 + 1.0 / d.digit), 6) AS expected,
+       ROUND(pow(COALESCE(o.observed, 0) - n.n * log10(1.0 + 1.0 / d.digit), 2)
+             / (n.n * log10(1.0 + 1.0 / d.digit)), 6) AS chi2_term
+FROM digits d LEFT JOIN obs o ON o.digit = d.digit CROSS JOIN n
+ORDER BY d.digit
+"""

@@ -2382,3 +2382,29 @@ def test_mmr_rerank_diversity_tradeoff(ray_session):
     assert min_gap(list(out.vec_id)) <= min_gap(list(pure.vec_id)) + 1e-12
     with pytest.raises(ValueError):
         sim.mmr_rerank(SF, k=10, pool=5)
+
+
+def test_benford_audit_matches_reference(ray_session):
+    """benford_audit == single-process digit histogram + the law's
+    expected counts; counts partition the table; expected sums to ~n;
+    and the synthetic totals genuinely deviate from Benford (the audit
+    has signal here)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"]).to_pandas()
+    cents = to_cents(t.o_totalprice)
+    first = np.array([int(str(c)[0]) for c in cents])
+    n = len(first)
+
+    out = analysis.benford_audit(SF)
+    assert out.digit.tolist() == list(range(1, 10))
+    assert out.observed.sum() == n
+    for r in out.itertuples():
+        assert r.observed == int((first == r.digit).sum())
+        e = n * np.log10(1.0 + 1.0 / r.digit)
+        assert r.expected == pytest.approx(round(e, 6), abs=1e-6)
+        assert r.chi2_term == pytest.approx(round((r.observed - e) ** 2 / e, 6), abs=1e-6)
+    assert out.expected.sum() == pytest.approx(n, rel=1e-6)
+    assert out.chi2_term.sum() > 20.0  # uniform-ish totals are NOT Benford
