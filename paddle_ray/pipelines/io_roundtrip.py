@@ -197,3 +197,81 @@ ORC_ROUNDTRIP_SQL = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag, l_shipdate
 FROM lineitem ORDER BY l_orderkey, l_linenumber
 """
+
+
+def schema_evolution_read(sf_dir: str) -> pd.DataFrame:
+    """Mixed-schema parquet read — the lakehouse column-add case: an old
+    writer produced files WITHOUT `lang`, a new writer adds it, and one
+    read must span both generations (the situation every long-lived 100
+    TB corpus directory is permanently in). Generation 1 (even doc_ids)
+    is written without lang, generation 2 (odd) with it; the single
+    directory read unifies the schemas (absent column -> null), the
+    normalize stage makes the contract explicit (null lang ->
+    '(none)'), and the rollup is value-oracled against the same
+    derivation over the source table — any row loss, misalignment or
+    type drift across the schema seam fails the hash.
+
+    Scale contract: both writes and the read are per-block streaming;
+    the rollup is per-block integer partials into a #langs-sized
+    groupby."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="pr_evo_")
+    try:
+        src = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+        )
+
+        def gen1(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(ids % 2 == 0))
+            return t.select(["doc_id", "n_chars"])
+
+        def gen2(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == 1))
+
+        os.makedirs(f"{out}/data")
+        src.map_batches(gen1, batch_format="pyarrow").write_parquet(f"{out}/data")
+        src.map_batches(gen2, batch_format="pyarrow").write_parquet(f"{out}/data")
+
+        def rollup(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist() if "lang" in batch.column_names
+                    else [None] * batch.num_rows,
+                    "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+                }
+            )
+            df["lang"] = df.lang.fillna("(none)")
+            g = df.groupby("lang", as_index=False).agg(
+                n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        res = (
+            rd.read_parquet(f"{out}/data")
+            .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        return res.astype({"lang": "str", "n_docs": "int64", "n_chars": "int64"})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(none)' END AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""

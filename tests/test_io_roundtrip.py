@@ -100,3 +100,25 @@ def test_orc_roundtrip_preserves_types_and_rows(ray_session):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(FileNotFoundError):
         read_orc("/tmp/definitely_missing_orc_dir_xyz")
+
+
+def test_schema_evolution_read_null_fills_old_generation(ray_session):
+    """The old generation's missing column arrives as null and is
+    normalized to '(none)'; the two generations together cover every
+    source row exactly once."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.io_roundtrip import schema_evolution_read
+
+    sf = "/root/testdata/sf0.001"
+    out = schema_evolution_read(sf)
+    src = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars", "lang"]).to_pandas()
+    assert out.n_docs.sum() == len(src)
+    assert out.n_chars.sum() == src.n_chars.sum()
+    none_row = out[out.lang == "(none)"]
+    assert len(none_row) == 1
+    assert int(none_row.n_docs.iloc[0]) == int((src.doc_id % 2 == 0).sum())
+    # real langs only come from the new generation (odd ids)
+    odd = src[src.doc_id % 2 == 1]
+    got_langs = set(out.lang) - {"(none)"}
+    assert got_langs == set(odd.lang)
