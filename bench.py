@@ -134,6 +134,7 @@ def run_benchmarks() -> dict:
         "events_sessionize",
         "asof_events_orders",
         "window_top3_orders",
+        "bucketed_join",
         "media_features",
     ]
     timings: dict[str, float] = {}
