@@ -518,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-bucketed pair joins with NO shuffle (the "bucket by key hash
         # to co-locate" layout; exact-int revenue so equality is bitwise)
         "bucketed_join": joins.bucketed_join,
+        # (adaptive_join_rollup lives below the fold — its broadcast /
+        #  native-join / pre-agg machinery all runs in-window via
+        #  salted_segment_rollup + the budget/mixture broadcasts; the
+        #  plan-choice seam itself is pytest-locked to bit-equality)
         # r4: exact Levenshtein verification of the MOSS winnow candidates
         # (vectorized integer row DP ≙ DuckDB levenshtein; fixed-point sim;
         #  nests winnow_overlap_pairs' fingerprint machinery, so this one
@@ -683,6 +687,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RRF fusion of the BM25 + vector lists (demoted from the window
         # when bucketed_join came in; both fused arms run in-window)
         "hybrid_rrf": similarity.hybrid_rrf,
+        # cost-based physical-plan choice: probe the dim's parquet-footer
+        # bytes, broadcast under 32 MiB else native hash join — output
+        # plan-invariant (pytest forces both paths to bit-equality)
+        "adaptive_join_rollup": joins.adaptive_join_rollup,
         # product-quantization encode + distortion (the FAISS IVFPQ
         # memory path next to SQ8; codebook broadcast once, m x k x
         # #blocks slim partials)
@@ -942,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "salted_segment_rollup": joins.SALTED_ROLLUP_SQL,
         "bucketed_join": joins.BUCKETED_JOIN_SQL,
+        "adaptive_join_rollup": joins.ADAPTIVE_JOIN_SQL,
         "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),

@@ -992,3 +992,119 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# adaptive join strategy (cost-based broadcast vs shuffle)
+# --------------------------------------------------------------------------
+
+ADAPTIVE_BCAST_BYTES = 32 << 20  # dim side under 32 MiB broadcasts
+
+
+def adaptive_join_rollup(
+    sf_dir: str, bcast_threshold_bytes: int = ADAPTIVE_BCAST_BYTES
+) -> pd.DataFrame:
+    """Revenue per nation (orders ⋈ customer ⋈ nation) where the
+    orders-customer join PICKS ITS PHYSICAL PLAN from statistics — the
+    cost-based decision every distributed engine makes and this repo
+    otherwise hard-codes per operator: probe the dim side's on-disk
+    bytes (parquet footer — free, no scan) and broadcast it via ray.put
+    when it fits comfortably in a worker heap, else run the native hash
+    join. Output is PLAN-INVARIANT (the pytest forces both paths and
+    asserts bit-equality; the oracle checks whichever the probe picks),
+    so adaptivity can never change answers, only cost.
+
+    Scale contract: broadcast path = one ray.put of the (custkey ->
+    nationkey) int array pair + stateless map_batches lookups (fact
+    never shuffles); shuffle path = per-block (custkey, cents, n)
+    pre-aggregation into the native join (one row per custkey per
+    block, never per order). nation (25 rows) always broadcasts.
+    Exact int cents end to end."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .common import sized_read_parquet, to_cents
+
+    from ray.data.aggregate import Sum
+
+    def fact_partial(batch: pa.Table) -> pa.Table:
+        cents = to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "cents": pa.array(cents, pa.int64()),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        g = t.group_by("c_custkey").aggregate([("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["c_custkey", "cents", "n"])
+
+    fact = sized_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(fact_partial, batch_format="pyarrow", batch_size=None)
+
+    dim_path = f"{sf_dir}/customer.parquet"
+    dim_bytes = os.path.getsize(dim_path)
+
+    if dim_bytes < bcast_threshold_bytes:
+        # broadcast plan: ship the slim key->nation arrays once
+        cust = sized_read_parquet(
+            dim_path, columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        lookup_ref = ray.put(
+            (
+                cust.c_custkey.to_numpy(dtype=np.int64),
+                cust.c_nationkey.to_numpy(dtype=np.int64),
+            )
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys, nats = ray.get(lookup_ref)
+            order = np.argsort(keys)
+            idx = np.searchsorted(keys[order], batch["c_custkey"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(nats[order][idx], pa.int64()),
+                    "cents": batch["cents"],
+                    "n": batch["n"],
+                }
+            )
+
+        tagged = fact.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    else:
+        # shuffle plan: native hash join on the pre-aggregated fact
+        dim = sized_read_parquet(dim_path, columns=["c_custkey", "c_nationkey"])
+        tagged = fact.join(
+            dim, join_type="inner", num_partitions=8, on=("c_custkey",)
+        ).select_columns(["c_nationkey", "cents", "n"])
+
+    per_nation = (
+        tagged.groupby("c_nationkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    names = sized_read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = (
+        per_nation.merge(names, left_on="c_nationkey", right_on="n_nationkey")
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return out[["n_name", "n_orders", "revenue_cents"]].astype(
+        {"n_name": "str", "n_orders": "int64", "revenue_cents": "int64"}
+    )
+
+
+ADAPTIVE_JOIN_SQL = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""

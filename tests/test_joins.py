@@ -103,3 +103,23 @@ def test_bucketed_join_equals_plain_join(ray_session):
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), ref.astype(out.dtypes.to_dict())
         )
+
+
+def test_adaptive_join_both_plans_bit_equal(ray_session):
+    """The stats-driven plan choice must be invisible in the answer:
+    force the broadcast plan (threshold = inf) and the shuffle plan
+    (threshold = 0) and assert bit-equality; the default probe picks
+    broadcast for this corpus (customer parquet << 32 MiB)."""
+    import os
+
+    import pandas as pd
+
+    from paddle_ray.pipelines.joins import ADAPTIVE_BCAST_BYTES, adaptive_join_rollup
+
+    bcast = adaptive_join_rollup(SF, bcast_threshold_bytes=1 << 62)
+    shuffle = adaptive_join_rollup(SF, bcast_threshold_bytes=0)
+    pd.testing.assert_frame_equal(bcast, shuffle)
+    assert os.path.getsize(f"{SF}/customer.parquet") < ADAPTIVE_BCAST_BYTES
+    default = adaptive_join_rollup(SF)
+    pd.testing.assert_frame_equal(default, bcast)
+    assert len(default) >= 2 and (default.n_orders > 0).all()
