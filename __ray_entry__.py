@@ -669,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: eps-DP Laplace-released per-lang counts (seeded noise —
         # md5 inverse-CDF draw identical on both sides; #langs-sized)
         "dp_group_counts": scrub.dp_group_counts,
+        # politeness-constrained crawl timetable (ONE coarse host-hash
+        # exchange; exact-int schedule digest locks every slot)
+        "crawl_schedule": scrub.crawl_schedule,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -1002,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_customers": scrub.K_ANONYMITY_SQL,
         "gdpr_delete_cascade": scrub.GDPR_CASCADE_SQL,
         "dp_group_counts": scrub.DP_GROUP_COUNTS_SQL,
+        "crawl_schedule": scrub.CRAWL_SCHEDULE_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

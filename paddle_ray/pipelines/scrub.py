@@ -643,3 +643,94 @@ SELECT lang,
          AS n_noisy
 FROM u ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# crawl politeness scheduling (frontier -> per-host fetch slots)
+# --------------------------------------------------------------------------
+
+CRAWL_RATE = 2  # fetches per second per host
+
+
+def crawl_schedule(sf_dir: str, rate: int = CRAWL_RATE) -> pd.DataFrame:
+    """Politeness-constrained fetch scheduling of the URL frontier: each
+    host (the `source` column) may serve at most `rate` fetches per
+    second, so url #i of a host (0-based, ordered by doc_id — the
+    deterministic frontier order) fetches at second i // rate. The
+    crawl-frontier sibling of url_host_stats (key hygiene) and
+    domain_cap (volume capping): this op turns the frontier into a
+    TIMETABLE, and its per-host makespan is exactly the quantity a
+    crawl planner balances against host count.
+
+    Output per host: n_urls, makespan_s (last fetch second + 1), and
+    sched_digest = sum(doc_id * fetch_s) — an exact-integer functional
+    of EVERY slot assignment, so the oracle value-locks the whole
+    timetable without emitting a row per url (the extract_synth_digest
+    contract, arithmetic instead of md5 because the slot values are
+    already small ints).
+
+    Scale contract: ONE coarse host-hash exchange (the window_top3 /
+    sessionize pattern: 64 partitions, one vectorized map_groups call
+    per partition, in-group rank = one argsort per host slice); partial
+    rows are #hosts-sized."""
+    from .common import sized_read_parquet
+
+    N_PARTS = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.hashes import splitmix64
+
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in batch["source"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        part = (splitmix64(h) % np.uint64(N_PARTS)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def sched_part(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        slot = g.groupby("source", sort=False).cumcount().to_numpy()
+        fetch_s = slot // rate
+        g = g.assign(fetch_s=fetch_s, prod=g.doc_id.to_numpy(dtype=np.int64) * fetch_s)
+        out = g.groupby("source", as_index=False).agg(
+            n_urls=("doc_id", "size"),
+            makespan_s=("fetch_s", "max"),
+            sched_digest=("prod", "sum"),
+        )
+        out["makespan_s"] = out.makespan_s + 1
+        return out
+
+    out = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sched_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"source": "str", "n_urls": "int64", "makespan_s": "int64", "sched_digest": "int64"}
+    )
+
+
+CRAWL_SCHEDULE_SQL = f"""
+WITH slots AS (
+  SELECT source, doc_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {CRAWL_RATE} AS fetch_s
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MAX(fetch_s) + 1 AS BIGINT) AS makespan_s,
+       CAST(SUM(doc_id * fetch_s) AS BIGINT) AS sched_digest
+FROM slots GROUP BY source ORDER BY source
+"""

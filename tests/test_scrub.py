@@ -261,3 +261,29 @@ def test_ray_entry_has_no_duplicate_dict_keys():
             keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
             dupes = {k for k in keys if keys.count(k) > 1}
             assert not dupes, f"duplicate dict keys at line {node.lineno}: {dupes}"
+
+
+def test_crawl_schedule_politeness_invariants(ray_session):
+    """crawl_schedule == single-process timetable; the politeness bound
+    holds (never more than `rate` fetches of one host in one second) and
+    the makespan is exactly ceil(n_urls / rate)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.scrub import CRAWL_RATE, crawl_schedule
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    ref = {}
+    for src, g in t.groupby("source"):
+        ids = np.sort(g.doc_id.to_numpy(dtype=np.int64))
+        fetch_s = np.arange(len(ids)) // CRAWL_RATE
+        counts = np.bincount(fetch_s)
+        assert counts.max() <= CRAWL_RATE  # politeness bound by construction
+        ref[src] = (len(ids), int(fetch_s.max()) + 1, int((ids * fetch_s).sum()))
+
+    out = crawl_schedule(sf)
+    assert list(out.source) == sorted(ref)
+    for r in out.itertuples():
+        assert (r.n_urls, r.makespan_s, r.sched_digest) == ref[r.source]
+        assert r.makespan_s == -(-r.n_urls // CRAWL_RATE)
