@@ -694,6 +694,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bytes, broadcast under 32 MiB else native hash join — output
         # plan-invariant (pytest forces both paths to bit-equality)
         "adaptive_join_rollup": joins.adaptive_join_rollup,
+        # asymmetric EXACT containment join (quote/subsumption — the
+        # near-dup predicate Jaccard misses; A-prefix x full-set
+        # pigeonhole, integer-fraction thresholds)
+        "containment_pairs": dedup.containment_pairs,
         # product-quantization encode + distortion (the FAISS IVFPQ
         # memory path next to SQ8; codebook broadcast once, m x k x
         # #blocks slim partials)
@@ -954,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_segment_rollup": joins.SALTED_ROLLUP_SQL,
         "bucketed_join": joins.BUCKETED_JOIN_SQL,
         "adaptive_join_rollup": joins.ADAPTIVE_JOIN_SQL,
+        "containment_pairs": dedup.CONTAINMENT_SQL,
         "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),

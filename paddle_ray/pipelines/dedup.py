@@ -1477,3 +1477,250 @@ FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE {PPJOIN_TAU_DEN} * i.inter >= {PPJOIN_TAU_NUM} * (sa.n + sb.n - i.inter)
 ORDER BY id_a, id_b
 """
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment join (quote / subsumption detection)
+# --------------------------------------------------------------------------
+
+CONTAIN_TAU_NUM, CONTAIN_TAU_DEN = 9, 10  # containment >= 0.9, exact fraction
+
+
+def containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT shingle-set CONTAINMENT join: pairs (a, b) with
+    |A ∩ B| / |A| >= 0.9 over w=3 word shingles, a the smaller side
+    (na < nb, or id_a < id_b on equal size) — the ASYMMETRIC near-dup
+    predicate symmetric Jaccard structurally misses: a short doc quoted
+    or subsumed inside a long one has tiny Jaccard (union is the long
+    doc) but containment ~1. Broder's containment coefficient; the
+    subsumption complement of set_similarity_join, on whose PPJOIN
+    machinery this runs with ONE structural change — the prefix filter
+    pigeonholes against |A| alone (L = na - ceil(tau*na) + 1 rarest
+    shingles of A must hit B's FULL set, since B can miss at most L-1
+    of A's shingles at containment tau), so candidates are
+    A-prefix ⋈ full-shingle-table rather than prefix ⋈ prefix.
+    All thresholds integer fractions; zero float anywhere.
+
+    Scale contract: identical to set_similarity_join (slim shingle
+    table materialized once, df by native join, coarse-partition
+    vectorized ranks/dedups, one string-keyed verify join; text never
+    crosses a shuffle). The asymmetric candidate join's fan-out is
+    sum(df) over each doc's RAREST-first prefix — df-ordering keeps it
+    near the PPJOIN candidate count on natural corpora; a pathological
+    all-boilerplate doc would need the winnow df cap, documented there.
+    """
+    w = PPJOIN_W
+    n_parts = 64
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ws = t.split()
+            if len(ws) < w:
+                continue
+            for s in {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}:
+                ids.append(d)
+                toks.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "tok": pa.array(toks, pa.string())}
+        )
+
+    sh = docs.map_batches(shingles, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("tok").aggregate([("doc_id", "count")])
+        return t.rename_columns(["tok", "c"])
+
+    def _tok_part(batch: pa.Table) -> pa.Table:
+        p = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_parts
+            for t in batch["tok"].to_pylist()
+        ]
+        return batch.append_column("tp", pa.array(p, pa.int32()))
+
+    df_ds = (
+        sh.map_batches(df_partial, batch_format="pyarrow")
+        .map_batches(_tok_part, batch_format="pyarrow")
+        .groupby("tp")
+        .map_groups(
+            lambda g: g.groupby("tok", as_index=False).agg(df=("c", "sum")),
+            batch_format="pandas",
+        )
+    )
+
+    with_df = sh.join(df_ds, join_type="inner", num_partitions=8, on=("tok",))
+
+    def part_by_doc(batch: pa.Table) -> pa.Table:
+        p = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_parts
+            for d in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("part", pa.array(p, pa.int32()))
+
+    def prefix_c(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "tok"], kind="mergesort")
+        n = g.groupby("doc_id")["tok"].transform("size")
+        L = n - (CONTAIN_TAU_NUM * n + CONTAIN_TAU_DEN - 1) // CONTAIN_TAU_DEN + 1
+        rk = g.groupby("doc_id").cumcount()
+        return g.loc[rk < L, ["doc_id", "tok"]]
+
+    pre = (
+        with_df.map_batches(part_by_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prefix_c, batch_format="pandas")
+    )
+
+    # asymmetric candidates: A's prefix against the FULL shingle table
+    cand_raw = pre.join(
+        sh.rename_columns({"doc_id": "id_b"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("tok",),
+    )
+
+    def slim_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        t = pa.table(
+            {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b[keep], pa.int64())}
+        )
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def part_by_pair(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy()
+        return batch.append_column("part3", pa.array((a % n_parts).astype(np.int32)))
+
+    cand = (
+        cand_raw.map_batches(slim_pairs, batch_format="pyarrow", batch_size=None)
+        .map_batches(part_by_pair, batch_format="pyarrow")
+        .groupby("part3")
+        .map_groups(
+            lambda g: g[["id_a", "id_b"]].drop_duplicates(), batch_format="pandas"
+        )
+    )
+
+    probe = cand.join(
+        sh, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    )
+
+    def bkey(batch: pa.Table) -> pa.Table:
+        ib = batch["id_b"].to_pylist()
+        tk = batch["tok"].to_pylist()
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "bk": pa.array([f"{b}:{t}" for b, t in zip(ib, tk)], pa.string()),
+            }
+        )
+
+    def shkey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bk": pa.array(
+                    [
+                        f"{d}:{t}"
+                        for d, t in zip(
+                            batch["doc_id"].to_pylist(), batch["tok"].to_pylist()
+                        )
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    matched = probe.map_batches(bkey, batch_format="pyarrow").join(
+        sh.map_batches(shkey, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("bk",),
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["id_a", "id_b"]).aggregate([("bk", "count")])
+        return t.rename_columns(["id_a", "id_b", "c"])
+
+    def _pair_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = pc.cast(pc.bit_wise_and(batch["id_a"], pa.scalar(63, pa.int64())), pa.int32())
+        return batch.append_column("pp", p)
+
+    inter = (
+        matched.map_batches(cnt_partial, batch_format="pyarrow")
+        .map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(
+            lambda g: g.groupby(["id_a", "id_b"], as_index=False).agg(inter=("c", "sum")),
+            batch_format="pandas",
+        )
+    )
+
+    def sz_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("doc_id").aggregate([("tok", "count")])
+        return t.rename_columns(["doc_id", "c"])
+
+    sz = (
+        sh.map_batches(sz_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    j1 = inter.join(
+        sz, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).rename_columns({"n": "na"})
+    j2 = j1.join(
+        sz, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    ).rename_columns({"n": "nb"})
+
+    out = j2.to_pandas()
+    cols = ["id_a", "id_b", "inter", "na", "nb", "cont_e6"]
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out[CONTAIN_TAU_DEN * out.inter >= CONTAIN_TAU_NUM * out.na]
+    out = out[(out.na < out.nb) | ((out.na == out.nb) & (out.id_a < out.id_b))]
+    out["cont_e6"] = out.inter * 1_000_000 // out.na
+    out = out[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols})
+
+
+CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents WHERE regexp_matches(text, '[^ \t\n\r\f\v]')),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(ts[g.i : g.i + {PPJOIN_W} - 1], ' ') AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - {PPJOIN_W} + 1)) AS g(i)
+  WHERE len(ts) >= {PPJOIN_W}),
+df AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ordd AS (
+  SELECT sh.doc_id, sh.tok,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY df.df, sh.tok) AS rk
+  FROM sh JOIN df USING (tok)),
+pre AS MATERIALIZED (
+  SELECT o.doc_id, o.tok FROM ordd o JOIN sz USING (doc_id)
+  WHERE o.rk <= sz.n - ({CONTAIN_TAU_NUM} * sz.n + {CONTAIN_TAU_DEN} - 1)
+                       // {CONTAIN_TAU_DEN} + 1),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN sh b ON b.tok = a.tok AND a.doc_id <> b.doc_id),
+i AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       CAST(i.inter * 1000000 // sa.n AS BIGINT) AS cont_e6
+FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+WHERE {CONTAIN_TAU_DEN} * i.inter >= {CONTAIN_TAU_NUM} * sa.n
+  AND (sa.n < sb.n OR (sa.n = sb.n AND i.id_a < i.id_b))
+ORDER BY id_a, id_b
+"""
