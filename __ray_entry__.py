@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Benford first-digit audit over order totals (9-row partials;
         # exact int counts + round-6 chi-square terms)
         "benford_audit": analysis.benford_audit,
+        # grouped distributed OLS via exact-integer sufficient statistics
+        # (one moment row per lang per block; big-int closed-form solve)
+        "regression_by_lang": analysis.regression_by_lang,
         "pmi_bigrams": analysis.pmi_bigrams,
         "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
@@ -991,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_by_source": analysis.ROC_AUC_SQL,
         "table_ndv_profile": analysis.TABLE_NDV_SQL,
         "benford_audit": analysis.BENFORD_SQL,
+        "regression_by_lang": analysis.REGRESSION_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,

@@ -2740,3 +2740,107 @@ SELECT d.digit,
 FROM digits d LEFT JOIN obs o ON o.digit = d.digit CROSS JOIN n
 ORDER BY d.digit
 """
+
+
+# --------------------------------------------------------------------------
+# grouped OLS via distributive sufficient statistics
+# --------------------------------------------------------------------------
+
+
+def regression_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang least-squares fit of token count on char count — the
+    distributed-OLS pattern (sufficient statistics, the only way
+    regression scales: each block contributes one exact-integer moment
+    row (n, Σx, Σy, Σxx, Σyy, Σxy) per lang and the closed-form solve
+    runs on the #langs-sized fold; no residual passes, no gradient
+    loop). The bytes→tokens slope is itself a real corpus statistic
+    (chars-per-token planning for budget ops).
+
+    Exactness: x = n_chars and y = whitespace token count are both
+    integers, so every moment is EXACT (int64-safe per block and per
+    corpus; the final normal-equation products can exceed int64 and are
+    assembled in Python big ints driver-side, and as HUGEINT in the
+    oracle). Each output is ONE correctly-rounded big-int division:
+    slope = (nΣxy - ΣxΣy) / (nΣxx - Σx²),
+    intercept = (ΣyΣxx - ΣxΣxy) / (nΣxx - Σx²),
+    r² = (nΣxy - ΣxΣy)² / ((nΣxx - Σx²)(nΣyy - Σy²)) — round-6."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.fromiter(
+            (len(t.split()) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        df = pd.DataFrame(
+            {"lang": langs, "n": 1, "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y}
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for r in m.itertuples():
+        n, sx, sy, sxx, syy, sxy = (int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.syy), int(r.sxy))
+        den = n * sxx - sx * sx  # python big ints — exact
+        cov = n * sxy - sx * sy
+        vy = n * syy - sy * sy
+        rows.append(
+            {
+                "lang": r.lang,
+                "n": n,
+                "slope": round(cov / den, 6),
+                "intercept": round((sy * sxx - sx * sxy) / den, 6),
+                "r2": round((cov * cov) / (den * vy), 6),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"lang": "str", "n": "int64", "slope": "float64", "intercept": "float64", "r2": "float64"}
+    )
+
+
+REGRESSION_SQL = """
+WITH pts AS (
+  SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+         CAST(CASE WHEN regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+              THEN len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0 END AS HUGEINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS r2
+FROM m ORDER BY lang
+"""

@@ -2453,3 +2453,31 @@ def test_containment_pairs_matches_bruteforce(ray_session):
     # size gap than sf0.001 plants; the predicate itself is what's new)
     assert any(na < nb for (_, na, nb, _) in got.values())
     assert all(na <= nb for (_, na, nb, _) in got.values())
+
+
+def test_regression_by_lang_matches_reference(ray_session):
+    """Distributed OLS == single-process exact big-int normal equations;
+    the chars->tokens fit is physically sensible (positive slope, high
+    r2 — token count tracks byte count) and r2 in (0, 1]."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang", "n_chars", "text"]
+    ).to_pandas()
+    t["y"] = [len(x.split()) for x in t.text]
+    out = analysis.regression_by_lang(SF)
+    assert list(out.lang) == sorted(t.lang.unique())
+    for r in out.itertuples():
+        g = t[t.lang == r.lang]
+        n = len(g)
+        sx, sy = int(g.n_chars.sum()), int(g.y.sum())
+        sxx = int((g.n_chars.astype(object) ** 2).sum())
+        syy = int((g.y.astype(object) ** 2).sum())
+        sxy = int((g.n_chars.astype(object) * g.y).sum())
+        den, cov, vy = n * sxx - sx * sx, n * sxy - sx * sy, n * syy - sy * sy
+        assert r.n == n
+        assert r.slope == pytest.approx(round(cov / den, 6), abs=1e-6)
+        assert r.intercept == pytest.approx(round((sy * sxx - sx * sxy) / den, 6), abs=1e-6)
+        assert r.r2 == pytest.approx(round((cov * cov) / (den * vy), 6), abs=1e-6)
+        assert r.slope > 0 and 0 < r.r2 <= 1
+        assert r.r2 > 0.5  # tokens track chars strongly on natural-ish text
