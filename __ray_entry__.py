@@ -701,6 +701,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup predicate Jaccard misses; A-prefix x full-set
         # pigeonhole, integer-fraction thresholds)
         "containment_pairs": dedup.containment_pairs,
+        # perceptual-hash image near-dup (dHash 64-bit + 5-band
+        # pigeonhole; pixels never cross a shuffle — 16 B hash rows do;
+        # golden VALUES oracle over the deterministic media corpus)
+        "phash_image_dedup": multimodal.phash_image_dedup,
         # product-quantization encode + distortion (the FAISS IVFPQ
         # memory path next to SQ8; codebook broadcast once, m x k x
         # #blocks slim partials)
@@ -962,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": joins.BUCKETED_JOIN_SQL,
         "adaptive_join_rollup": joins.ADAPTIVE_JOIN_SQL,
         "containment_pairs": dedup.CONTAINMENT_SQL,
+        "phash_image_dedup": multimodal.PHASH_DEDUP_SQL,
         "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),

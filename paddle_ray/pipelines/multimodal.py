@@ -8,7 +8,9 @@ locked by tests/test_multimodal.py instead.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..sources.media import synth_media
@@ -79,4 +81,172 @@ SELECT * FROM (VALUES
 ) AS t(kind, n_items, n_decoded, mean_width, mean_target_width,
        sum_duration_s, n_frame_rows)
 ORDER BY kind
+"""
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image near-dup (dHash + simhash-style band pigeonhole)
+# --------------------------------------------------------------------------
+
+PHASH_HAM_T = 4  # match threshold (planted re-encodes land at <= 2)
+PHASH_BANDS = 5  # 5 bands: any hamming <= 4 pair agrees on >= 1 whole band
+
+
+def _dhash64(arr: "np.ndarray") -> int:
+    """64-bit difference hash over the decoded pixel byte stream: 8x9
+    grid of block means (linear-index blocks — the fake containers carry
+    a flat truncated pixel array), bit = left block mean > right block
+    mean per row. Integer-exact given the byte input; robust to
+    small-amplitude re-encode noise (a few bytes shifted barely moves a
+    ~57-byte block mean) while distinct images hash ~32 bits apart."""
+    L = len(arr)
+    means = np.array([arr[j * L // 72 : (j + 1) * L // 72].mean() for j in range(72)])
+    g = means.reshape(8, 9)
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(bool(b))
+    return v
+
+
+def phash_image_dedup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual near-duplicate detection over the image corpus — the
+    MULTIMODAL member of the near-dup family (minhash/simhash/jaccard
+    cover text; embeddings cover vectors; this covers pixels, the
+    content-defined dedup a crawl's image store runs before captioning):
+    every third image gains a deterministic 're-encode' twin (25 bytes
+    perturbed — the low-amplitude noise a JPEG re-save leaves), each
+    image dHashes to 64 bits, and pairs within hamming <= 4 are
+    reported. Candidate generation is the simhash pigeonhole: 5 bands
+    (13/13/13/13/12 bits) — any pair within hamming 4 agrees on at
+    least one whole band, so candidates are band-key equality groups
+    and every candidate is verified exactly (popcount). sf_dir is
+    unused (deterministic synthesized media, the media_features
+    contract); the golden VALUES oracle pins all 67 matched pairs,
+    computed by an INDEPENDENT single-process reference (the pytest
+    re-derives it and asserts recall == planted set, zero false pairs).
+
+    Scale contract: hashes derive per block in the decode actor pool's
+    stream (payload bytes never cross a shuffle — only (id, hash64)
+    16 B rows); banding explodes to 5 slim rows/image into a coarse
+    band-hash exchange; verify is vectorized popcount per band group;
+    pair dedup on pair-hash partitions."""
+    from ..sources.media import unpack_media
+
+    ds = media_dataset()
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            _, _, body = unpack_media(payload)
+            arr = np.frombuffer(body, dtype=np.uint8)
+            ids.append(mid)
+            hs.append(_dhash64(arr))
+            if mid % 9 == 0:  # deterministic re-encode twin
+                a = arr.copy()
+                L = len(a)
+                for j in range(25):
+                    p = (j * 97) % L
+                    a[p] = (int(a[p]) + 1) % 256
+                ids.append(mid + 10_000)
+                hs.append(_dhash64(a))
+        return pa.table(
+            {
+                "pid": pa.array(ids, pa.int64()),
+                "h": pa.array(np.array(hs, dtype=np.uint64).view(np.int64), pa.int64()),
+            }
+        )
+
+    hashes = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+
+    # 5-band pigeonhole: band b covers bits [off_b, off_b + len_b)
+    lens = [13, 13, 13, 13, 12]
+    offs = np.cumsum([0] + lens[:-1])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out_b, out_k, out_p, out_h = [], [], [], []
+        for b, (off, ln) in enumerate(zip(offs, lens)):
+            key = (h >> np.uint64(off)) & np.uint64((1 << ln) - 1)
+            out_b.extend([b] * len(pid))
+            out_k.extend(int(k) for k in key)
+            out_p.extend(int(p) for p in pid)
+            out_h.extend(int(x) for x in h.view(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(out_b, pa.int64()),
+                "key": pa.array(out_k, pa.int64()),
+                "pid": pa.array(out_p, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby(["band", "key"], sort=False):
+            if len(grp) < 2:
+                continue
+            pids = grp.pid.to_numpy()
+            hs = grp.h.to_numpy().view(np.uint64)
+            for i in range(len(pids)):
+                for j in range(i + 1, len(pids)):
+                    ham = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if ham <= PHASH_HAM_T:
+                        a, b = sorted((int(pids[i]), int(pids[j])))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(ham)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    def part_by_bandkey(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(((k * 5 + b) % 64).astype(np.int32), pa.int32())
+        )
+
+    pairs = (
+        hashes.map_batches(band_rows, batch_format="pyarrow", batch_size=None)
+        .map_batches(part_by_bandkey, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_up, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "hamming"]}
+        )
+    out = (
+        pairs.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
+PHASH_DEDUP_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM (VALUES
+(0, 10000, 0), (9, 10009, 0), (18, 10018, 0), (27, 10027, 0), (36, 10036, 0), (45, 10045, 0),
+(54, 10054, 0), (63, 10063, 0), (72, 10072, 0), (81, 10081, 0), (90, 10090, 0), (99, 10099, 0),
+(108, 10108, 0), (117, 10117, 0), (126, 10126, 0), (135, 10135, 0), (144, 10144, 0), (153, 10153, 0),
+(162, 10162, 1), (171, 10171, 0), (180, 10180, 0), (189, 10189, 0), (198, 10198, 0), (207, 10207, 0),
+(216, 10216, 0), (225, 10225, 0), (234, 10234, 0), (243, 10243, 0), (252, 10252, 0), (261, 10261, 0),
+(270, 10270, 0), (279, 10279, 0), (288, 10288, 0), (297, 10297, 0), (306, 10306, 0), (315, 10315, 0),
+(324, 10324, 0), (333, 10333, 0), (342, 10342, 0), (351, 10351, 1), (360, 10360, 0), (369, 10369, 0),
+(378, 10378, 0), (387, 10387, 0), (396, 10396, 0), (405, 10405, 0), (414, 10414, 0), (423, 10423, 0),
+(432, 10432, 0), (441, 10441, 0), (450, 10450, 0), (459, 10459, 1), (468, 10468, 0), (477, 10477, 0),
+(486, 10486, 0), (495, 10495, 0), (504, 10504, 2), (513, 10513, 0), (522, 10522, 0), (531, 10531, 0),
+(540, 10540, 0), (549, 10549, 0), (558, 10558, 0), (567, 10567, 0), (576, 10576, 0), (585, 10585, 0),
+(594, 10594, 0)
+) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
 """

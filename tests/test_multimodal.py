@@ -120,3 +120,47 @@ def pd_testing_assert(a, b):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a, b)
+
+
+def test_phash_image_dedup_recall_and_no_false_pairs(ray_session):
+    """Engine == independent single-process dHash sweep over ALL pairs
+    (no banding — so the 5-band pigeonhole's completeness at hamming <=
+    4 is itself verified); recall over the planted re-encode twins is
+    exactly 100% and there are zero non-planted pairs."""
+    import itertools
+
+    import numpy as np
+
+    from paddle_ray.pipelines import multimodal as mm
+    from paddle_ray.sources.media import synth_media, unpack_media
+
+    t = synth_media(600, seed=42)
+    hashes = {}
+    planted = set()
+    for mid, kind, payload in zip(
+        t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
+    ):
+        if kind != "image":
+            continue
+        _, _, body = unpack_media(payload)
+        arr = np.frombuffer(body, dtype=np.uint8)
+        hashes[mid] = mm._dhash64(arr)
+        if mid % 9 == 0:
+            a = arr.copy()
+            for j in range(25):
+                p = (j * 97) % len(a)
+                a[p] = (int(a[p]) + 1) % 256
+            hashes[mid + 10_000] = mm._dhash64(a)
+            planted.add((mid, mid + 10_000))
+
+    ref = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        h = bin(hashes[a] ^ hashes[b]).count("1")
+        if h <= mm.PHASH_HAM_T:
+            ref[(a, b)] = h
+
+    out = mm.phash_image_dedup("unused")
+    got = {(int(r.id_a), int(r.id_b)): int(r.hamming) for r in out.itertuples()}
+    assert got == ref
+    assert set(got) == planted  # 100% recall, zero false pairs
+    assert all(h <= mm.PHASH_HAM_T for h in got.values())
