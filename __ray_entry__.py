@@ -794,6 +794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Efraimidis-Spirakis A-Res PPS sample (weight = doc size; the
         # per-block top-k shape, seeded u^(1/w) keys)
         "weighted_sample_ares": webtext.weighted_sample_ares,
+        # exact un-binned two-sample KS drift test (integer CDF walk;
+        # value-histogram exchange, the percentile_normalize shape)
+        "ks_two_sample": webtext.ks_two_sample,
         # r4: k-anonymity release audit over (lang, source, length
         # decile) quasi-identifier cells (below the fold — bounded-cell
         # partial rollup shape)
@@ -1087,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_gini": events.GINI_SQL,
         "uniform_sample_exact_k": webtext.uniform_sample_sql(),
         "weighted_sample_ares": webtext.weighted_sample_sql(),
+        "ks_two_sample": webtext.KS_TWO_SAMPLE_SQL,
         "k_anonymity_audit": webtext.k_anonymity_sql(),
         "copurchase_lift": analysis.copurchase_sql(),
         "media_features": multimodal.MEDIA_FEATURES_SQL,

@@ -1661,3 +1661,109 @@ SELECT doc_id, n_chars FROM (
   ORDER BY key DESC, doc_id LIMIT {k}
 ) ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov distance (un-binned drift test)
+# --------------------------------------------------------------------------
+
+
+def ks_two_sample(sf_dir: str) -> pd.DataFrame:
+    """EXACT Kolmogorov-Smirnov distance between the even-numbered
+    sources (reference) and odd-numbered sources (production) over the
+    doc token-count distribution — the un-binned complement of
+    distribution_drift's PSI (PSI needs bins and an epsilon floor; KS
+    is sup |F_a - F_b| over the raw empirical CDFs and needs neither).
+    Zero float anywhere: with prefix counts c_a, c_b at each distinct
+    value and sample sizes n_a, n_b, the statistic is
+    max |c_a * n_b - c_b * n_a| held as exact int64, reported as
+    ks_e6 = max_diff * 1e6 // (n_a * n_b) with the achieving value
+    (smallest on ties — both sides break ties the same way).
+
+    Scale contract: one streaming pass emits per-block
+    (side, n_tok, cnt) partials — the exchange is distinct-value x
+    #blocks bounded (the percentile_normalize value-histogram shape),
+    and the CDF walk runs on the merged histogram driver-side
+    (distinct token counts grow with text-length diversity, not corpus
+    size)."""
+    from ray.data.aggregate import Sum
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side = np.fromiter(
+            (int(s[3:]) % 2 for s in batch["source"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        nt = np.fromiter(
+            (len(t.split()) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame({"side": side, "n_tok": nt})
+        g = df.groupby(["side", "n_tok"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "cnt"}), preserve_index=False
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["side", "n_tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    piv = (
+        hist.pivot_table(index="n_tok", columns="side", values="cnt", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    ca = piv[0].cumsum().to_numpy(dtype=object)  # python ints — exact
+    cb = piv[1].cumsum().to_numpy(dtype=object)
+    na, nb = int(piv[0].sum()), int(piv[1].sum())
+    diffs = np.array([abs(int(a) * nb - int(b) * na) for a, b in zip(ca, cb)], dtype=object)
+    best = max(range(len(diffs)), key=lambda i: (diffs[i], -piv.index[i]))
+    return pd.DataFrame(
+        {
+            "n_a": [na],
+            "n_b": [nb],
+            "ks_e6": [int(diffs[best]) * 1_000_000 // (na * nb)],
+            "at_value": [int(piv.index[best])],
+        }
+    ).astype({"n_a": "int64", "n_b": "int64", "ks_e6": "int64", "at_value": "int64"})
+
+
+KS_TWO_SAMPLE_SQL = """
+WITH d AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS side,
+         CASE WHEN regexp_matches(text, '[^ \\t\\n\\r\\f\\v]')
+              THEN len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0 END AS n_tok
+  FROM documents
+),
+vals AS (
+  SELECT n_tok,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+  FROM d GROUP BY n_tok
+),
+c AS (
+  SELECT n_tok,
+         SUM(a) OVER (ORDER BY n_tok) AS ca,
+         SUM(b) OVER (ORDER BY n_tok) AS cb
+  FROM vals
+),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM vals),
+best AS (
+  SELECT c.n_tok, abs(CAST(c.ca * tot.nb - c.cb * tot.na AS HUGEINT)) AS diff
+  FROM c CROSS JOIN tot
+  ORDER BY diff DESC, c.n_tok ASC LIMIT 1
+)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       CAST(best.diff * 1000000 // (CAST(tot.na AS HUGEINT) * tot.nb) AS BIGINT)
+         AS ks_e6,
+       CAST(best.n_tok AS BIGINT) AS at_value
+FROM best CROSS JOIN tot
+"""

@@ -556,3 +556,36 @@ def test_weighted_sample_ares_reference_and_bias(ray_session):
     assert out.doc_id.tolist() == ref.doc_id.tolist()
     assert out.n_chars.tolist() == ref.n_chars.tolist()
     assert out.n_chars.mean() > t.n_chars.mean()
+
+
+def test_ks_two_sample_matches_scipy_style_reference(ray_session):
+    """ks_two_sample == the textbook sup|F_a - F_b| computed directly
+    over the raw samples (scipy-equivalent formula, exact rationals),
+    and the reported at_value actually achieves the max."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import webtext as wt
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["source", "text"]).to_pandas()
+    side = t.source.str[3:].astype(int) % 2
+    nt = t.text.map(lambda x: len(x.split()))
+    a = np.sort(nt[side == 0].to_numpy())
+    b = np.sort(nt[side == 1].to_numpy())
+    vals = np.unique(np.concatenate([a, b]))
+    best = Fraction(0)
+    best_v = None
+    for v in vals:
+        d = abs(
+            Fraction(int((a <= v).sum()), len(a)) - Fraction(int((b <= v).sum()), len(b))
+        )
+        if d > best:
+            best, best_v = d, int(v)
+    out = wt.ks_two_sample(sf)
+    assert int(out.n_a.iloc[0]) == len(a) and int(out.n_b.iloc[0]) == len(b)
+    assert int(out.ks_e6.iloc[0]) == int(best * 1_000_000)  # exact floor
+    assert int(out.at_value.iloc[0]) == best_v
+    assert 0 < int(out.ks_e6.iloc[0]) < 1_000_000
