@@ -759,6 +759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS crawl depth — the frontier-expansion primitive
         # (integer-only; frontier-filtered join per round, exact oracle)
         "bfs_distance": webgraph.bfs_distance,
+        # personalized PageRank from the same seed set (TrustRank shape;
+        # seed-restricted teleport, pagerank round topology)
+        "ppr_seed_set": webgraph.ppr_seed_set,
         # Count-Min sketch, VALUE-oracled (md5-pinned rows -> exact
         # integer registers; d x w x #blocks bounded exchange) with the
         # exact true counts alongside so the overestimate bound shows
@@ -1081,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": webgraph.label_propagation_sql(),
         "hits_scores": webgraph.hits_sql(),
         "bfs_distance": webgraph.bfs_sql(),
+        "ppr_seed_set": webgraph.ppr_sql(),
         "countmin_user_counts": events.COUNTMIN_SQL,
         "span_corruption": traindata.SPAN_CORRUPTION_SQL,
         "kn_ngram_stats": traindata.KN_NGRAM_SQL,

@@ -887,3 +887,146 @@ FROM d{rounds} ORDER BY doc_id
 """
     )
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank (seed-set teleport)
+# --------------------------------------------------------------------------
+
+
+def ppr_seed_set(sf_dir: str, iters: int = PR_ITERS, damping: float = PR_DAMPING) -> pd.DataFrame:
+    """Personalized PageRank with teleport restricted to the crawl seed
+    set {doc_id % BFS_SEED_MOD == 0} — the seed-proximity score that
+    complements bfs_distance (hops) with a stationary-mass notion of
+    'how reachable from the whitelist', the TrustRank recipe for
+    seeding crawl trust. Identical round topology to pagerank (edges ⋈
+    scores native join, per-block partials, node-sized groupby,
+    left-outer zero-fill, per-round materialize); the only change is
+    the teleport term: (1-d)/|S| on seeds, 0 elsewhere, and the uniform
+    init is over seeds. Scores reported * n (the pagerank rescale
+    contract) rounded 6. Oracled by ppr_sql(iters) — the same chained
+    recurrence with a CASE teleport."""
+    from ray.data.aggregate import Sum
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nodes = _ids(sf_dir)
+    n = nodes.count()
+    edges = nodes.map_batches(
+        lambda b: _edges_batch(b, n), batch_format="pyarrow"
+    ).materialize()
+
+    def seed_mask(ids: np.ndarray) -> np.ndarray:
+        return ids % BFS_SEED_MOD == 0
+
+    n_seeds = int(
+        nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "c": pa.array(
+                        [int(seed_mask(b["doc_id"].to_numpy(zero_copy_only=False)).sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .c.sum()
+    )
+    if n_seeds == 0:
+        raise ValueError("seed set is empty at this corpus size")
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.where(seed_mask(ids), 1.0 / n_seeds, 0.0)
+        return pa.table({"doc_id": batch["doc_id"], "r": pa.array(r, pa.float64())})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        rank_by_src = ranks.map_batches(
+            lambda b: pa.table({"src": b["doc_id"], "r": b["r"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        contribs = edges.join(rank_by_src, join_type="inner", num_partitions=8, on=("src",))
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": batch["dst"],
+                    "c": pa.array(
+                        batch["r"].to_numpy(zero_copy_only=False) / 2.0, pa.float64()
+                    ),
+                }
+            )
+            g = t.group_by("doc_id").aggregate([("c", "sum")])
+            return g.rename_columns(["doc_id", "c"])
+
+        insum = (
+            contribs.map_batches(contrib_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        joined = nodes.join(insum, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+        def update(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c), 0.0, c)
+            tele = np.where(seed_mask(ids), (1.0 - damping) / n_seeds, 0.0)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "r": pa.array(tele + damping * c, pa.float64()),
+                }
+            )
+
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    out = ranks.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["rank"] = (out.r * n).round(6)
+    return out[["doc_id", "rank"]].astype({"doc_id": "int64"})
+
+
+def ppr_sql(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    head = f"""
+WITH ids AS MATERIALIZED (SELECT doc_id FROM documents),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ids),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM ids
+       WHERE doc_id % {BFS_SEED_MOD} = 0),
+e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * doc_id + 3) % (SELECT COUNT(*) FROM ids) AS dst FROM ids
+  UNION ALL
+  SELECT doc_id, (doc_id // 7) % (SELECT COUNT(*) FROM ids) FROM ids
+),
+r0 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {BFS_SEED_MOD} = 0 THEN 1.0 / ns.ns ELSE 0.0 END AS r
+  FROM ids d CROSS JOIN ns
+)"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+r{t} AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {BFS_SEED_MOD} = 0
+              THEN (1.0 - {damping}) / ns.ns ELSE 0.0 END
+           + {damping} * COALESCE(i.s, 0) / 2 AS r
+  FROM ids d CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst, SUM(p.r) AS s FROM e JOIN r{t - 1} p ON p.doc_id = e.src
+    GROUP BY e.dst
+  ) i ON i.dst = d.doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r{iters}.doc_id, ROUND(r{iters}.r * n.n, 6) AS rank
+FROM r{iters} CROSS JOIN n ORDER BY doc_id
+"""
+    )
+    return "".join(parts)

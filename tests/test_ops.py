@@ -2481,3 +2481,45 @@ def test_regression_by_lang_matches_reference(ray_session):
         assert r.r2 == pytest.approx(round((cov * cov) / (den * vy), 6), abs=1e-6)
         assert r.slope > 0 and 0 < r.r2 <= 1
         assert r.r2 > 0.5  # tokens track chars strongly on natural-ish text
+
+
+def test_ppr_seed_set_proximity_semantics(ray_session):
+    """PPR == single-process reference; seeds hold most of the mass,
+    total mass is conserved within float tolerance, and the ranking
+    genuinely differs from uniform-teleport pagerank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import webgraph as wg
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n = len(ids)
+    seeds = ids[ids % wg.BFS_SEED_MOD == 0]
+    r = {int(i): (1.0 / len(seeds) if i % wg.BFS_SEED_MOD == 0 else 0.0) for i in ids}
+    out_links = {int(i): [int((i * i + 3) % n), int((i // 7) % n)] for i in ids}
+    d = wg.PR_DAMPING
+    for _ in range(wg.PR_ITERS):
+        nxt = {
+            int(i): ((1.0 - d) / len(seeds) if i % wg.BFS_SEED_MOD == 0 else 0.0)
+            for i in ids
+        }
+        for u, r_u in r.items():
+            for v in out_links[u]:
+                nxt[v] += d * r_u / 2.0
+        r = nxt
+
+    out = wg.ppr_seed_set(SF)
+    got = dict(zip(out.doc_id, out["rank"]))
+    for i in ids:
+        assert abs(got[int(i)] - round(r[int(i)] * n, 6)) <= 2e-6
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved
+    pr = wg.pagerank(SF)
+    assert list(out.sort_values("rank", ascending=False).doc_id[:10]) != list(
+        pr.sort_values("rank", ascending=False).doc_id[:10]
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wg.ppr_seed_set(SF, iters=0)
