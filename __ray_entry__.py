@@ -630,6 +630,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped distributed OLS via exact-integer sufficient statistics
         # (one moment row per lang per block; big-int closed-form solve)
         "regression_by_lang": analysis.regression_by_lang,
+        # group-majority missing-value REPAIR with held-out-truth
+        # accuracy (the fix member next to validate/diff; bounded
+        # (source x lang) partials)
+        "impute_lang_by_source": analysis.impute_lang_by_source,
         "pmi_bigrams": analysis.pmi_bigrams,
         "merkle_table_digest": analysis.merkle_table_digest,
         "lang_doc_stats": analysis.lang_doc_stats,
@@ -1006,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "table_ndv_profile": analysis.TABLE_NDV_SQL,
         "benford_audit": analysis.BENFORD_SQL,
         "regression_by_lang": analysis.REGRESSION_SQL,
+        "impute_lang_by_source": analysis.IMPUTE_LANG_SQL,
         "pmi_bigrams": analysis.PMI_BIGRAMS_SQL,
         "coreset_kcenter": similarity.coreset_kcenter_sql(),
         "repetition_metrics": webtext.REPETITION_SQL,

@@ -2844,3 +2844,114 @@ SELECT lang, CAST(n AS BIGINT) AS n,
              6) AS r2
 FROM m ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# constraint-driven imputation (data repair)
+# --------------------------------------------------------------------------
+
+IMPUTE_MISSING_MOD = 11
+
+
+def impute_lang_by_source(sf_dir: str) -> pd.DataFrame:
+    """Missing-value repair by group majority — the REPAIR member of the
+    data-quality family (validate_orders detects, table_diff localizes,
+    this fixes): docs with doc_id % 11 == 0 have their lang treated as
+    MISSING (the deterministic-derivation pattern — the truth is held
+    out, so repair accuracy is measurable exactly), and each missing
+    value is imputed with the majority lang of the doc's source among
+    NON-missing rows (ties -> lexicographically smallest, both sides).
+    Reports per source: missing count, the imputed lang, how many
+    imputations match the held-out truth, and the non-missing majority
+    size — the audit table a cleaning job emits before applying.
+
+    Scale contract: one streaming pass emits (source, lang,
+    n_known/n_missing/n_match-if-imputed) integer partials keyed by the
+    (#sources x #langs)-bounded group space; the majority election and
+    accuracy join run on that bounded fold driver-side. Exact integers
+    throughout."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        missing = ids % IMPUTE_MISSING_MOD == 0
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "lang": batch["lang"].to_pylist(),
+                "known": (~missing).astype(np.int64),
+                "miss": missing.astype(np.int64),
+            }
+        )
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n_known=("known", "sum"), n_missing=("miss", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_known", alias_name="n_known"), Sum("n_missing", alias_name="n_missing"))
+        .to_pandas()
+    )
+    rows = []
+    for src, g in folded.groupby("source"):
+        g = g.sort_values(["n_known", "lang"], ascending=[False, True])
+        imputed = g.lang.iloc[0]
+        n_majority = int(g.n_known.iloc[0])
+        n_missing = int(g.n_missing.sum())
+        n_correct = int(g.loc[g.lang == imputed, "n_missing"].sum())
+        rows.append(
+            {
+                "source": src,
+                "n_missing": n_missing,
+                "imputed_lang": imputed,
+                "n_correct": n_correct,
+                "n_majority": n_majority,
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    return out.astype(
+        {
+            "source": "str",
+            "n_missing": "int64",
+            "imputed_lang": "str",
+            "n_correct": "int64",
+            "n_majority": "int64",
+        }
+    )
+
+
+IMPUTE_LANG_SQL = f"""
+WITH tagged AS (
+  SELECT source, lang, doc_id % {IMPUTE_MISSING_MOD} = 0 AS missing
+  FROM documents
+),
+counts AS (
+  SELECT source, lang,
+         SUM(CASE WHEN missing THEN 0 ELSE 1 END) AS n_known,
+         SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS n_missing
+  FROM tagged GROUP BY source, lang
+),
+major AS (
+  SELECT source, lang AS imputed_lang, n_known AS n_majority
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY n_known DESC, lang ASC) = 1
+)
+SELECT m.source,
+       CAST(t.n_missing AS BIGINT) AS n_missing,
+       m.imputed_lang,
+       CAST(COALESCE(c.n_missing, 0) AS BIGINT) AS n_correct,
+       CAST(m.n_majority AS BIGINT) AS n_majority
+FROM major m
+JOIN (SELECT source, SUM(n_missing) AS n_missing FROM counts GROUP BY source) t
+  ON t.source = m.source
+LEFT JOIN counts c ON c.source = m.source AND c.lang = m.imputed_lang
+ORDER BY m.source
+"""

@@ -2523,3 +2523,31 @@ def test_ppr_seed_set_proximity_semantics(ray_session):
 
     with _pt.raises(ValueError):
         wg.ppr_seed_set(SF, iters=0)
+
+
+def test_impute_lang_by_source_matches_reference(ray_session):
+    """Imputation == single-process majority reference; accuracy is
+    bounded by the missing count; and the held-out design is live (some
+    sources have imperfect repair accuracy — majority vote is not an
+    oracle)."""
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.analysis import IMPUTE_MISSING_MOD, impute_lang_by_source
+
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "lang"]
+    ).to_pandas()
+    t["missing"] = t.doc_id % IMPUTE_MISSING_MOD == 0
+    out = impute_lang_by_source(SF)
+    for r in out.itertuples():
+        g = t[t.source == r.source]
+        known = g[~g.missing].groupby("lang").size()
+        best = sorted(known.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.imputed_lang == best[0]
+        assert r.n_majority == best[1]
+        miss = g[g.missing]
+        assert r.n_missing == len(miss)
+        assert r.n_correct == int((miss.lang == r.imputed_lang).sum())
+        assert 0 <= r.n_correct <= r.n_missing
+    assert (out.n_correct < out.n_missing).any()  # repair is fallible -> audit matters
+    assert (out.n_correct > 0).any()  # and genuinely repairs something
