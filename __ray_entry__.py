@@ -717,6 +717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-pool scan; greedy phase is O(k x pool) on a config-bounded
         # candidate set)
         "mmr_rerank": similarity.mmr_rerank,
+        # cluster labeling: kmeans assignment ⋈ text -> per-cluster
+        # top-terms election (vocab x k bounded integer fold)
+        "cluster_labels": similarity.cluster_labels,
         # IVF with n_probe == n_centroids == exact; machinery in-window
         # via embedding_neardup_ivf/semdedup/knn_bruteforce
         "knn_ivf_exhaustive": lambda sf: similarity.knn_ivf(
@@ -964,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": similarity.hybrid_rrf_sql(),
         "pq_quantize_error": similarity.pq_quantize_error_sql(),
         "mmr_rerank": similarity.mmr_rerank_sql(),
+        "cluster_labels": similarity.cluster_labels_sql(),
         "knn_ivf_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "knn_lsh_exhaustive": similarity.KNN_SQL_T.format(k=KNN_K, n_queries=KNN_NQ),
         "embedding_neardup": similarity.EMB_NEARDUP_SQL_T.format(threshold=EMB_NEARDUP_THRESHOLD),

@@ -1839,3 +1839,120 @@ FROM ({selects}) ORDER BY step
 """
     )
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# cluster labeling (kmeans assignment -> per-cluster top terms)
+# --------------------------------------------------------------------------
+
+CL_TOPK = 3
+
+
+def cluster_labels(sf_dir: str, k: int = KMEANS_K, topk: int = CL_TOPK) -> pd.DataFrame:
+    """Human-readable labels for embedding clusters: assign every vector
+    to its nearest deterministic-init centroid (the kmeans_step
+    assignment), join cluster ids to the TEXT corpus on vec_id ==
+    doc_id (the rag_index_coverage key contract), and elect each
+    cluster's top-`topk` tokens by total count (ties -> lexicographic)
+    — the label a curation UI shows next to a SemDeDup/IVF cluster so
+    a human can audit WHAT got grouped before pruning it.
+
+    Scale contract: assignment is the kmeans broadcast-argmin (k x d
+    centroids via ray.put, <= one (vec_id, cid) 16 B row per vector);
+    the cid attaches to documents by ONE native hash join (text never
+    crosses it — token counting runs in the same map as the join
+    consumer); token counts fold as (cid, token, n) integer partials
+    bounded by vocab x k; the per-cluster top-k election runs on the
+    bounded fold. Output (cid, rank, token, n) exact ints."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .common import read_table, sized_read_parquet
+
+    init = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k - 1} present for deterministic init")
+    C = np.stack(init.embedding.to_numpy()).astype(np.float64)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cref)
+        ids, X = _to_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cid": pa.array([], pa.int64())}
+            )
+        d2 = ((X.astype(np.float64)[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "cid": pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    assigned = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    joined = docs.join(assigned, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[tuple[int, str], int] = {}
+        for cid, text in zip(batch["cid"].to_pylist(), batch["text"].to_pylist()):
+            for w in text.split():
+                cnt[(cid, w)] = cnt.get((cid, w), 0) + 1
+        return pa.table(
+            {
+                "cid": pa.array([c for c, _ in cnt], pa.int64()),
+                "token": pa.array([w for _, w in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    folded = (
+        joined.map_batches(tok_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["cid", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out_rows = []
+    for cid, g in folded.groupby("cid"):
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(topk)
+        for rank, r in enumerate(g.itertuples(), start=1):
+            out_rows.append({"cid": int(cid), "rank": rank, "token": r.token, "n": int(r.n)})
+    out = pd.DataFrame(out_rows).sort_values(["cid", "rank"]).reset_index(drop=True)
+    return out.astype({"cid": "int64", "rank": "int64", "token": "str", "n": "int64"})
+
+
+def cluster_labels_sql(k: int = KMEANS_K, topk: int = CL_TOPK) -> str:
+    return rf"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {k}),
+a AS MATERIALIZED (
+  SELECT vec_id AS doc_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(c.cvec AS DOUBLE[])), c.cid)
+             AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT a.cid, t.tok AS token
+  FROM a JOIN documents d ON d.doc_id = a.doc_id,
+       LATERAL unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(tok)
+  WHERE regexp_matches(d.text, '[^ \t\n\r\f\v]')
+),
+cnt AS (SELECT cid, token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY cid, token)
+SELECT cid, CAST(rank AS BIGINT) AS rank, token, n FROM (
+  SELECT cid, token, n,
+         row_number() OVER (PARTITION BY cid ORDER BY n DESC, token ASC) AS rank
+  FROM cnt
+) WHERE rank <= {topk} ORDER BY cid, rank
+"""

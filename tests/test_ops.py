@@ -2551,3 +2551,42 @@ def test_impute_lang_by_source_matches_reference(ray_session):
         assert 0 <= r.n_correct <= r.n_missing
     assert (out.n_correct < out.n_missing).any()  # repair is fallible -> audit matters
     assert (out.n_correct > 0).any()  # and genuinely repairs something
+
+
+def test_cluster_labels_matches_reference(ray_session):
+    """cluster_labels == single-process assignment + Counter election;
+    exactly topk rows per populated cluster that has >= topk tokens,
+    ranks contiguous, counts non-increasing."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines import similarity as sim
+
+    emb = (
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    C = X[ids < sim.KMEANS_K][np.argsort(ids[ids < sim.KMEANS_K])]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    cid = dict(zip((int(i) for i in ids), (int(c) for c in d2.argmin(axis=1))))
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    counters: dict[int, Counter] = {}
+    for r in docs.itertuples():
+        if int(r.doc_id) not in cid:
+            continue
+        counters.setdefault(cid[int(r.doc_id)], Counter()).update(r.text.split())
+
+    out = sim.cluster_labels(SF)
+    for c, g in out.groupby("cid"):
+        exp = sorted(counters[int(c)].items(), key=lambda kv: (-kv[1], kv[0]))[: sim.CL_TOPK]
+        assert list(zip(g.token, g.n)) == exp
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert list(g.n) == sorted(g.n, reverse=True)
+    assert set(out.cid) == set(counters)  # every populated cluster labeled
