@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_sales_opportunity": relational_more.q22_sales_opportunity,
         "orders_rollup": relational_more.orders_rollup,
         "orders_cube": relational_more.orders_cube,
+        "skyline_orders": relational_more.skyline_orders,
         "lang_modal_source": relational_more.lang_modal_source,
         "year_reconcile": relational_more.year_reconcile,
         "orders_running_total": relational_more.orders_running_total,
@@ -1119,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_sales_opportunity": relational_more.Q22_SQL,
         "orders_rollup": relational_more.ROLLUP_SQL,
         "orders_cube": relational_more.CUBE_SQL,
+        "skyline_orders": relational_more.SKYLINE_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
         "orders_running_total": relational_more.RUNNING_TOTAL_SQL,

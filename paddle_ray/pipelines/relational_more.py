@@ -680,3 +680,102 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus, o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier) — maximal orders on (totalprice, orderdate)
+# --------------------------------------------------------------------------
+
+# Candidate-merge residency cap: the driver merge holds the union of the
+# per-block local skylines. For random-ish 2D data a block's skyline is
+# O(log rows) so the union is tiny; a pathological anti-correlated corpus
+# (skyline ~ n) blows past this cap and we fail LOUDLY naming the scale
+# path (a sort-by-price repartition + sweep-with-carry over range
+# partitions) instead of OOMing the driver.
+SKYLINE_MERGE_CAP = 2_000_000
+
+
+def _sky_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean skyline mask under maximizing dominance: row j dominates
+    row i iff p[j] >= p[i] and d[j] >= d[i] with at least one strict.
+    A row survives iff d == max(d) among its exact price AND
+    d > max(d) over all strictly greater prices (sup-restatement of the
+    NOT EXISTS definition — the pytest brute-forces the definition
+    itself). Duplicate (p, d) points all survive: neither dominates."""
+    df = pd.DataFrame({"p": p, "d": d})
+    g = df.groupby("p")["d"].max()  # index sorted asc by price
+    gs = g.sort_index(ascending=False)
+    pms = gs.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    gmax = df["p"].map(g).to_numpy()
+    pmsv = df["p"].map(pms).to_numpy()
+    return (d == gmax) & (d > pmsv)
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony, Kossmann & Stocker,
+    ICDE 2001): the orders no other order beats on BOTH axes — maximize
+    (o_totalprice, o_orderdate), i.e. "biggest and most recent". The
+    multi-objective top-k every curation UI runs when no single score
+    ranks candidates (price/recency here; quality/novelty on a corpus).
+
+    Distributed algorithm: a locally dominated point is globally
+    dominated (dominance is transitive and any dominator in the block
+    still dominates globally), so each block keeps only its LOCAL
+    skyline — the exchange is O(skyline x #blocks) rows of 24 B, never
+    corpus-sized — and the driver runs the identical sweep once over
+    the merged candidates. Exact integers end-to-end (cents via
+    to_cents ≙ DuckDB ROUND, epoch-us dates); no float enters."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        from .common import to_cents
+
+        p = to_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        d = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy()
+        keep = _sky_mask(p, d)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "price_cents": pa.array(p[keep], pa.int64()),
+                "date_us": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    cand_ds = orders.map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+    n_cand = cand_ds.count()
+    if n_cand > SKYLINE_MERGE_CAP:
+        raise RuntimeError(
+            f"skyline_orders: {n_cand} local-skyline candidates exceed the "
+            f"{SKYLINE_MERGE_CAP}-row driver merge cap (anti-correlated axes). "
+            "Scale path: range-partition by price_cents (sort) and run the "
+            "sweep per partition carrying the running max date between "
+            "adjacent partitions."
+        )
+    cand = cand_ds.to_pandas()
+    keep = _sky_mask(cand["price_cents"].to_numpy(), cand["date_us"].to_numpy())
+    out = cand[keep].sort_values("o_orderkey").reset_index(drop=True)
+    return out.astype({"o_orderkey": "int64", "price_cents": "int64", "date_us": "int64"})
+
+
+SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+         epoch_us(o_orderdate) AS date_us
+  FROM orders
+),
+g AS (SELECT price_cents, MAX(date_us) AS gmax FROM o GROUP BY price_cents),
+p AS (
+  SELECT price_cents, gmax,
+         COALESCE(MAX(gmax) OVER (ORDER BY price_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -9223372036854775807 - 1) AS pms
+  FROM g
+)
+SELECT o.o_orderkey, o.price_cents, o.date_us
+FROM o JOIN p ON o.price_cents = p.price_cents
+WHERE o.date_us = p.gmax AND o.date_us > p.pms
+ORDER BY o.o_orderkey
+"""

@@ -303,3 +303,52 @@ def test_orders_cube_marginals_consistent(ray_session):
     for r in by_priority.itertuples():
         cells = detail[detail.o_orderpriority == r.o_orderpriority]
         assert round(cells.total.sum(), 4) == r.total
+
+
+# --------------------------------------------------------------------------
+# skyline_orders: the window-sup oracle restates dominance; this test
+# brute-forces the NOT-EXISTS DEFINITION itself so the restatement is
+# independently verified.
+# --------------------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce_definition():
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from paddle_ray.pipelines.common import to_cents
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    p = to_cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+    d = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+    k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+    # dominance definition, O(n^2) via broadcasting
+    dom = (p[None, :] >= p[:, None]) & (d[None, :] >= d[:, None]) & (
+        (p[None, :] > p[:, None]) | (d[None, :] > d[:, None])
+    )
+    dominated = dom.any(axis=1)
+    expect = sorted(int(x) for x in k[~dominated])
+
+    out = relational_more.skyline_orders(SF)
+    assert out["o_orderkey"].tolist() == expect
+    assert len(expect) >= 2  # non-degenerate frontier
+
+    # every non-skyline point is dominated by some SKYLINE point
+    sp = out["price_cents"].to_numpy()
+    sd = out["date_us"].to_numpy()
+    for i in np.nonzero(dominated)[0][:200]:
+        assert (((sp >= p[i]) & (sd >= d[i]) & ((sp > p[i]) | (sd > d[i])))).any()
+
+
+def test_skyline_duplicate_points_all_survive(tmp_path):
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_totalprice": [5.0, 5.0, 1.0],
+            "o_orderdate": pd.Timestamp("1996-01-01"),
+        }
+    )
+    _write(tmp_path, "orders", df)
+    out = relational_more.skyline_orders(str(tmp_path))
+    # identical maximal points (1,2) both survive; (3) is dominated
+    assert out["o_orderkey"].tolist() == [1, 2]
