@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arms onto a snapshot; per-block keep-last pre-reduce keeps the
         # shuffle snapshot-sized, delete-beats-update locked by seq
         "cdc_merge_snapshot": joins.cdc_merge_snapshot,
+        # (ivm_delta_agg lives below the fold — same lakehouse-maintenance
+        #  family; cdc_merge_snapshot holds the window slot and its signed
+        #  partial-aggregate machinery is pytest-locked)
         # --- similarity search -------------------------------------------
         # (knn_bruteforce demoted below the fold — r03-gate-green; its
         #  partial-top-k machinery runs in-window inside hybrid_rrf and
@@ -548,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same machinery inside the window)
         "curate_corpus": curate.curate_corpus,
         "curate_corpus_v2": curate.curate_corpus_v2,
+        # r4: incremental view maintenance — signed-multiplicity delta agg
+        "ivm_delta_agg": joins.ivm_delta_agg,
         "extract_image_stats": _extract_image_stats,
         "extract_block_stats": _extract_block_stats,
         # r03-driver-green synth-grammar digest (bytes locked in-window
@@ -983,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dedup.CONTAINMENT_SQL,
         "phash_image_dedup": multimodal.PHASH_DEDUP_SQL,
         "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
+        "ivm_delta_agg": joins.IVM_DELTA_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),
         "semdedup": similarity.SEMDEDUP_SQL_T.format(

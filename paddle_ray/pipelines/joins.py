@@ -1108,3 +1108,91 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance: self-maintainable grouped aggregate
+# --------------------------------------------------------------------------
+
+
+def ivm_delta_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance of a grouped COUNT/SUM view from a
+    SIGNED delta log — the standard IVM result (Gupta & Mumick, "Materialized
+    Views"): count and sum are self-maintainable, so the view over
+    (base + delta) is view(base) + delta-aggregate with multiplicity
+    +1 per insert / -1 per delete, NO base rescan. This is how a 100 TB
+    corpus keeps its per-(status, year) rollup current per ingest cycle:
+    maintenance cost is O(|delta| + |groups|), never O(|base|).
+
+    Derived scenario (cdc_merge_snapshot's derivation-oracle pattern):
+    base = orders with o_orderkey % 4 != 0; the cycle's delta INSERTs
+    every o_orderkey % 4 == 0 row and DELETEs (retracts) base rows with
+    o_orderkey % 9 == 0. The engine computes view(base) and agg(delta)
+    as two independent distributed partial-aggregate passes (each
+    shuffle is #groups x #blocks bounded), merges the two GROUP-sized
+    tables driver-side with signed arithmetic, and drops groups whose
+    maintained count reaches 0. The oracle aggregates the final state
+    directly — any sign error, lost retraction, or ghost group breaks
+    the value hash. Exact int cents end-to-end."""
+    from ray.data.aggregate import Sum
+
+    from .common import to_cents
+
+    def partials(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy().astype(np.int64)
+            cents = to_cents(batch["o_totalprice"].to_numpy())
+            status = np.asarray(batch["o_orderstatus"].to_pylist(), dtype=object)
+            year = pc.year(batch["o_orderdate"]).to_numpy().astype(np.int64)
+            base_m = k % 4 != 0
+            if which == "base":
+                mult = np.where(base_m, 1, 0).astype(np.int64)
+            else:  # delta: +1 inserts (k%4==0), -1 retractions (base & k%9==0)
+                mult = np.where(k % 4 == 0, 1, 0) - np.where(base_m & (k % 9 == 0), 1, 0)
+                mult = mult.astype(np.int64)
+            live = mult != 0
+            df = pd.DataFrame(
+                {
+                    "o_orderstatus": status[live],
+                    "year": year[live],
+                    "n": mult[live],
+                    "revenue_cents": mult[live] * cents[live],
+                }
+            )
+            g = df.groupby(["o_orderstatus", "year"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return fn
+
+    def agg(which: str) -> pd.DataFrame:
+        return (
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+            .map_batches(partials(which), batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderstatus", "year"])
+            .aggregate(Sum("n", alias_name="n"), Sum("revenue_cents", alias_name="revenue_cents"))
+            .to_pandas()
+        )
+
+    view = agg("base")
+    delta = agg("delta")
+    merged = (
+        pd.concat([view, delta], ignore_index=True)
+        .groupby(["o_orderstatus", "year"], as_index=False)
+        .sum()
+    )
+    out = merged[merged["n"] > 0].sort_values(["o_orderstatus", "year"]).reset_index(drop=True)
+    return out.rename(columns={"n": "n_orders"}).astype(
+        {"year": "int64", "n_orders": "int64", "revenue_cents": "int64"}
+    )[["o_orderstatus", "year", "n_orders", "revenue_cents"]]
+
+
+IVM_DELTA_SQL = """
+SELECT o_orderstatus,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE (o_orderkey % 4 = 0) OR (o_orderkey % 4 != 0 AND o_orderkey % 9 != 0)
+GROUP BY o_orderstatus, year
+ORDER BY o_orderstatus, year
+"""

@@ -123,3 +123,55 @@ def test_adaptive_join_both_plans_bit_equal(ray_session):
     default = adaptive_join_rollup(SF)
     pd.testing.assert_frame_equal(default, bcast)
     assert len(default) >= 2 and (default.n_orders > 0).all()
+
+
+def test_ivm_delta_agg_matches_recompute_and_retracts(ray_session, tmp_path):
+    """Engine (base-view + signed delta merge) == single-process recompute
+    over the final state; a group whose every member is retracted must
+    vanish from the maintained view."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.joins import ivm_delta_agg
+
+    # planted: status 'Z' year 1990 exists ONLY as base rows with key%9==0
+    # (keys 9 and 18: %4!=0, %9==0) -> fully retracted -> group must vanish
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [9, 18, 1, 2, 4, 8, 36],
+            "o_orderstatus": ["Z", "Z", "O", "O", "F", "F", "F"],
+            "o_totalprice": [10.0, 20.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+            "o_orderdate": pd.to_datetime(
+                ["1990-01-01", "1990-06-01", "1995-01-01", "1995-02-01",
+                 "1996-01-01", "1996-02-01", "1996-03-01"]
+            ),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "orders.parquet")
+    out = ivm_delta_agg(str(tmp_path))
+    assert "Z" not in set(out["o_orderstatus"])
+
+    # recompute reference on the real sf0.001 corpus
+    t = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    k = t["o_orderkey"].to_numpy()
+    final = t[(k % 4 == 0) | ((k % 4 != 0) & (k % 9 != 0))].copy()
+    final["year"] = final["o_orderdate"].dt.year.astype("int64")
+    final["revenue_cents"] = (
+        np.sign(final["o_totalprice"]) * np.floor(np.abs(final["o_totalprice"]) * 100.0 + 0.5)
+    ).astype("int64")
+    ref = (
+        final.groupby(["o_orderstatus", "year"], as_index=False)
+        .agg(n_orders=("o_orderkey", "size"), revenue_cents=("revenue_cents", "sum"))
+        .sort_values(["o_orderstatus", "year"])
+        .reset_index(drop=True)
+    )
+    eng = ivm_delta_agg(SF)
+    pd.testing.assert_frame_equal(
+        eng, ref[["o_orderstatus", "year", "n_orders", "revenue_cents"]].astype(
+            {"n_orders": "int64"}
+        ),
+    )
+    # the delta genuinely both inserts and retracts on this corpus
+    assert (k % 4 == 0).any() and ((k % 4 != 0) & (k % 9 == 0)).any()
