@@ -1767,3 +1767,96 @@ SELECT tot.na AS n_a, tot.nb AS n_b,
        CAST(best.n_tok AS BIGINT) AS at_value
 FROM best CROSS JOIN tot
 """
+
+
+def welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t-test on mean doc length
+    (n_chars) between the even-/odd-numbered source cohorts — the
+    PARAMETRIC drift companion of ks_two_sample (KS asks "same
+    distribution?", Welch asks "same mean?" with a size-aware standard
+    error; an A/B corpus comparison wants both). Sides share
+    ks_two_sample's cohort derivation.
+
+    Distributed as exact integer sufficient statistics (the
+    regression_by_lang pattern): each block ships ONE (side, n, Σx,
+    Σxx) int64 moment row, the 2-row fold closes the test driver-side.
+    Float contract: every divide/sqrt is spelled as the IDENTICAL IEEE
+    expression over exact-int casts on both sides (engine float64 ≙
+    oracle CAST(... AS DOUBLE), same parenthesization, one libm sqrt),
+    then round-6 — the regression_by_lang / dp_group_counts margin."""
+    from ray.data.aggregate import Sum
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side = np.fromiter(
+            (int(s[3:]) % 2 for s in batch["source"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        x = batch["n_chars"].to_numpy()
+        df = pd.DataFrame({"side": side, "n": 1, "sx": x, "sxx": x * x})
+        g = df.groupby("side", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("side")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+        .set_index("side")
+    )
+    na, sxa, sxxa = (int(m.loc[0, c]) for c in ("n", "sx", "sxx"))
+    nb, sxb, sxxb = (int(m.loc[1, c]) for c in ("n", "sx", "sxx"))
+    # IEEE mirror of the oracle: exact-int casts, identical op order
+    ma = float(sxa) / float(na)
+    mb = float(sxb) / float(nb)
+    va = float(na * sxxa - sxa * sxa) / float(na * na * (na - 1))
+    vb = float(nb * sxxb - sxb * sxb) / float(nb * nb * (nb - 1))
+    import math
+
+    t = (ma - mb) / math.sqrt(va + vb)
+    df_w = ((va + vb) * (va + vb)) / (va * va / float(na - 1) + vb * vb / float(nb - 1))
+    return pd.DataFrame(
+        {
+            "n_a": [na],
+            "n_b": [nb],
+            "mean_a": [round(ma, 6)],
+            "mean_b": [round(mb, 6)],
+            "t_stat": [round(t, 6)],
+            "df": [round(df_w, 6)],
+        }
+    ).astype({"n_a": "int64", "n_b": "int64"})
+
+
+WELCH_TTEST_SQL = """
+WITH d AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS side,
+         CAST(n_chars AS HUGEINT) AS x
+  FROM documents
+),
+m AS (
+  SELECT side, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM d GROUP BY side
+),
+w AS (
+  SELECT
+    (SELECT CAST(n AS BIGINT) FROM m WHERE side = 0) AS na,
+    (SELECT CAST(n AS BIGINT) FROM m WHERE side = 1) AS nb,
+    (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) FROM m WHERE side = 0) AS ma,
+    (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) FROM m WHERE side = 1) AS mb,
+    (SELECT CAST(n * sxx - sx * sx AS DOUBLE)
+            / CAST(n * n * (n - 1) AS DOUBLE) FROM m WHERE side = 0) AS va,
+    (SELECT CAST(n * sxx - sx * sx AS DOUBLE)
+            / CAST(n * n * (n - 1) AS DOUBLE) FROM m WHERE side = 1) AS vb
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+       ROUND(((va + vb) * (va + vb))
+             / (va * va / CAST(na - 1 AS DOUBLE) + vb * vb / CAST(nb - 1 AS DOUBLE)),
+             6) AS df
+FROM w
+"""

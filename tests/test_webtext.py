@@ -589,3 +589,31 @@ def test_ks_two_sample_matches_scipy_style_reference(ray_session):
     assert int(out.ks_e6.iloc[0]) == int(best * 1_000_000)  # exact floor
     assert int(out.at_value.iloc[0]) == best_v
     assert 0 < int(out.ks_e6.iloc[0]) < 1_000_000
+
+
+def test_welch_ttest_matches_fraction_exact_reference(ray_session):
+    """Engine == a Fraction-exact single-process Welch reference (t and df
+    recomputed from exact rational moments, floated once at the end) to
+    ~1e-12, far inside the round-6 contract; df obeys the Welch bounds
+    min(na,nb)-1 <= df <= na+nb-2."""
+    from fractions import Fraction
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "n_chars"]).to_pandas()
+    side = t["source"].str[3:].astype(int) % 2
+    a = t.loc[side == 0, "n_chars"].to_numpy()
+    b = t.loc[side == 1, "n_chars"].to_numpy()
+    na, nb = len(a), len(b)
+    sxa, sxxa = int(a.sum()), int((a.astype(object) ** 2).sum())
+    sxb, sxxb = int(b.sum()), int((b.astype(object) ** 2).sum())
+    ma, mb = Fraction(sxa, na), Fraction(sxb, nb)
+    va = Fraction(na * sxxa - sxa * sxa, na * na * (na - 1))
+    vb = Fraction(nb * sxxb - sxb * sxb, nb * nb * (nb - 1))
+    t_ref = float(ma - mb) / float(va + vb) ** 0.5
+    df_ref = float((va + vb) ** 2 / (va * va / (na - 1) + vb * vb / (nb - 1)))
+
+    out = webtext.welch_ttest(SF)
+    assert out.loc[0, "n_a"] == na and out.loc[0, "n_b"] == nb
+    assert abs(out.loc[0, "t_stat"] - round(t_ref, 6)) <= 2e-6
+    assert abs(out.loc[0, "df"] - round(df_ref, 6)) <= 2e-5 * max(1.0, df_ref)
+    assert min(na, nb) - 1 <= out.loc[0, "df"] <= na + nb - 2
+    assert abs(out.loc[0, "mean_a"] - float(ma)) < 1e-5
