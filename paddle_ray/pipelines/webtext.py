@@ -1860,3 +1860,107 @@ SELECT na AS n_a, nb AS n_b,
              6) AS df
 FROM w
 """
+
+
+def chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square test of INDEPENDENCE between doc language and
+    the even/odd source cohort — the contingency-table complement of
+    benford_audit's goodness-of-fit (Benford tests observed counts
+    against a FIXED law; this tests two data-derived marginals against
+    each other: is the language mix the same in both cohorts?). The
+    audit a corpus A/B split runs to prove the split didn't skew
+    composition.
+
+    One streaming pass folds to (lang, side, cnt) integer partials
+    bounded by #langs x 2 x #blocks; the pivot, expected counts
+    e = row_total * col_total / n and the (o - e)^2 / e terms run on
+    the #langs-sized table driver-side. Per-lang contribution rows plus
+    an 'ALL' total row with dof = (#langs - 1) x 1. Float contract:
+    exact-int casts + identical IEEE expressions both sides, round-6
+    (cross-lang sum-order drift is ~1e-13 relative, 7 orders under the
+    gate margin)."""
+    from ray.data.aggregate import Sum
+
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side = np.fromiter(
+            (int(s[3:]) % 2 for s in batch["source"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(), "side": side})
+        g = df.groupby(["lang", "side"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "side"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    piv = (
+        cells.pivot_table(index="lang", columns="side", values="cnt", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    n = int(piv.to_numpy().sum())
+    col = [int(piv[0].sum()), int(piv[1].sum())]
+    rows = []
+    total = 0.0
+    for lang, r in piv.iterrows():
+        rt = int(r[0]) + int(r[1])
+        contrib = 0.0
+        for j in (0, 1):
+            e = float(rt) * float(col[j]) / float(n)
+            o = float(int(r[j]))
+            contrib = contrib + (o - e) * (o - e) / e
+        total += contrib
+        rows.append({"lang": lang, "n_even": int(r[0]), "n_odd": int(r[1]),
+                     "chi2_contrib": round(contrib, 6), "dof": 0})
+    rows.append({"lang": "ALL", "n_even": col[0], "n_odd": col[1],
+                 "chi2_contrib": round(total, 6), "dof": len(piv) - 1})
+    return pd.DataFrame(rows).astype(
+        {"lang": "str", "n_even": "int64", "n_odd": "int64", "dof": "int64"}
+    )[["lang", "n_even", "n_odd", "chi2_contrib", "dof"]]
+
+
+CHI2_INDEPENDENCE_SQL = """
+WITH d AS (
+  SELECT lang, CAST(substr(source, 4) AS BIGINT) % 2 AS side FROM documents
+),
+cell AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM d GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_even) AS BIGINT) AS c0, CAST(SUM(n_odd) AS BIGINT) AS c1,
+         CAST(SUM(n_even + n_odd) AS BIGINT) AS n, COUNT(*) AS n_langs
+  FROM cell
+),
+contrib AS (
+  SELECT cell.lang, cell.n_even, cell.n_odd,
+         (CAST(cell.n_even AS DOUBLE)
+            - CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c0 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         * (CAST(cell.n_even AS DOUBLE)
+            - CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c0 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         / (CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c0 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         +
+         (CAST(cell.n_odd AS DOUBLE)
+            - CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         * (CAST(cell.n_odd AS DOUBLE)
+            - CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         / (CAST(cell.n_even + cell.n_odd AS DOUBLE) * CAST(tot.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           AS chi2
+  FROM cell CROSS JOIN tot
+)
+SELECT lang, n_even, n_odd, ROUND(chi2, 6) AS chi2_contrib, CAST(0 AS BIGINT) AS dof
+FROM contrib
+UNION ALL
+SELECT 'ALL', tot.c0, tot.c1,
+       ROUND((SELECT SUM(chi2) FROM contrib), 6),
+       CAST(tot.n_langs - 1 AS BIGINT)
+FROM tot
+"""

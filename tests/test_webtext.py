@@ -617,3 +617,27 @@ def test_welch_ttest_matches_fraction_exact_reference(ray_session):
     assert abs(out.loc[0, "df"] - round(df_ref, 6)) <= 2e-5 * max(1.0, df_ref)
     assert min(na, nb) - 1 <= out.loc[0, "df"] <= na + nb - 2
     assert abs(out.loc[0, "mean_a"] - float(ma)) < 1e-5
+
+
+def test_chi2_independence_matches_reference(ray_session):
+    """Engine == single-process contingency reference; marginals
+    reconcile; contributions sum to the ALL row."""
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "lang"]).to_pandas()
+    t["side"] = t["source"].str[3:].astype(int) % 2
+    piv = t.pivot_table(index="lang", columns="side", values="source",
+                        aggfunc="size", fill_value=0).reindex(columns=[0, 1], fill_value=0)
+    n = piv.to_numpy().sum()
+    exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+    chi2 = float((((piv.to_numpy() - exp) ** 2) / exp).sum())
+
+    out = webtext.chi2_independence(SF)
+    all_row = out[out["lang"] == "ALL"].iloc[0]
+    assert abs(all_row["chi2_contrib"] - chi2) < 1e-4
+    assert all_row["dof"] == len(piv) - 1
+    assert all_row["n_even"] + all_row["n_odd"] == n
+    per = out[out["lang"] != "ALL"]
+    assert abs(per["chi2_contrib"].sum() - all_row["chi2_contrib"]) < 1e-4
+    assert set(per["lang"]) == set(piv.index)
+    # marginal reconciliation per lang
+    for _, r in per.iterrows():
+        assert r["n_even"] == piv.loc[r["lang"], 0] and r["n_odd"] == piv.loc[r["lang"], 1]
