@@ -842,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # varchar/timestamp cross a custom per-block sink + per-file
         # source over pyarrow.orc — Ray 2.49 has no ORC connector)
         "orc_roundtrip": io_roundtrip.orc_roundtrip,
+        "arrow_ipc_roundtrip": io_roundtrip.arrow_ipc_roundtrip,
         # mixed-schema parquet read (column-add evolution; null-fill
         # contract made explicit and value-oracled)
         "schema_evolution_read": io_roundtrip.schema_evolution_read,
@@ -1062,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip": io_roundtrip.PARTITIONED_ROUNDTRIP_SQL,
         "csv_roundtrip": io_roundtrip.CSV_ROUNDTRIP_SQL,
         "orc_roundtrip": io_roundtrip.ORC_ROUNDTRIP_SQL,
+        "arrow_ipc_roundtrip": io_roundtrip.ARROW_IPC_ROUNDTRIP_SQL,
         "schema_evolution_read": io_roundtrip.SCHEMA_EVOLUTION_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),

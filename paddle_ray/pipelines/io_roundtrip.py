@@ -275,3 +275,48 @@ SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(none)' END AS lang,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def arrow_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """lineitem -> write_arrow_ipc -> read_arrow_ipc -> identity
+    (oracled): Arrow IPC / Feather v2 is the FOURTH interchange format
+    next to CSV/JSONL/ORC and the zero-copy one — the on-disk bytes are
+    the in-memory Arrow layout, so readers memory-map instead of
+    decoding (what a pipeline spills between stages when parquet's
+    encode tax outweighs compression). The same typed column set as
+    orc_roundtrip crosses the format (int64 / double / varchar /
+    timestamp), so dtype drift fails the value hash."""
+    from ..sources.export import read_arrow_ipc, write_arrow_ipc
+
+    out = tempfile.mkdtemp(prefix="pr_ipc_")
+    try:
+        ds = sized_read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
+        )
+        write_arrow_ipc(ds, out)
+        back = (
+            read_arrow_ipc(out)
+            .to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)[
+                ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
+            ]
+        )
+        return back.astype(
+            {
+                "l_orderkey": "int64",
+                "l_linenumber": "int64",
+                "l_quantity": "float64",
+                "l_returnflag": "str",
+                "l_shipdate": "datetime64[us]",
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ARROW_IPC_ROUNDTRIP_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""

@@ -122,3 +122,27 @@ def test_schema_evolution_read_null_fills_old_generation(ray_session):
     odd = src[src.doc_id % 2 == 1]
     got_langs = set(out.lang) - {"(none)"}
     assert got_langs == set(odd.lang)
+
+
+def test_arrow_ipc_roundtrip_types_and_total_order(ray_session):
+    """Dtypes (incl. timestamp) survive the IPC format; rows compared
+    under a TOTAL order (orderkey,linenumber is not unique — the
+    orc_roundtrip lesson); loud failure on an empty dir."""
+    import pytest
+
+    from paddle_ray.pipelines.io_roundtrip import arrow_ipc_roundtrip
+    from paddle_ray.sources.export import read_arrow_ipc
+
+    out = arrow_ipc_roundtrip("/root/testdata/sf0.001")
+    src = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"],
+    ).to_pandas()
+    cols = list(src.columns)
+    a = out.sort_values(cols).reset_index(drop=True)
+    b = src.sort_values(cols).reset_index(drop=True).astype(out.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert str(out["l_shipdate"].dtype).startswith("datetime64")
+
+    with pytest.raises(FileNotFoundError):
+        read_arrow_ipc("/tmp/definitely_missing_ipc_dir")
