@@ -20,6 +20,7 @@ import shutil
 import tempfile
 
 import pandas as pd
+import pyarrow as pa
 
 from ..sources.export import read_csv, read_jsonl, write_csv, write_jsonl
 from .common import sized_read_parquet
@@ -319,4 +320,114 @@ def arrow_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
 ARROW_IPC_ROUNDTRIP_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
 FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+COMPACT_TARGET_BYTES = 1 << 20  # compaction bin size (1 MiB at test scale)
+
+
+def compact_small_files(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction — the lakehouse OPTIMIZE every long-lived
+    corpus directory needs: streaming ingest leaves one file per block
+    (here: documents re-written with tiny blocks to simulate a
+    fragmented ingest), and the compactor bin-packs the #files-sized
+    footer listing into ~COMPACT_TARGET_BYTES groups (first-fit over
+    the name-sorted listing — deterministic), then rewrites each group
+    as ONE file in ONE task. At 100 TB the plan is computed from
+    footer metadata only (no data scan), each task's heap holds one
+    bin, and the job is embarrassingly parallel over bins.
+
+    Correctness surface: the post-compaction read must see exactly the
+    pre-compaction rows — the per-lang (n_docs, sum_chars, id_digest)
+    rollup is oracled against the source table directly, so a dropped,
+    duplicated or truncated file breaks the value hash. The pytest
+    additionally locks the file-count reduction and plan determinism."""
+    import glob
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    frag = tempfile.mkdtemp(prefix="pr_frag_")
+    comp = tempfile.mkdtemp(prefix="pr_comp_")
+    try:
+        # fragmented ingest: many small files (tiny blocks)
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+            override_num_blocks=64,
+        ).write_parquet(frag)
+
+        files = sorted(glob.glob(os.path.join(frag, "*.parquet")))
+        sizes = {f: os.path.getsize(f) for f in files}
+        bins: list[list[str]] = []
+        cur: list[str] = []
+        cur_b = 0
+        for f in files:  # first-fit over the sorted listing
+            if cur and cur_b + sizes[f] > COMPACT_TARGET_BYTES:
+                bins.append(cur)
+                cur, cur_b = [], 0
+            cur.append(f)
+            cur_b += sizes[f]
+        if cur:
+            bins.append(cur)
+
+        def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
+
+            out_rows = []
+            for i in batch["bin_id"]:
+                group = bins[int(i)]
+                t = pa.concat_tables([_pq.read_table(p) for p in group])
+                _pq.write_table(t, os.path.join(comp, f"part-{int(i):05d}.parquet"))
+                out_rows.append({"bin_id": int(i), "rows": t.num_rows})
+            return pd.DataFrame(out_rows)
+
+        (
+            rd.from_items([{"bin_id": i} for i in range(len(bins))])
+            .map_batches(rewrite, batch_format="pandas", batch_size=1)
+            .materialize()
+        )
+
+        def rollup(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            df = pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist(),
+                    "n_docs": 1,
+                    "sum_chars": batch["n_chars"].to_numpy(),
+                    # order-independent id digest: sum of (id*2654435761 mod 2^31)
+                    "id_digest": (ids * 2654435761) % (1 << 31),
+                }
+            )
+            return pa.Table.from_pandas(
+                df.groupby("lang", as_index=False).sum(), preserve_index=False
+            )
+
+        out = (
+            rd.read_parquet(comp)
+            .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+            .groupby("lang")
+            .aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_chars", alias_name="sum_chars"),
+                Sum("id_digest", alias_name="id_digest"),
+            )
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        return out.astype(
+            {"lang": "str", "n_docs": "int64", "sum_chars": "int64", "id_digest": "int64"}
+        )
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(comp, ignore_errors=True)
+
+
+COMPACT_SMALL_FILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM((doc_id * 2654435761) % 2147483648) AS BIGINT) AS id_digest
+FROM documents GROUP BY lang ORDER BY lang
 """

@@ -146,3 +146,50 @@ def test_arrow_ipc_roundtrip_types_and_total_order(ray_session):
 
     with pytest.raises(FileNotFoundError):
         read_arrow_ipc("/tmp/definitely_missing_ipc_dir")
+
+
+def test_compact_small_files_reduces_count_preserves_rows(ray_session, monkeypatch, tmp_path):
+    """The compactor must genuinely reduce file count (bin-packing is
+    live) while the rollup equals a direct source rollup."""
+    import glob
+    import os
+    import shutil as _sh
+
+    from paddle_ray.pipelines import io_roundtrip as io_rt
+
+    seen = {}
+    orig_mkdtemp = io_rt.tempfile.mkdtemp
+
+    def spy_mkdtemp(prefix=""):
+        d = orig_mkdtemp(prefix=prefix)
+        seen[prefix] = seen.get(prefix, [])
+        seen[prefix].append(d)
+        return d
+
+    counts = {}
+    orig_rmtree = io_rt.shutil.rmtree
+
+    def spy_rmtree(path, ignore_errors=False):
+        counts[path] = len(glob.glob(os.path.join(path, "*.parquet")))
+        return orig_rmtree(path, ignore_errors=ignore_errors)
+
+    monkeypatch.setattr(io_rt.tempfile, "mkdtemp", spy_mkdtemp)
+    monkeypatch.setattr(io_rt.shutil, "rmtree", spy_rmtree)
+    out = io_rt.compact_small_files("/root/testdata/sf0.001")
+
+    frag_dir = seen["pr_frag_"][0]
+    comp_dir = seen["pr_comp_"][0]
+    assert counts[comp_dir] >= 1
+    assert counts[comp_dir] < counts[frag_dir], (counts[comp_dir], counts[frag_dir])
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    ref = (
+        src.assign(id_digest=(src.doc_id * 2654435761) % (1 << 31))
+        .groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"), id_digest=("id_digest", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
