@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": io_roundtrip.orc_roundtrip,
         "arrow_ipc_roundtrip": io_roundtrip.arrow_ipc_roundtrip,
         "compact_small_files": io_roundtrip.compact_small_files,
+        "zonemap_prune": io_roundtrip.zonemap_prune,
         # mixed-schema parquet read (column-add evolution; null-fill
         # contract made explicit and value-oracled)
         "schema_evolution_read": io_roundtrip.schema_evolution_read,
@@ -1066,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": io_roundtrip.ORC_ROUNDTRIP_SQL,
         "arrow_ipc_roundtrip": io_roundtrip.ARROW_IPC_ROUNDTRIP_SQL,
         "compact_small_files": io_roundtrip.COMPACT_SMALL_FILES_SQL,
+        "zonemap_prune": io_roundtrip.ZONEMAP_PRUNE_SQL,
         "schema_evolution_read": io_roundtrip.SCHEMA_EVOLUTION_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),

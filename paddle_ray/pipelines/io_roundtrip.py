@@ -19,6 +19,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -430,4 +431,126 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM((doc_id * 2654435761) % 2147483648) AS BIGINT) AS id_digest
 FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+ZONEMAP_LO = "1995-01-01"
+ZONEMAP_HI = "1995-12-31"
+
+
+def _zonemap_plan(data_dir: str, lo_us: int, hi_us: int, column: str):
+    """Plan a pruned read from parquet FOOTER statistics only: returns
+    (files_kept, files_total). Driver work is #files-sized — each footer
+    read touches KBs, never data pages."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    keep = []
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        idx = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            if idx is None:
+                idx = next(
+                    i for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == column
+                )
+            st = g.column(idx).statistics
+            if st is None or not st.has_min_max:
+                fmin = None  # stats missing -> cannot prune this file
+                break
+            mn = st.min.value if hasattr(st.min, "value") else st.min
+            mx = st.max.value if hasattr(st.max, "value") else st.max
+            mn_us = int(pd.Timestamp(mn).value // 1000)
+            mx_us = int(pd.Timestamp(mx).value // 1000)
+            fmin = mn_us if fmin is None else min(fmin, mn_us)
+            fmax = mx_us if fmax is None else max(fmax, mx_us)
+        if fmin is None or (fmin <= hi_us and fmax >= lo_us):
+            keep.append(f)
+    return keep, files
+
+
+def zonemap_prune(sf_dir: str, *, prune: bool = True) -> pd.DataFrame:
+    """Zone-map (min/max footer statistics) pruned read — the mechanism
+    that makes a 100 TB range query touch GBs: orders are laid out
+    range-clustered by o_orderdate (one distributed sort at write time),
+    so each file's footer min/max covers a tight date slice, and a
+    year-range revenue query plans from the #files-sized footer listing,
+    reading ONLY overlapping files. Files without stats are kept
+    (pruning must never be allowed to change answers — the pytest forces
+    prune=True == prune=False to bit-equality and locks that files were
+    GENUINELY skipped).
+
+    The oracled surface is the query answer itself (per-status order
+    count + exact int cents revenue in the range), so an over-eager
+    prune that drops a boundary file breaks the value hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .common import to_cents
+
+    lo_us = int(pd.Timestamp(ZONEMAP_LO).value // 1000)
+    hi_us = int(pd.Timestamp(ZONEMAP_HI).value // 1000)
+    lay = tempfile.mkdtemp(prefix="pr_zone_")
+    try:
+        (
+            sized_read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+            )
+            .sort("o_orderdate")
+            .write_parquet(lay)
+        )
+        if prune:
+            keep, _ = _zonemap_plan(lay, lo_us, hi_us, "o_orderdate")
+        else:
+            import glob
+            import os
+
+            keep = sorted(glob.glob(os.path.join(lay, "*.parquet")))
+
+        def agg(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy()
+            m = (d >= lo_us) & (d <= hi_us)
+            df = pd.DataFrame(
+                {
+                    "o_orderstatus": np.asarray(batch["o_orderstatus"].to_pylist(), dtype=object)[m],
+                    "n_orders": 1,
+                    "revenue_cents": to_cents(batch["o_totalprice"].to_numpy())[m],
+                }
+            )
+            return pa.Table.from_pandas(
+                df.groupby("o_orderstatus", as_index=False).sum(), preserve_index=False
+            )
+
+        out = (
+            rd.read_parquet(keep)
+            .map_batches(agg, batch_format="pyarrow", batch_size=None)
+            .groupby("o_orderstatus")
+            .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue_cents", alias_name="revenue_cents"))
+            .to_pandas()
+            .sort_values("o_orderstatus")
+            .reset_index(drop=True)
+        )
+        return out.astype(
+            {"o_orderstatus": "str", "n_orders": "int64", "revenue_cents": "int64"}
+        )
+    finally:
+        shutil.rmtree(lay, ignore_errors=True)
+
+
+ZONEMAP_PRUNE_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{ZONEMAP_LO}'
+  AND o_orderdate <= TIMESTAMP '{ZONEMAP_HI}'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

@@ -193,3 +193,26 @@ def test_compact_small_files_reduces_count_preserves_rows(ray_session, monkeypat
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
+
+
+def test_zonemap_prune_skips_files_and_answers_identically(ray_session, monkeypatch):
+    """Pruning must be invisible in the answer (prune=True == prune=False
+    bit-equal) while genuinely skipping files on the range-clustered
+    layout."""
+    from paddle_ray.pipelines import io_roundtrip as io_rt
+
+    plans = []
+    orig = io_rt._zonemap_plan
+
+    def spy(data_dir, lo, hi, col):
+        keep, files = orig(data_dir, lo, hi, col)
+        plans.append((len(keep), len(files)))
+        return keep, files
+
+    monkeypatch.setattr(io_rt, "_zonemap_plan", spy)
+    pruned = io_rt.zonemap_prune("/root/testdata/sf0.001", prune=True)
+    full = io_rt.zonemap_prune("/root/testdata/sf0.001", prune=False)
+    pd.testing.assert_frame_equal(pruned, full)
+    n_keep, n_total = plans[0]
+    assert n_total > 1, "layout produced a single file — pruning untestable"
+    assert n_keep < n_total, f"zone maps pruned nothing ({n_keep}/{n_total})"
