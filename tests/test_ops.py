@@ -2590,3 +2590,30 @@ def test_cluster_labels_matches_reference(ray_session):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert list(g.n) == sorted(g.n, reverse=True)
     assert set(out.cid) == set(counters)  # every populated cluster labeled
+
+
+def test_reciprocal_links_matches_set_reference(ray_session):
+    """Engine == single-process set reference over the same edge
+    derivation; reciprocity is genuinely non-trivial on this graph."""
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.webgraph import reciprocal_links
+
+    ids = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    n = len(ids)
+    edges = set()
+    for i in ids:
+        for d in ((int(i) * int(i) + 3) % n, (int(i) // 7) % n):
+            if d != int(i):
+                edges.add((int(i), d))
+    pairs = {(min(u, v), max(u, v)) for (u, v) in edges if (v, u) in edges}
+    dig = sum((u * 1000003 + v) % (1 << 31) for u, v in pairs)
+
+    out = reciprocal_links("/root/testdata/sf0.001")
+    assert out.loc[0, "n_pairs"] == len(pairs)
+    assert out.loc[0, "pair_digest"] == dig
+    assert len(pairs) >= 1, "graph has no reciprocal pairs — statistic vacuous"
+    # reciprocity is a strict subset of all linked pairs
+    assert len(pairs) < len({(min(u, v), max(u, v)) for (u, v) in edges})
