@@ -734,3 +734,108 @@ SELECT source,
        CAST(SUM(doc_id * fetch_s) AS BIGINT) AS sched_digest
 FROM slots GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# encoding audit — invalid-UTF-8 / mojibake detection
+# --------------------------------------------------------------------------
+
+ENCODING_CORRUPT_MOD = 13
+# UTF-8-encoded UTF-16 surrogate (CESU-8 artifact) — the classic mojibake
+# a mixed-encoding crawl plants; strict UTF-8 decoders must reject it.
+_CORRUPT_SEQ = b"\xed\xa0\x80"
+
+
+def _plant_corruption(text: str) -> bytes:
+    b = text.encode("utf-8")
+    mid = len(b) // 2
+    # never split a multi-byte sequence: back up to a boundary byte
+    while mid > 0 and (b[mid] & 0xC0) == 0x80:
+        mid -= 1
+    return b[:mid] + _CORRUPT_SEQ + b[mid:]
+
+
+def _is_valid_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8", errors="strict")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def encoding_audit(sf_dir: str) -> pd.DataFrame:
+    """Invalid-UTF-8 / mojibake audit — the charset hygiene gate a crawl
+    runs before any text operator (a mis-decoded shard poisons
+    tokenization, dedup shingles and LM scores downstream; CCNet and
+    RefinedWeb both gate on encoding validity). Docs with
+    doc_id % 13 == 0 carry a PLANTED CESU-8 surrogate sequence injected
+    at a code-point boundary (the deterministic-derivation oracle
+    pattern — the corpus's own texts are valid UTF-8 by construction,
+    so ground truth is exactly the planted set), and the detector is a
+    REAL strict UTF-8 scan over the raw bytes, not a doc_id lookup —
+    the pytest proves that on hand-made byte sequences.
+
+    Per source: n_docs, n_invalid, and an exact invalid-id digest
+    (sum doc_id * 31 mod 2^31) so the detector's hit SET is
+    value-locked, not just its count. Scale: one stateless streaming
+    pass folding to #sources-sized integer partials; bytes never cross
+    a shuffle."""
+    from ray.data.aggregate import Sum
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        invalid = pd.array(
+            [
+                not _is_valid_utf8(
+                    _plant_corruption(t) if i % ENCODING_CORRUPT_MOD == 0 else t.encode("utf-8")
+                )
+                for i, t in zip(ids, texts)
+            ],
+            dtype="int64",
+        )
+        import numpy as np
+
+        inv = invalid.to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "n_docs": 1,
+                "n_invalid": inv,
+                "invalid_digest": inv * ((ids * 31) % (1 << 31)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_invalid", alias_name="n_invalid"),
+            Sum("invalid_digest", alias_name="invalid_digest"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"source": "str", "n_docs": "int64", "n_invalid": "int64", "invalid_digest": "int64"}
+    )
+
+
+ENCODING_AUDIT_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % {ENCODING_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_invalid,
+       CAST(SUM(CASE WHEN doc_id % {ENCODING_CORRUPT_MOD} = 0
+                     THEN (doc_id * 31) % 2147483648 ELSE 0 END) AS BIGINT)
+         AS invalid_digest
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -287,3 +287,43 @@ def test_crawl_schedule_politeness_invariants(ray_session):
     for r in out.itertuples():
         assert (r.n_urls, r.makespan_s, r.sched_digest) == ref[r.source]
         assert r.makespan_s == -(-r.n_urls // CRAWL_RATE)
+
+
+def test_encoding_audit_detector_is_a_real_scanner(ray_session):
+    """The detector must be a genuine strict-UTF-8 scan, not a doc_id
+    lookup: hand-made byte sequences classify correctly, the planted
+    CESU-8 sequence genuinely fails decode at any insertion point, and
+    the engine's per-source counts equal a single-process recount."""
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.scrub import (
+        ENCODING_CORRUPT_MOD,
+        _is_valid_utf8,
+        _plant_corruption,
+        encoding_audit,
+    )
+
+    assert _is_valid_utf8("héllo 世界".encode("utf-8"))
+    assert not _is_valid_utf8(b"\xed\xa0\x80")          # CESU-8 surrogate
+    assert not _is_valid_utf8(b"\xc0\xaf")              # overlong slash
+    assert not _is_valid_utf8(b"abc\x80def")            # lone continuation
+    assert not _is_valid_utf8("é".encode("utf-8")[:1])  # truncated seq
+    for t in ["", "plain", "é" * 7, "世界abc"]:
+        assert not _is_valid_utf8(_plant_corruption(t)), t
+
+    import pandas as pd
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    t["inv"] = (t.doc_id % ENCODING_CORRUPT_MOD == 0).astype(int)
+    ref = (
+        t.assign(dig=t.inv * ((t.doc_id * 31) % (1 << 31)))
+        .groupby("source", as_index=False)
+        .agg(n_docs=("doc_id", "size"), n_invalid=("inv", "sum"), invalid_digest=("dig", "sum"))
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out = encoding_audit("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
+    assert out["n_invalid"].sum() > 0 and (out["n_invalid"] < out["n_docs"]).all()
