@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange; exact-int schedule digest locks every slot)
         "crawl_schedule": scrub.crawl_schedule,
         "encoding_audit": scrub.encoding_audit,
+        "robots_filter": scrub.robots_filter,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -1050,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_group_counts": scrub.DP_GROUP_COUNTS_SQL,
         "crawl_schedule": scrub.CRAWL_SCHEDULE_SQL,
         "encoding_audit": scrub.ENCODING_AUDIT_SQL,
+        "robots_filter": scrub.ROBOTS_FILTER_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

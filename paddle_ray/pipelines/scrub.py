@@ -839,3 +839,88 @@ SELECT source, COUNT(*) AS n_docs,
          AS invalid_digest
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# robots.txt prefix-rule filtering over the URL frontier
+# --------------------------------------------------------------------------
+
+
+def robots_filter(sf_dir: str) -> pd.DataFrame:
+    """Robots-exclusion filtering over the derived URL frontier — the
+    crawl-politeness gate next to crawl_schedule (that bounds RATE,
+    this bounds SCOPE): each host publishes at most one Disallow
+    PATH-PREFIX rule (hosts h % 4 == 0 disallow '/p/1' — a genuine
+    prefix, matching /p/1, /p/10..19, /p/100..199; h % 4 == 1 disallow
+    '/p/' — everything; others allow all), and every frontier URL is
+    classified by a REAL prefix match against its host's rule. Reports
+    per host: n_urls, n_blocked and an exact blocked-id digest so the
+    blocked SET is value-locked.
+
+    Scale contract: the rule table is #hosts-bounded (a real robots
+    corpus is a small side table broadcast once via ray.put); matching
+    is vectorized PER RULE (pc.starts_with over the whole batch per
+    distinct rule — the standard trick: loop over rules, never rows);
+    the exchange is #hosts-sized integer partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy()
+        h = ids % 50
+        paths = pa.array([f"/p/{d % 1000}" for d in ids], pa.string())
+        blocked = np.zeros(len(ids), dtype=np.int64)
+        # rule 1: hosts h%4==0 disallow prefix '/p/1'
+        m0 = (h % 4 == 0) & pc.starts_with(paths, "/p/1").to_numpy(zero_copy_only=False)
+        # rule 2: hosts h%4==1 disallow prefix '/p/' (all paths here)
+        m1 = (h % 4 == 1) & pc.starts_with(paths, "/p/").to_numpy(zero_copy_only=False)
+        blocked[m0 | m1] = 1
+        df = pd.DataFrame(
+            {
+                "host": [f"site{int(x)}.example.com" for x in h],
+                "n_urls": 1,
+                "n_blocked": blocked,
+                "blocked_digest": blocked * ((ids * 17) % (1 << 31)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("host", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("n_blocked", alias_name="n_blocked"),
+            Sum("blocked_digest", alias_name="blocked_digest"),
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"host": "str", "n_urls": "int64", "n_blocked": "int64", "blocked_digest": "int64"}
+    )
+
+
+ROBOTS_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id, doc_id % 50 AS h, '/p/' || (doc_id % 1000) AS path FROM documents
+),
+b AS (
+  SELECT h, doc_id,
+         CASE WHEN h % 4 = 0 AND path LIKE '/p/1%' THEN 1
+              WHEN h % 4 = 1 AND path LIKE '/p/%' THEN 1
+              ELSE 0 END AS blocked
+  FROM u
+)
+SELECT 'site' || h || '.example.com' AS host,
+       COUNT(*) AS n_urls,
+       CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN blocked = 1 THEN (doc_id * 17) % 2147483648 ELSE 0 END) AS BIGINT)
+         AS blocked_digest
+FROM b GROUP BY h ORDER BY host
+"""

@@ -327,3 +327,39 @@ def test_encoding_audit_detector_is_a_real_scanner(ray_session):
     out = encoding_audit("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
     assert out["n_invalid"].sum() > 0 and (out["n_invalid"] < out["n_docs"]).all()
+
+
+def test_robots_filter_prefix_semantics(ray_session):
+    """The match is a genuine PREFIX match: /p/1, /p/10 and /p/199 are
+    blocked under Disallow '/p/1' but /p/2 and /p/21 are not; engine ==
+    single-process reference on the real corpus."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.scrub import robots_filter
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).to_pandas()
+    t["h"] = t.doc_id % 50
+    t["path"] = "/p/" + (t.doc_id % 1000).astype(str)
+    blocked = (
+        ((t.h % 4 == 0) & t.path.str.startswith("/p/1"))
+        | ((t.h % 4 == 1) & t.path.str.startswith("/p/"))
+    ).astype(int)
+    ref = (
+        t.assign(blocked=blocked, dig=blocked * ((t.doc_id * 17) % (1 << 31)))
+        .assign(host="site" + t.h.astype(str) + ".example.com")
+        .groupby("host", as_index=False)
+        .agg(n_urls=("doc_id", "size"), n_blocked=("blocked", "sum"), blocked_digest=("dig", "sum"))
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    out = robots_filter("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
+    # the rule is genuinely partial: some hosts block some-but-not-all
+    partial_hosts = out[(out.n_blocked > 0) & (out.n_blocked < out.n_urls)]
+    assert len(partial_hosts) > 0
+    # full-block hosts (h%4==1) block everything
+    full = out[out.host.str.extract(r"site(\d+)\.", expand=False).astype(int) % 4 == 1]
+    assert (full.n_blocked == full.n_urls).all()
