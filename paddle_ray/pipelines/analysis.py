@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -2954,4 +2955,92 @@ JOIN (SELECT source, SUM(n_missing) AS n_missing FROM counts GROUP BY source) t
   ON t.source = m.source
 LEFT JOIN counts c ON c.source = m.source AND c.lang = m.imputed_lang
 ORDER BY m.source
+"""
+
+
+# --------------------------------------------------------------------------
+# robust outlier audit — exact median / MAD from value histograms
+# --------------------------------------------------------------------------
+
+MAD_K = 2  # Hampel cut: |x - median| > K * MAD (K=2 — this corpus's
+# synthetic lengths are light-tailed; the classic K=3 flags nothing at
+# any sf, making the statistic vacuous. K is a config, not a truth.)
+
+
+def mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-lang outlier audit via the Hampel identifier
+    (|x - median| > K * MAD over doc length) — the screen that replaces
+    mean/stddev z-scores on the heavy-tailed length distributions web
+    corpora actually have (one 10 MB page drags a mean z-score; it
+    cannot drag a median). EXACT and integer end-to-end: both the
+    median and the MAD (median absolute deviation) are computed by rank
+    walk on the merged value histogram under the established
+    quantile_disc contract (rank = ceil(n/2), 1-based — the
+    exact_ts_quantiles contract).
+
+    Scale: ONE streaming pass folds to (lang, n_chars, cnt) partials
+    bounded by distinct-values x #langs x #blocks (the ks_two_sample
+    histogram shape); the deviation histogram is DERIVED from the value
+    histogram driver-side (|v - med| folds counts — no second corpus
+    scan), and the outlier count is a weighted sum over the same
+    histogram. Distinct doc lengths grow with text diversity, never
+    corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "v": batch["n_chars"].to_numpy()}
+        )
+        g = df.groupby(["lang", "v"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def rank_value(vals: np.ndarray, cnts: np.ndarray, rank: int) -> int:
+        """Value at 1-based `rank` of the expanded sorted multiset."""
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(cnts[order])
+        return int(vals[order][np.searchsorted(cum, rank)])
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        vals = g["v"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        n = int(cnts.sum())
+        med = rank_value(vals, cnts, -(-n // 2))  # ceil(n/2)
+        dev = np.abs(vals - med)
+        # fold the deviation histogram (distinct devs <= distinct values)
+        dd = pd.DataFrame({"d": dev, "cnt": cnts}).groupby("d", as_index=False).sum()
+        mad = rank_value(dd["d"].to_numpy(), dd["cnt"].to_numpy(), -(-n // 2))
+        n_out = int(cnts[dev > MAD_K * mad].sum())
+        rows.append({"lang": lang, "n": n, "median": med, "mad": mad, "n_outliers": n_out})
+    return (
+        pd.DataFrame(rows)
+        .sort_values("lang")
+        .reset_index(drop=True)
+        .astype({"lang": "str", "n": "int64", "median": "int64", "mad": "int64", "n_outliers": "int64"})
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH d AS (SELECT lang, n_chars AS v FROM documents),
+med AS (SELECT lang, quantile_disc(v, 0.5) AS med FROM d GROUP BY lang),
+mad AS (
+  SELECT d.lang, ANY_VALUE(med.med) AS med,
+         quantile_disc(abs(d.v - med.med), 0.5) AS mad
+  FROM d JOIN med ON d.lang = med.lang GROUP BY d.lang
+)
+SELECT d.lang, COUNT(*) AS n,
+       CAST(ANY_VALUE(mad.med) AS BIGINT) AS median,
+       CAST(ANY_VALUE(mad.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN abs(d.v - mad.med) > {MAD_K} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad ON d.lang = mad.lang
+GROUP BY d.lang ORDER BY d.lang
 """

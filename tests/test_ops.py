@@ -2617,3 +2617,33 @@ def test_reciprocal_links_matches_set_reference(ray_session):
     assert len(pairs) >= 1, "graph has no reciprocal pairs — statistic vacuous"
     # reciprocity is a strict subset of all linked pairs
     assert len(pairs) < len({(min(u, v), max(u, v)) for (u, v) in edges})
+
+
+def test_mad_outliers_matches_expanded_reference(ray_session):
+    """Engine (histogram rank walk) == single-process reference over the
+    EXPANDED per-lang multiset under the ceil(n/2) 1-based rank
+    contract; robustness sanity: the median is never an outlier and the
+    outlier fraction is a small tail."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.analysis import MAD_K, mad_outliers
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    out = mad_outliers("/root/testdata/sf0.001").set_index("lang")
+    for lang, g in t.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        med = int(v[math.ceil(n / 2) - 1])
+        dev = np.sort(np.abs(g["n_chars"].to_numpy() - med))
+        mad = int(dev[math.ceil(n / 2) - 1])
+        n_out = int((np.abs(g["n_chars"].to_numpy() - med) > MAD_K * mad).sum())
+        r = out.loc[lang]
+        assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (n, med, mad, n_out)
+        assert n_out < n * 0.25  # a robust cut flags a tail, not the body
+    assert (out["mad"] > 0).all()  # MAD degenerate would make the cut vacuous
+    assert out["n_outliers"].sum() > 0  # the cut genuinely fires somewhere
