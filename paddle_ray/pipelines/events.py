@@ -1806,3 +1806,92 @@ SELECT p.user_id, p.true_count,
 FROM probes p LEFT JOIN regs r ON r.j = p.j AND r.b = p.b
 GROUP BY 1, 2 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# per-user EWMA — exponentially-weighted activity value
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially-weighted moving average of event value in
+    (ts, event_id) order — the recency-weighted engagement score a
+    ranking/anomaly system keeps per entity (y_1 = x_1; y_i = a*x_i +
+    (1-a)*y_{i-1}, pandas ewm adjust=False convention). Computed via
+    the closed form y_n = (1-a)^(n-1) x_1 + sum_{i>=2} a (1-a)^(n-i) x_i
+    so the whole partition vectorizes (np.power over the rank column,
+    one weighted segment-sum per user — never a Python recurrence loop).
+
+    Scale contract: the sessionize coarse user-hash-partition shape —
+    one vectorized pass per partition, per-user state never crosses
+    partitions; output is #users-sized. Float contract: both sides
+    evaluate the same closed form (libm pow + a weighted sum; sum-order
+    drift ~1e-15 relative), reported round-6."""
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def ewma_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "ewma": pd.Series([], dtype="float64"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g.user_id.to_numpy()
+        val = g.value.to_numpy(dtype=np.float64)
+        # per-user 1-based rank and group size, vectorized
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(g)))
+        rn = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        n = np.repeat(sizes, sizes)
+        a = EWMA_ALPHA
+        w = np.where(rn == 1, np.power(1.0 - a, n - 1), a * np.power(1.0 - a, n - rn))
+        contrib = w * val
+        ewma = np.add.reduceat(contrib, starts)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts].astype("int64"),
+                "n_events": sizes.astype("int64"),
+                "ewma": np.round(ewma, 6),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(ewma_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"user_id": "int64", "n_events": "int64", "ewma": "float64"})
+
+
+EWMA_USER_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+       ROUND(SUM(CASE WHEN rn = 1 THEN pow(1.0 - {EWMA_ALPHA}, n - 1) * value
+                      ELSE {EWMA_ALPHA} * pow(1.0 - {EWMA_ALPHA}, n - rn) * value END),
+             6) AS ewma
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""

@@ -2647,3 +2647,39 @@ def test_mad_outliers_matches_expanded_reference(ray_session):
         assert n_out < n * 0.25  # a robust cut flags a tail, not the body
     assert (out["mad"] > 0).all()  # MAD degenerate would make the cut vacuous
     assert out["n_outliers"].sum() > 0  # the cut genuinely fires somewhere
+
+
+def test_ewma_matches_sequential_recurrence(ray_session):
+    """The closed form must equal the defining recurrence y_i = a*x_i +
+    (1-a)*y_{i-1} run sequentially per user (pandas ewm adjust=False),
+    and recency-weighting must be real: permuting a user's values
+    changes the score."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import EWMA_ALPHA, ewma_user_value
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).to_pandas()
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        t.groupby("user_id")["value"]
+        .apply(lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1])
+        .rename("ewma")
+        .reset_index()
+    )
+    out = ewma_user_value("/root/testdata/sf0.001")
+    m = out.merge(ref, on="user_id", suffixes=("", "_ref"))
+    assert len(m) == len(ref) == len(out)
+    assert (m["ewma"] - m["ewma_ref"]).abs().max() < 1e-5
+    sizes = t.groupby("user_id").size()
+    assert (out.set_index("user_id")["n_events"] == sizes).all()
+
+    # recency sensitivity: reversing a multi-event user's values moves y_n
+    uid = sizes[sizes >= 3].index[0]
+    s = t.loc[t.user_id == uid, "value"]
+    fwd = s.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+    rev = s[::-1].ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+    assert abs(fwd - rev) > 1e-9
