@@ -924,3 +924,108 @@ SELECT 'site' || h || '.example.com' AS host,
          AS blocked_digest
 FROM b GROUP BY h ORDER BY host
 """
+
+
+# --------------------------------------------------------------------------
+# unicode NFC normalization audit
+# --------------------------------------------------------------------------
+
+NFC_PLANT_MOD = 7
+# decomposed "café" — 'e' + U+0301 combining acute; NFC composes it
+_NFC_PLANT = " cafe\u0301"  # explicit escape: an NFC-normalizing editor must not compose it
+
+
+def unicode_nfc_audit(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC normalization audit — the canonical-form hygiene gate
+    next to encoding_audit (that catches invalid BYTES; this catches
+    valid-but-denormalized CODE POINTS: the same text in composed vs
+    decomposed form hashes differently, silently defeating exact dedup,
+    shingles and equality joins — why every curation pipeline NFC-folds
+    before hashing). Docs with doc_id % 7 == 0 carry a planted
+    decomposed sequence (e + combining acute); detection is a REAL
+    normalizer comparison (NFC(t) != t) on BOTH sides — Python
+    unicodedata here, DuckDB's normalizer in the oracle — so two
+    independent Unicode implementations must agree on every doc, which
+    is a stronger check than a derivation constant.
+
+    Per lang: n_docs, n_non_nfc, delta_chars (code points removed by
+    composing) and an exact non-NFC id digest. One stateless streaming
+    pass to #langs-sized integer partials; text never crosses a
+    shuffle."""
+    import unicodedata
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        non_nfc = np.zeros(len(ids), dtype=np.int64)
+        delta = np.zeros(len(ids), dtype=np.int64)
+        for j, (i, t) in enumerate(zip(ids, texts)):
+            if i % NFC_PLANT_MOD == 0:
+                t = t + _NFC_PLANT
+            nt = unicodedata.normalize("NFC", t)
+            if nt != t:
+                non_nfc[j] = 1
+                delta[j] = len(t) - len(nt)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_docs": 1,
+                "n_non_nfc": non_nfc,
+                "delta_chars": delta,
+                "nfc_digest": non_nfc * ((ids * 23) % (1 << 31)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_non_nfc", alias_name="n_non_nfc"),
+            Sum("delta_chars", alias_name="delta_chars"),
+            Sum("nfc_digest", alias_name="nfc_digest"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "lang": "str",
+            "n_docs": "int64",
+            "n_non_nfc": "int64",
+            "delta_chars": "int64",
+            "nfc_digest": "int64",
+        }
+    )
+
+
+UNICODE_NFC_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {NFC_PLANT_MOD} = 0
+              THEN text || ' cafe' || chr(769)
+              ELSE text END AS t
+  FROM documents
+),
+flag AS (
+  SELECT doc_id, lang,
+         CASE WHEN nfc_normalize(t) != t THEN 1 ELSE 0 END AS non_nfc,
+         CASE WHEN nfc_normalize(t) != t
+              THEN length(t) - length(nfc_normalize(t)) ELSE 0 END AS delta
+  FROM planted
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(non_nfc) AS BIGINT) AS n_non_nfc,
+       CAST(SUM(delta) AS BIGINT) AS delta_chars,
+       CAST(SUM(non_nfc * ((doc_id * 23) % 2147483648)) AS BIGINT) AS nfc_digest
+FROM flag GROUP BY lang ORDER BY lang
+"""

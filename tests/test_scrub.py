@@ -363,3 +363,45 @@ def test_robots_filter_prefix_semantics(ray_session):
     # full-block hosts (h%4==1) block everything
     full = out[out.host.str.extract(r"site(\d+)\.", expand=False).astype(int) % 4 == 1]
     assert (full.n_blocked == full.n_urls).all()
+
+
+def test_unicode_nfc_audit_detector_is_a_real_normalizer(ray_session):
+    """Detection must be a genuine NFC comparison: composed text passes,
+    decomposed fails with the right delta; engine == single-process
+    unicodedata recount including the non-planted docs."""
+    import unicodedata
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.scrub import (
+        NFC_PLANT_MOD,
+        _NFC_PLANT,
+        unicode_nfc_audit,
+    )
+
+    assert unicodedata.normalize("NFC", _NFC_PLANT) != _NFC_PLANT
+    assert len(unicodedata.normalize("NFC", _NFC_PLANT)) == len(_NFC_PLANT) - 1
+    assert unicodedata.normalize("NFC", "café") == "café"  # composed passes
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    rows = []
+    for r in t.itertuples():
+        s = r.text + _NFC_PLANT if r.doc_id % NFC_PLANT_MOD == 0 else r.text
+        ns = unicodedata.normalize("NFC", s)
+        bad = int(ns != s)
+        rows.append((r.lang, bad, (len(s) - len(ns)) if bad else 0,
+                     bad * ((r.doc_id * 23) % (1 << 31))))
+    ref = (
+        pd.DataFrame(rows, columns=["lang", "n_non_nfc", "delta_chars", "nfc_digest"])
+        .groupby("lang", as_index=False)
+        .agg(n_docs=("n_non_nfc", "size"), n_non_nfc=("n_non_nfc", "sum"),
+             delta_chars=("delta_chars", "sum"), nfc_digest=("nfc_digest", "sum"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out = unicode_nfc_audit("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
+    assert out["n_non_nfc"].sum() > 0 and (out["n_non_nfc"] < out["n_docs"]).all()
