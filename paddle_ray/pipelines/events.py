@@ -1895,3 +1895,117 @@ SELECT user_id, CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
              6) AS ewma
 FROM ordered GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution
+# --------------------------------------------------------------------------
+
+ATTR_TOUCHES = ("click", "view")
+ATTR_LOOKBACK_S = 7 * 86400
+
+
+def attribution_last_touch(sf_dir: str) -> pd.DataFrame:
+    """Last-touch conversion attribution: every 'purchase' is credited
+    to the user's most recent STRICTLY-preceding touch event ('click'
+    or 'view') in (ts, event_id) order within a 7-day lookback, else
+    'direct' — the marketing-analytics staple next to funnel_conversion
+    (the funnel counts ordered progress; attribution assigns REVENUE to
+    the step that drove it). Reports per channel: conversions and exact
+    int-cents revenue.
+
+    Scale contract: the sessionize coarse user-hash-partition shape;
+    per partition one vectorized pass — candidate touch indices fold
+    with np.maximum.accumulate and a user-start guard (no per-user
+    loop), purchases older than the lookback or before any touch fall
+    to 'direct'. The exchange is #channels-sized integer partials."""
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def attrib_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "channel": pd.Series([], dtype=object),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        from .common import to_cents
+
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        uid = g.user_id.to_numpy()
+        et = g.event_type.to_numpy()
+        ts_us = g.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        user_start = np.repeat(starts, sizes)
+        is_touch = np.isin(et, ATTR_TOUCHES)
+        cand = np.where(is_touch, np.arange(n), -1)
+        acc = np.maximum.accumulate(cand)
+        valid = acc >= user_start  # never inherit another user's touch
+        is_purchase = et == "purchase"
+        pm = is_purchase
+        touch_idx = acc[pm]
+        ok = (
+            valid[pm]
+            & ((ts_us[pm] - ts_us[np.clip(touch_idx, 0, n - 1)]) <= ATTR_LOOKBACK_S * 1_000_000)
+        )
+        channel = np.where(ok, et[np.clip(touch_idx, 0, n - 1)], "direct")
+        cents = to_cents(g.value.to_numpy()[pm])
+        df = pd.DataFrame({"channel": channel, "n_purchases": 1, "revenue_cents": cents})
+        out = df.groupby("channel", as_index=False).sum()
+        return out.astype({"n_purchases": "int64", "revenue_cents": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attrib_part, batch_format="pandas")
+        .groupby("channel")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"), Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    return out.astype({"channel": "str", "n_purchases": "int64", "revenue_cents": "int64"})
+
+
+ATTRIBUTION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+         CASE WHEN event_type IN ('click', 'view') THEN epoch_us(ts) END AS touch_ts
+  FROM events
+),
+filled AS (
+  SELECT user_id, event_id, event_type, value, tsu,
+         last_value(touch IGNORE NULLS) OVER w AS last_touch,
+         last_value(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+purchases AS (
+  SELECT CASE WHEN last_touch IS NOT NULL
+                   AND tsu - last_touch_ts <= CAST({ATTR_LOOKBACK_S} AS BIGINT) * 1000000
+              THEN last_touch ELSE 'direct' END AS channel,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM filled WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM purchases GROUP BY channel ORDER BY channel
+"""

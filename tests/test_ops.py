@@ -2683,3 +2683,61 @@ def test_ewma_matches_sequential_recurrence(ray_session):
     fwd = s.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
     rev = s[::-1].ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
     assert abs(fwd - rev) > 1e-9
+
+
+def test_attribution_last_touch_reference_and_edges(ray_session, tmp_path):
+    """Engine == a per-user sequential reference on the real corpus, and
+    the edges hold on a planted stream: strictly-preceding (a same-user
+    later touch never credits an earlier purchase), lookback expiry ->
+    'direct', no cross-user inheritance."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import (
+        ATTR_LOOKBACK_S,
+        ATTR_TOUCHES,
+        attribution_last_touch,
+    )
+
+    def reference(df):
+        out = {}
+        for uid, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+            last = None  # (channel, ts)
+            for r in g.itertuples():
+                if r.event_type in ATTR_TOUCHES:
+                    last = (r.event_type, r.ts)
+                elif r.event_type == "purchase":
+                    ch = "direct"
+                    if last is not None and (r.ts - last[1]).total_seconds() <= ATTR_LOOKBACK_S:
+                        ch = last[0]
+                    c = int(np.floor(abs(r.value) * 100 + 0.5)) * (1 if r.value >= 0 else -1)
+                    n, s = out.get(ch, (0, 0))
+                    out[ch] = (n + 1, s + c)
+        return out
+
+    df = _pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    ref = reference(df)
+    out = attribution_last_touch("/root/testdata/sf0.001")
+    assert {r.channel: (r.n_purchases, r.revenue_cents) for r in out.itertuples()} == ref
+    assert set(out.channel) >= {"direct"} and len(out) >= 2
+
+    # planted edges
+    ts = pd.to_datetime(
+        ["2020-01-01 00:00", "2020-01-01 00:01",      # u1: purchase BEFORE its touch
+         "2020-02-01 00:00", "2020-02-20 00:00",      # u2: touch expired (19d > 7d)
+         "2020-03-01 00:00", "2020-03-01 00:30"]      # u3-touch then u4-purchase (no inherit)
+    )
+    planted = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": ts,
+            "user_id": [1, 1, 2, 2, 3, 4],
+            "event_type": ["purchase", "click", "click", "purchase", "click", "purchase"],
+            "value": [10.0, 0.0, 0.0, 20.0, 0.0, 30.0],
+            "props": "{}",
+        }
+    )
+    _pq.write_table(pa.Table.from_pandas(planted, preserve_index=False), tmp_path / "events.parquet")
+    out2 = attribution_last_touch(str(tmp_path))
+    assert out2.set_index("channel")["n_purchases"].to_dict() == {"direct": 3}
