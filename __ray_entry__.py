@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_audit": scrub.encoding_audit,
         "robots_filter": scrub.robots_filter,
         "unicode_nfc_audit": scrub.unicode_nfc_audit,
+        "frequent_line_filter": scrub.frequent_line_filter,
         "stratified_sample": webtext.stratified_sample,
         "normalize_texts": webtext.normalize_texts,
         "regex_match_stats": webtext.regex_match_stats,
@@ -1058,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_audit": scrub.ENCODING_AUDIT_SQL,
         "robots_filter": scrub.ROBOTS_FILTER_SQL,
         "unicode_nfc_audit": scrub.UNICODE_NFC_SQL,
+        "frequent_line_filter": scrub.FREQUENT_LINE_SQL,
         "zorder_layout": traindata.zorder_sql(),
         "paragraph_dedup": scrub.PARAGRAPH_DEDUP_SQL,
         "duplicate_ngram_spans": traindata.DUP_NGRAM_SQL,

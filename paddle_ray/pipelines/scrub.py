@@ -1029,3 +1029,124 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(non_nfc * ((doc_id * 23) % 2147483648)) AS BIGINT) AS nfc_digest
 FROM flag GROUP BY lang ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# C4-style frequent-line filter — remove ALL copies of corpus-frequent lines
+# --------------------------------------------------------------------------
+
+FREQ_LINE_MIN = 3  # a line occurring >= this many times corpus-wide is boilerplate
+
+
+def frequent_line_filter(sf_dir: str) -> pd.DataFrame:
+    """C4/RefinedWeb frequent-line removal: any paragraph line occurring
+    >= FREQ_LINE_MIN times corpus-wide is boilerplate and EVERY copy is
+    dropped — the opposite policy of paragraph_dedup (keep-first
+    preserves one navigation/footer copy for the archive; a training
+    corpus wants zero). Shares paragraph_dedup's derived paragraph
+    structure so both policies are value-locked over the same input.
+
+    Two passes on the same machinery: pass 1 counts per line digest —
+    per-block (md5, cnt) pre-aggregated partials, 40 B rows — and
+    filters to the banned set (corpus-frequency >= threshold), which
+    stays a DISTRIBUTED table; pass 2 re-derives paragraphs, LEFT
+    ANTI-joins the banned table on the digest (native hash join — the
+    banned side is never a driver broadcast: at 100 TB the frequent-line
+    set is site-count-sized, not constant), and reassembles per doc over
+    coarse doc_id-hash partitions. Output (doc_id, n_kept, clean_md5) —
+    clean_md5 NULL when every line was boilerplate-frequent."""
+    from ray.data.aggregate import Sum
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        hs = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for p in _doc_paras(d, t):
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+        df = pd.DataFrame({"para_md5": hs})
+        g = df.groupby("para_md5", as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    banned = (
+        _docs(sf_dir)
+        .map_batches(explode_counts, batch_format="pyarrow")
+        .groupby("para_md5")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(lambda r: r["cnt"] >= FREQ_LINE_MIN)
+    )
+
+    def explode_full(batch: pa.Table) -> pa.Table:
+        ids, idxs, hs, paras = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i, p in enumerate(_doc_paras(d, t)):
+                ids.append(d)
+                idxs.append(i)
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+                paras.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idxs, pa.int64()),
+                "para_md5": pa.array(hs, pa.string()),
+                "para": pa.array(paras, pa.string()),
+            }
+        )
+
+    kept = _docs(sf_dir).map_batches(explode_full, batch_format="pyarrow").join(
+        banned, join_type="left_anti", num_partitions=8, on=("para_md5",)
+    )
+
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(ids % n_parts, pa.int64()))
+
+    def reassemble_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "clean_md5": pd.Series([], dtype=object),
+                }
+            )
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        out_ids, out_n, out_md5 = [], [], []
+        for doc_id, g in df.groupby("doc_id", sort=True):
+            out_ids.append(int(doc_id))
+            out_n.append(int(len(g)))
+            out_md5.append(hashlib.md5(_PARA_SEP.join(g.para).encode()).hexdigest())
+        return pd.DataFrame({"doc_id": out_ids, "n_kept": out_n, "clean_md5": out_md5})
+
+    survivors = (
+        kept.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(reassemble_part, batch_format="pandas")
+        .to_pandas()
+    )
+    # docs whose every line was banned: recover with a left merge against
+    # the id list (the anti join dropped them entirely)
+    ids = _docs(sf_dir, columns=("doc_id",)).to_pandas()
+    out = ids.merge(survivors, on="doc_id", how="left").sort_values("doc_id").reset_index(drop=True)
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out["clean_md5"] = out["clean_md5"].where(out["clean_md5"].notna(), None)
+    return out.astype({"doc_id": "int64", "n_kept": "int64"})
+
+
+FREQUENT_LINE_SQL = f"""
+WITH paras AS (
+  SELECT doc_id, 0 AS idx, text AS para FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'subscribe to newsletter variant ' || (doc_id % 7) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'copyright footer ' || (doc_id % 3) FROM documents
+), freq AS (
+  SELECT doc_id, idx, para, COUNT(*) OVER (PARTITION BY para) AS f
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE f < {FREQ_LINE_MIN}) AS BIGINT) AS n_kept,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+           FILTER (WHERE f < {FREQ_LINE_MIN})) AS clean_md5
+FROM freq GROUP BY doc_id ORDER BY doc_id
+"""

@@ -405,3 +405,44 @@ def test_unicode_nfc_audit_detector_is_a_real_normalizer(ray_session):
     out = unicode_nfc_audit("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(out, ref.astype(out.dtypes.to_dict())[out.columns])
     assert out["n_non_nfc"].sum() > 0 and (out["n_non_nfc"] < out["n_docs"]).all()
+
+
+def test_frequent_line_filter_all_copies_removed(ray_session):
+    """Policy check vs paragraph_dedup: the boilerplate variants occur
+    >= FREQ_LINE_MIN times, so frequent-line removes EVERY copy (no doc
+    keeps one) while paragraph_dedup keeps exactly the first; unique
+    texts survive unless the text itself repeats >= threshold."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.scrub import (
+        FREQ_LINE_MIN,
+        _doc_paras,
+        frequent_line_filter,
+    )
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    from collections import Counter
+
+    freq = Counter()
+    for r in t.itertuples():
+        freq.update(_doc_paras(r.doc_id, r.text))
+    ref = {}
+    for r in t.itertuples():
+        kept = [p for p in _doc_paras(r.doc_id, r.text) if freq[p] < FREQ_LINE_MIN]
+        ref[r.doc_id] = (
+            len(kept),
+            hashlib.md5("\n\n".join(kept).encode()).hexdigest() if kept else None,
+        )
+    out = frequent_line_filter("/root/testdata/sf0.001")
+    got = {r.doc_id: (r.n_kept, r.clean_md5) for r in out.itertuples()}
+    assert got == ref
+    # boilerplate always frequent -> every doc keeps at most its own text
+    assert (out["n_kept"] <= 1).all()
+    # and some text is itself corpus-frequent OR all texts unique: either
+    # way the policy discriminates (not all docs identical outcome)
+    assert out["n_kept"].sum() > 0
