@@ -631,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange bounded by NDV x #blocks, never rows)
         "table_ndv_profile": analysis.table_ndv_profile,
         "mad_outliers": analysis.mad_outliers,
+        "pivot_source_lang": analysis.pivot_source_lang,
         # Benford first-digit audit over order totals (9-row partials;
         # exact int counts + round-6 chi-square terms)
         "benford_audit": analysis.benford_audit,
@@ -1033,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_by_source": analysis.ROC_AUC_SQL,
         "table_ndv_profile": analysis.TABLE_NDV_SQL,
         "mad_outliers": analysis.MAD_OUTLIERS_SQL,
+        "pivot_source_lang": analysis.PIVOT_SOURCE_LANG_SQL,
         "benford_audit": analysis.BENFORD_SQL,
         "regression_by_lang": analysis.REGRESSION_SQL,
         "impute_lang_by_source": analysis.IMPUTE_LANG_SQL,

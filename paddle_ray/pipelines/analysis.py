@@ -3044,3 +3044,56 @@ SELECT d.lang, COUNT(*) AS n,
 FROM d JOIN mad ON d.lang = mad.lang
 GROUP BY d.lang ORDER BY d.lang
 """
+
+
+# --------------------------------------------------------------------------
+# dynamic PIVOT — long-to-wide transpose
+# --------------------------------------------------------------------------
+
+
+def pivot_source_lang(sf_dir: str) -> pd.DataFrame:
+    """Dynamic PIVOT: the per-source language-mix matrix (one row per
+    source, one COLUMN per observed lang, cells = doc counts) — the
+    long-to-wide transpose every reporting layer runs on top of a
+    grouped aggregate, and the inverse of priority_unpivot. 'Dynamic'
+    because the output schema is DATA-derived: the column set is the
+    observed lang values (sorted), exactly like DuckDB's PIVOT
+    statement builds it.
+
+    Scale contract: the distributed work is the ordinary (source, lang)
+    pre-aggregated groupby — #sources x #langs bounded partials; the
+    transpose itself runs on that group-sized result driver-side (a
+    wide matrix with a data-derived schema is a REPORT, not a dataset —
+    at 100 TB you pivot the rollup, never the corpus). Missing cells
+    fill 0 ≙ PIVOT's semantics; exact integer counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pylist(), "lang": batch["lang"].to_pylist()}
+        )
+        g = df.groupby(["source", "lang"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    long = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    wide = (
+        long.pivot_table(index="source", columns="lang", values="cnt", fill_value=0)
+        .sort_index(axis=1)
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    wide.columns.name = None
+    langs = [c for c in wide.columns if c != "source"]
+    return wide.astype({"source": "str", **{c: "int64" for c in langs}})
+
+
+PIVOT_SOURCE_LANG_SQL = """
+PIVOT documents ON lang USING COUNT(*) GROUP BY source ORDER BY source
+"""

@@ -2741,3 +2741,23 @@ def test_attribution_last_touch_reference_and_edges(ray_session, tmp_path):
     _pq.write_table(pa.Table.from_pandas(planted, preserve_index=False), tmp_path / "events.parquet")
     out2 = attribution_last_touch(str(tmp_path))
     assert out2.set_index("channel")["n_purchases"].to_dict() == {"direct": 3}
+
+
+def test_pivot_source_lang_inverse_of_long_form(ray_session):
+    """The wide matrix must re-melt to the long groupby exactly (pivot
+    round-trips), with zero-filled cells only where the pair is absent."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.analysis import pivot_source_lang
+
+    out = pivot_source_lang("/root/testdata/sf0.001")
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["source", "lang"]
+    ).to_pandas()
+    ref = t.groupby(["source", "lang"]).size()
+    melted = out.melt(id_vars="source", var_name="lang", value_name="n")
+    for r in melted.itertuples():
+        assert r.n == ref.get((r.source, r.lang), 0)
+    assert melted["n"].sum() == len(t)  # total mass preserved
+    assert set(out.columns) == {"source"} | set(t["lang"].unique())
