@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_ndv_profile": analysis.table_ndv_profile,
         "mad_outliers": analysis.mad_outliers,
         "pivot_source_lang": analysis.pivot_source_lang,
+        "poisson_bootstrap_means": analysis.poisson_bootstrap_means,
         # Benford first-digit audit over order totals (9-row partials;
         # exact int counts + round-6 chi-square terms)
         "benford_audit": analysis.benford_audit,
@@ -1035,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "table_ndv_profile": analysis.TABLE_NDV_SQL,
         "mad_outliers": analysis.MAD_OUTLIERS_SQL,
         "pivot_source_lang": analysis.PIVOT_SOURCE_LANG_SQL,
+        "poisson_bootstrap_means": analysis.poisson_bootstrap_sql(),
         "benford_audit": analysis.BENFORD_SQL,
         "regression_by_lang": analysis.REGRESSION_SQL,
         "impute_lang_by_source": analysis.IMPUTE_LANG_SQL,

@@ -3097,3 +3097,116 @@ def pivot_source_lang(sf_dir: str) -> pd.DataFrame:
 PIVOT_SOURCE_LANG_SQL = """
 PIVOT documents ON lang USING COUNT(*) GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap — the streaming-scale bootstrap
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+
+
+def _poisson_thresholds() -> list[float]:
+    """Cumulative Poisson(1) CDF thresholds c_0..c_5, spelled as the
+    IDENTICAL left-to-right sum the SQL oracle uses (same libm exp,
+    same IEEE adds) so u-vs-threshold compares agree bitwise."""
+    import math
+
+    e = math.exp(-1.0)
+    c0 = e
+    c1 = c0 + e
+    c2 = c1 + e / 2.0
+    c3 = c2 + e / 6.0
+    c4 = c3 + e / 24.0
+    c5 = c4 + e / 120.0
+    return [c0, c1, c2, c3, c4, c5]
+
+
+def poisson_bootstrap_means(sf_dir: str) -> pd.DataFrame:
+    """Poisson bootstrap over mean doc length — the bootstrap that
+    actually streams (Chamandy et al., Google 2012): the classical
+    bootstrap resamples n items WITH replacement and needs global n
+    up front plus a shuffle per replicate; the Poisson bootstrap gives
+    each row an independent Poisson(1) multiplicity PER REPLICATE, so
+    all B resamples fold in ONE streaming pass with no coordination —
+    at 100 TB each block computes its B (sum, count) partials locally
+    and the exchange is B x #blocks tiny integer rows.
+
+    Multiplicities are md5-seeded (u = 48-bit md5 prefix / 2^48, exact
+    in double; k = inverse-CDF walk over cumulative Poisson(1)
+    thresholds, capped at 6 where P ~ 1e-4 — both sides use the same
+    cap rule and the same IEEE threshold sums). Output: one row per
+    replicate (b, n_eff, sum_chars, mean round-6) — the CI is any
+    quantile over these 32 value-locked means."""
+    from ray.data.aggregate import Sum
+
+    thr = _poisson_thresholds()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        x = batch["n_chars"].to_numpy()
+        rows = {"b": [], "n_eff": [], "sum_chars": []}
+        for b in range(BOOT_B):
+            us = np.array(
+                [
+                    int(hashlib.md5(f"boot:{d}:{b}".encode()).hexdigest()[:12], 16)
+                    for d in ids
+                ],
+                dtype=np.int64,
+            ) / 281474976710656.0
+            k = np.searchsorted(np.array(thr), us, side="right")  # u >= c5 -> 6
+            rows["b"].append(b)
+            rows["n_eff"].append(int(k.sum()))
+            rows["sum_chars"].append(int((k * x).sum()))
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    m = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("b")
+        .aggregate(Sum("n_eff", alias_name="n_eff"), Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    m["mean_chars"] = (
+        m["sum_chars"].astype(float) / m["n_eff"].astype(float)
+    ).round(6)
+    return m.astype({"b": "int64", "n_eff": "int64", "sum_chars": "int64"})
+
+
+def poisson_bootstrap_sql() -> str:
+    e = "exp(-1.0)"
+    c = [
+        f"{e}",
+        f"{e} + {e}",
+        f"{e} + {e} + {e} / 2.0",
+        f"{e} + {e} + {e} / 2.0 + {e} / 6.0",
+        f"{e} + {e} + {e} / 2.0 + {e} / 6.0 + {e} / 24.0",
+        f"{e} + {e} + {e} / 2.0 + {e} / 6.0 + {e} / 24.0 + {e} / 120.0",
+    ]
+    return f"""
+WITH reps AS (SELECT b FROM range({BOOT_B}) t(b)),
+draw AS (
+  SELECT reps.b, d.n_chars,
+         CAST(CONCAT('0x', substr(md5('boot:' || CAST(d.doc_id AS VARCHAR) || ':'
+              || CAST(reps.b AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 AS u
+  FROM documents d CROSS JOIN reps
+),
+mult AS (
+  SELECT b, n_chars,
+         CASE WHEN u < {c[0]} THEN 0
+              WHEN u < {c[1]} THEN 1
+              WHEN u < {c[2]} THEN 2
+              WHEN u < {c[3]} THEN 3
+              WHEN u < {c[4]} THEN 4
+              WHEN u < {c[5]} THEN 5
+              ELSE 6 END AS k
+  FROM draw
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(SUM(k) AS BIGINT) AS n_eff,
+       CAST(SUM(k * n_chars) AS BIGINT) AS sum_chars,
+       ROUND(CAST(SUM(k * n_chars) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) AS mean_chars
+FROM mult GROUP BY b ORDER BY b
+"""

@@ -2761,3 +2761,40 @@ def test_pivot_source_lang_inverse_of_long_form(ray_session):
         assert r.n == ref.get((r.source, r.lang), 0)
     assert melted["n"].sum() == len(t)  # total mass preserved
     assert set(out.columns) == {"source"} | set(t["lang"].unique())
+
+
+def test_poisson_bootstrap_statistics(ray_session):
+    """Engine == single-process reference draw; the resample genuinely
+    varies (distinct multiplicity vectors per replicate); n_eff
+    concentrates around n (Poisson(1) mass conservation in
+    expectation); the spread of replicate means is a plausible SE of
+    the mean (within 4x of sigma/sqrt(n))."""
+    import hashlib as _h
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.analysis import BOOT_B, _poisson_thresholds, poisson_bootstrap_means
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    thr = np.array(_poisson_thresholds())
+    ref = {}
+    for b in range(BOOT_B):
+        u = np.array(
+            [int(_h.md5(f"boot:{d}:{b}".encode()).hexdigest()[:12], 16) for d in t.doc_id]
+        ) / 2.0**48
+        k = np.searchsorted(thr, u, side="right")
+        ref[b] = (int(k.sum()), int((k * t.n_chars.to_numpy()).sum()))
+
+    out = poisson_bootstrap_means("/root/testdata/sf0.001")
+    assert len(out) == BOOT_B
+    for r in out.itertuples():
+        assert (r.n_eff, r.sum_chars) == ref[r.b]
+    n = len(t)
+    assert (np.abs(out.n_eff - n) < 5 * math.sqrt(n)).all()
+    assert out.n_eff.nunique() > 1  # replicates genuinely differ
+    se_boot = out.mean_chars.std()
+    se_clt = t.n_chars.std() / math.sqrt(n)
+    assert se_clt / 4 < se_boot < se_clt * 4
