@@ -1119,3 +1119,169 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(COALESCE(SUM((lo * 1000003 + hi) % 2147483648), 0) AS BIGINT) AS pair_digest
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# local clustering coefficient — per-degree profile
+# --------------------------------------------------------------------------
+
+
+def clustering_coefficient(sf_dir: str) -> pd.DataFrame:
+    """Per-degree local clustering-coefficient profile over the
+    undirected derived graph: cc_v = 2*T_v / (d_v * (d_v - 1)) — the
+    per-NODE refinement of triangle_count's global census and the
+    standard link-farm discriminator (spam rings have near-clique cc at
+    every degree; organic graphs decay with degree). Output one row per
+    degree: node count, incident-triangle sum, and sum_cc_e6 =
+    sum over nodes of floor(2*T_v*1e6 / (d(d-1))) — per-node integer
+    floor then integer sum, so the profile is EXACT on both sides (no
+    float ordering anywhere).
+
+    Scale: triangle_count's min-vertex machinery with the closed wedge
+    carrying its three vertex ids; each triangle explodes to 3 (node, 1)
+    rows -> per-block partials -> node-sized groupby; degrees fold from
+    the edge list the same way; isolated nodes (self-loop-only) rejoin
+    via the node list with d = 0."""
+    from ray.data.aggregate import Sum
+
+    n = _ids(sf_dir).count()
+    n_parts = 64
+
+    def canon(batch: pa.Table) -> pa.Table:
+        e = _edges_batch(batch, n)
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        df["part"] = (df.u % n_parts).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        _ids(sf_dir)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: g[["u", "v"]].drop_duplicates(), batch_format="pandas")
+        .materialize()
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="u")
+        m = m[m.v_x < m.v_y]
+        return pd.DataFrame(
+            {
+                "p": m.u.to_numpy(),
+                "k": [f"{a}:{b}" for a, b in zip(m.v_x, m.v_y)],
+            }
+        )
+
+    def repart(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array((batch["u"].to_numpy() % n_parts).astype(np.int32))
+        )
+
+    wedge_ds = (
+        edges.map_batches(repart, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def ekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(
+                    [f"{a}:{b}" for a, b in zip(batch["u"].to_pylist(), batch["v"].to_pylist())],
+                    pa.string(),
+                )
+            }
+        )
+
+    closed = wedge_ds.join(
+        edges.map_batches(ekey, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("k",),
+    )
+
+    def tri_nodes(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy()
+        ks = batch["k"].to_pylist()
+        v1 = np.array([int(s.split(":")[0]) for s in ks], dtype=np.int64)
+        v2 = np.array([int(s.split(":")[1]) for s in ks], dtype=np.int64)
+        nodes = np.concatenate([p, v1, v2])
+        df = pd.DataFrame({"node": nodes}).groupby("node", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "t"}), preserve_index=False)
+
+    tri = (
+        closed.map_batches(tri_nodes, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="t"))
+        .to_pandas()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        df = pd.DataFrame({"node": nodes}).groupby("node", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "d"}), preserve_index=False)
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+    )
+
+    ids = _ids(sf_dir).to_pandas().rename(columns={"doc_id": "node"})
+    full = ids.merge(deg, on="node", how="left").merge(tri, on="node", how="left").fillna(0)
+    full["d"] = full["d"].astype("int64")
+    full["t"] = full["t"].astype("int64")
+    cc_e6 = np.where(
+        full.d >= 2, (2 * full.t * 1_000_000) // (full.d * (full.d - 1)), 0
+    ).astype("int64")
+    out = (
+        full.assign(cc_e6=cc_e6, n_nodes=1)
+        .groupby("d", as_index=False)
+        .agg(n_nodes=("n_nodes", "sum"), sum_tri=("t", "sum"), sum_cc_e6=("cc_e6", "sum"))
+        .rename(columns={"d": "degree"})
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"degree": "int64", "n_nodes": "int64", "sum_tri": "int64", "sum_cc_e6": "int64"}
+    )
+
+
+CLUSTERING_COEFF_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+raw AS (
+  SELECT id AS src, (id * id + 3) % nn.n AS dst FROM ids, nn
+  UNION ALL
+  SELECT id, (id // 7) % nn.n FROM ids, nn),
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst),
+w AS (SELECT a.u AS p, a.v AS v1, b.v AS v2 FROM e a JOIN e b ON a.u = b.u AND a.v < b.v),
+tri AS (SELECT w.p, w.v1, w.v2 FROM w JOIN e ON e.u = w.v1 AND e.v = w.v2),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT p AS node FROM tri
+    UNION ALL SELECT v1 FROM tri
+    UNION ALL SELECT v2 FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+allnodes AS (
+  SELECT ids.id AS node, COALESCE(deg.d, 0) AS d, COALESCE(tn.t, 0) AS t
+  FROM ids LEFT JOIN deg ON deg.node = ids.id LEFT JOIN tn ON tn.node = ids.id
+)
+SELECT d AS degree, COUNT(*) AS n_nodes,
+       CAST(SUM(t) AS BIGINT) AS sum_tri,
+       CAST(SUM(CASE WHEN d >= 2 THEN (2 * t * 1000000) // (d * (d - 1)) ELSE 0 END) AS BIGINT)
+         AS sum_cc_e6
+FROM allnodes GROUP BY d ORDER BY d
+"""

@@ -2798,3 +2798,42 @@ def test_poisson_bootstrap_statistics(ray_session):
     se_boot = out.mean_chars.std()
     se_clt = t.n_chars.std() / math.sqrt(n)
     assert se_clt / 4 < se_boot < se_clt * 4
+
+
+def test_clustering_coefficient_matches_networkx_free_reference(ray_session):
+    """Engine == single-process adjacency-set reference (per-node T and
+    cc floor arithmetic), and the degree profile reconciles with
+    triangle_count's global census: sum_tri over degrees == 3x global
+    triangles."""
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.webgraph import clustering_coefficient, triangle_count
+
+    ids = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    n = len(ids)
+    adj = {int(i): set() for i in ids}
+    for i in ids:
+        i = int(i)
+        for d in ((i * i + 3) % n, (i // 7) % n):
+            if d != i:
+                adj[i].add(d)
+                adj[d].add(i)
+    from collections import Counter
+
+    prof = {}
+    for v, nb in adj.items():
+        dv = len(nb)
+        tv = sum(len(adj[a] & nb) for a in nb) // 2  # each triangle twice
+        cc = (2 * tv * 1_000_000) // (dv * (dv - 1)) if dv >= 2 else 0
+        nn, st, sc = prof.get(dv, (0, 0, 0))
+        prof[dv] = (nn + 1, st + tv, sc + cc)
+
+    out = clustering_coefficient("/root/testdata/sf0.001")
+    got = {r.degree: (r.n_nodes, r.sum_tri, r.sum_cc_e6) for r in out.itertuples()}
+    assert got == prof
+    tri = triangle_count("/root/testdata/sf0.001")
+    assert out["sum_tri"].sum() == 3 * tri.loc[0, "n_triangles"]
+    assert out["n_nodes"].sum() == n
+    assert out["sum_cc_e6"].sum() > 0  # the profile carries signal
