@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_seed_set": webgraph.ppr_seed_set,
         "reciprocal_links": webgraph.reciprocal_links,
         "clustering_coefficient": webgraph.clustering_coefficient,
+        "degree_assortativity": webgraph.degree_assortativity,
         # Count-Min sketch, VALUE-oracled (md5-pinned rows -> exact
         # integer registers; d x w x #blocks bounded exchange) with the
         # exact true counts alongside so the overestimate bound shows
@@ -1131,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_seed_set": webgraph.ppr_sql(),
         "reciprocal_links": webgraph.RECIPROCAL_LINKS_SQL,
         "clustering_coefficient": webgraph.CLUSTERING_COEFF_SQL,
+        "degree_assortativity": webgraph.ASSORTATIVITY_SQL,
         "countmin_user_counts": events.COUNTMIN_SQL,
         "span_corruption": traindata.SPAN_CORRUPTION_SQL,
         "kn_ngram_stats": traindata.KN_NGRAM_SQL,

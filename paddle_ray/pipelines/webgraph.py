@@ -1285,3 +1285,143 @@ SELECT d AS degree, COUNT(*) AS n_nodes,
          AS sum_cc_e6
 FROM allnodes GROUP BY d ORDER BY d
 """
+
+
+# --------------------------------------------------------------------------
+# degree assortativity (Newman 2002)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree-assortativity coefficient (Newman 2002) over the undirected
+    derived graph: the Pearson correlation of endpoint degrees across
+    edges — THE structural mixing statistic (social graphs are
+    assortative, the web is disassortative: hubs link to leaves; a
+    sudden shift flags synthetic link structure). Completes the
+    structural family next to clustering_coefficient and
+    reciprocal_links.
+
+    Exact-integer sufficient statistics (the regression_by_lang shape):
+    each undirected edge contributes BOTH orderings (du,dv),(dv,du), so
+    sum_x == sum_y and the Pearson r closes from (M, Σx, Σxx, Σxy) big
+    ints with ONE exact division driver-side (engine divides exact big
+    ints — correctly rounded; oracle casts HUGEINT->DOUBLE then divides,
+    ~1e-16 apart, 10 orders under the round-6 gate).
+
+    Scale: the degree table is node-sized; attaching du/dv is two
+    native 16 B-row hash joins (edges never carry payloads); moments
+    fold to ONE row per block."""
+    from ray.data.aggregate import Sum
+
+    n = _ids(sf_dir).count()
+    n_parts = 64
+
+    def canon(batch: pa.Table) -> pa.Table:
+        e = _edges_batch(batch, n)
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        df["part"] = (df.u % n_parts).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        _ids(sf_dir)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: g[["u", "v"]].drop_duplicates(), batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        df = pd.DataFrame({"node": nodes}).groupby("node", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "d"}), preserve_index=False)
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .materialize()
+    )
+
+    du = edges.join(
+        deg.map_batches(
+            lambda b: pa.table({"u": b["node"], "du": b["d"]}), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("u",),
+    )
+    both = du.join(
+        deg.map_batches(
+            lambda b: pa.table({"v": b["node"], "dv": b["d"]}), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("v",),
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        a = batch["du"].to_numpy()
+        b = batch["dv"].to_numpy()
+        # both orderings: x over (a ++ b), y over (b ++ a)
+        sx = int(a.sum() + b.sum())
+        sxx = int((a * a).sum() + (b * b).sum())
+        sxy = int(2 * (a * b).sum())
+        return pa.table(
+            {
+                "m": pa.array([2 * len(a)], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+            }
+        )
+
+    agg = both.map_batches(moments, batch_format="pyarrow", batch_size=None).to_pandas().sum()
+    m, sx, sxx, sxy = (int(agg[c]) for c in ("m", "sx", "sxx", "sxy"))
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    return pd.DataFrame(
+        {
+            "m_ordered_pairs": pd.Series([m], dtype="int64"),
+            "sum_deg": pd.Series([sx], dtype="int64"),
+            "assortativity": [round(num / den, 6)],
+        }
+    )
+
+
+ASSORTATIVITY_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+raw AS (
+  SELECT id AS src, (id * id + 3) % nn.n AS dst FROM ids, nn
+  UNION ALL
+  SELECT id, (id // 7) % nn.n FROM ids, nn),
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+pairs AS (
+  SELECT a.d AS x, b.d AS y
+  FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
+  UNION ALL
+  SELECT b.d, a.d
+  FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS sx,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS m_ordered_pairs,
+       CAST(sx AS BIGINT) AS sum_deg,
+       ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM mom
+"""

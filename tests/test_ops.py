@@ -2837,3 +2837,42 @@ def test_clustering_coefficient_matches_networkx_free_reference(ray_session):
     assert out["sum_tri"].sum() == 3 * tri.loc[0, "n_triangles"]
     assert out["n_nodes"].sum() == n
     assert out["sum_cc_e6"].sum() > 0  # the profile carries signal
+
+
+def test_degree_assortativity_matches_reference(ray_session):
+    """Engine == exact-Fraction single-process Newman r over the same
+    derived graph; |r| <= 1 and the statistic is non-degenerate."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.webgraph import degree_assortativity
+
+    ids = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    n = len(ids)
+    edges = set()
+    for i in ids:
+        i = int(i)
+        for d in ((i * i + 3) % n, (i // 7) % n):
+            if d != i:
+                edges.add((min(i, d), max(i, d)))
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    ys = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    m = len(xs)
+    sx, sxx, sxy = sum(xs), sum(x * x for x in xs), sum(x * y for x, y in zip(xs, ys))
+    r = Fraction(m * sxy - sx * sx, m * sxx - sx * sx)
+
+    out = degree_assortativity("/root/testdata/sf0.001")
+    assert out.loc[0, "m_ordered_pairs"] == m
+    assert out.loc[0, "sum_deg"] == sx
+    assert abs(out.loc[0, "assortativity"] - float(r)) < 2e-6
+    assert -1.0 <= out.loc[0, "assortativity"] <= 1.0
+    assert abs(out.loc[0, "assortativity"]) > 1e-4  # non-degenerate mixing
