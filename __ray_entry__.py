@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_two_sample": webtext.ks_two_sample,
         "welch_ttest": webtext.welch_ttest,
         "chi2_independence": webtext.chi2_independence,
+        "mannwhitney_u": webtext.mannwhitney_u,
         # r4: k-anonymity release audit over (lang, source, length
         # decile) quasi-identifier cells (below the fold — bounded-cell
         # partial rollup shape)
@@ -1145,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_two_sample": webtext.KS_TWO_SAMPLE_SQL,
         "welch_ttest": webtext.WELCH_TTEST_SQL,
         "chi2_independence": webtext.CHI2_INDEPENDENCE_SQL,
+        "mannwhitney_u": webtext.MANNWHITNEY_SQL,
         "k_anonymity_audit": webtext.k_anonymity_sql(),
         "copurchase_lift": analysis.copurchase_sql(),
         "media_features": multimodal.MEDIA_FEATURES_SQL,

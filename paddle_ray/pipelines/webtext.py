@@ -1964,3 +1964,108 @@ SELECT 'ALL', tot.c0, tot.c1,
        CAST(tot.n_langs - 1 AS BIGINT)
 FROM tot
 """
+
+
+def mannwhitney_u(sf_dir: str) -> pd.DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the even/odd
+    source cohorts over doc length — the NONPARAMETRIC mean-shift test
+    completing the drift family (PSI needs bins, KS tests the whole
+    CDF, Welch assumes means matter; MWU asks "does one cohort
+    stochastically dominate?" and is the standard A/B test under heavy
+    tails). Cohorts share ks_two_sample's derivation; the machinery is
+    the same value histogram.
+
+    Exact integers: with per-value counts ca/cb and prefix sums, U_a =
+    sum_v ca_v * (cumb_<v + cb_v/2); we carry u2 = 2*U_a so ties never
+    leave the integers. The tie-corrected normal z closes from exact
+    big-int numerators (var_num = na*nb*((N^3-N) - sum(t^3-t)),
+    den = 12*N*(N-1)) with IDENTICAL IEEE casts/divides on both sides
+    (the welch_ttest contract), round-6.
+
+    Scale: the ks_two_sample single-pass (side, value, cnt) histogram —
+    distinct-values x #blocks bounded exchange, rank walk driver-side."""
+    from ray.data.aggregate import Sum
+
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side = np.fromiter(
+            (int(s[3:]) % 2 for s in batch["source"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame({"side": side, "v": batch["n_chars"].to_numpy()})
+        g = df.groupby(["side", "v"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["side", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    piv = (
+        hist.pivot_table(index="v", columns="side", values="cnt", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    ca = piv[0].to_numpy()
+    cb = piv[1].to_numpy()
+    na, nb = int(ca.sum()), int(cb.sum())
+    cumb_less = np.concatenate([[0], np.cumsum(cb)[:-1]])
+    u2 = int(sum(int(a) * (2 * int(bl) + int(b)) for a, bl, b in zip(ca, cumb_less, cb)))
+    N = na + nb
+    t = ca + cb
+    tie_term = int(sum(int(x) ** 3 - int(x) for x in t))
+    var_num = na * nb * ((N**3 - N) - tie_term)
+    den = 12 * N * (N - 1)
+    import math
+
+    ua = float(u2) / 2.0
+    mu = float(na * nb) / 2.0
+    s2 = float(var_num) / float(den)
+    z = (ua - mu) / math.sqrt(s2)
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([na], dtype="int64"),
+            "n_b": pd.Series([nb], dtype="int64"),
+            "u2": pd.Series([u2], dtype="int64"),
+            "z_stat": [round(z, 6)],
+        }
+    )
+
+
+MANNWHITNEY_SQL = """
+WITH d AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS side, n_chars AS v FROM documents
+),
+vals AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+  FROM d GROUP BY v
+),
+pre AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumb_less
+  FROM vals
+),
+agg AS (
+  SELECT SUM(ca * (2 * cumb_less + cb)) AS u2,
+         SUM(ca) AS na, SUM(cb) AS nb,
+         SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tie_term
+  FROM pre
+),
+fin AS (
+  SELECT na, nb, u2,
+         na * nb * (((na + nb) * (na + nb) * (na + nb) - (na + nb)) - tie_term) AS var_num,
+         12 * (na + nb) * (na + nb - 1) AS den
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2,
+       ROUND((CAST(u2 AS DOUBLE) / 2.0 - CAST(na * nb AS DOUBLE) / 2.0)
+             / sqrt(CAST(var_num AS DOUBLE) / CAST(den AS DOUBLE)), 6) AS z_stat
+FROM fin
+"""

@@ -641,3 +641,33 @@ def test_chi2_independence_matches_reference(ray_session):
     # marginal reconciliation per lang
     for _, r in per.iterrows():
         assert r["n_even"] == piv.loc[r["lang"], 0] and r["n_odd"] == piv.loc[r["lang"], 1]
+
+
+def test_mannwhitney_u_matches_rank_definition(ray_session):
+    """u2 must equal 2x the DEFINITIONAL U (pairwise count with half
+    ties) on the real cohorts, and z must match scipy-free tie-corrected
+    normal approx from exact Fractions."""
+    from fractions import Fraction
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "n_chars"]).to_pandas()
+    side = t["source"].str[3:].astype(int) % 2
+    a = np.sort(t.loc[side == 0, "n_chars"].to_numpy())
+    b = np.sort(t.loc[side == 1, "n_chars"].to_numpy())
+    # definitional U via searchsorted (pairwise gt + 0.5*eq), exact x2
+    lt = np.searchsorted(b, a, side="left")     # #b strictly less than each a
+    le = np.searchsorted(b, a, side="right")    # #b <= each a
+    u2_ref = int(2 * lt.sum() + (le - lt).sum())
+
+    out = webtext.mannwhitney_u(SF)
+    assert out.loc[0, "u2"] == u2_ref
+    na, nb = len(a), len(b)
+    assert (out.loc[0, "n_a"], out.loc[0, "n_b"]) == (na, nb)
+
+    from collections import Counter
+
+    ties = Counter(np.concatenate([a, b]).tolist())
+    N = na + nb
+    tie_term = sum(c**3 - c for c in ties.values())
+    s2 = Fraction(na * nb * ((N**3 - N) - tie_term), 12 * N * (N - 1))
+    z_ref = (u2_ref / 2.0 - na * nb / 2.0) / float(s2) ** 0.5
+    assert abs(out.loc[0, "z_stat"] - z_ref) < 1e-4
