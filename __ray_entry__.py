@@ -856,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrow_ipc_roundtrip": io_roundtrip.arrow_ipc_roundtrip,
         "compact_small_files": io_roundtrip.compact_small_files,
         "zonemap_prune": io_roundtrip.zonemap_prune,
+        "time_travel_read": io_roundtrip.time_travel_read,
         # mixed-schema parquet read (column-add evolution; null-fill
         # contract made explicit and value-oracled)
         "schema_evolution_read": io_roundtrip.schema_evolution_read,
@@ -1088,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "arrow_ipc_roundtrip": io_roundtrip.ARROW_IPC_ROUNDTRIP_SQL,
         "compact_small_files": io_roundtrip.COMPACT_SMALL_FILES_SQL,
         "zonemap_prune": io_roundtrip.ZONEMAP_PRUNE_SQL,
+        "time_travel_read": io_roundtrip.TIME_TRAVEL_SQL,
         "schema_evolution_read": io_roundtrip.SCHEMA_EVOLUTION_SQL,
         "events_tumbling": events.EVENTS_TUMBLING_SQL_T.format(window_s=TUMBLE_S),
         "events_topk_users": events.EVENTS_TOPK_SQL_T.format(k=TOPK_USERS),

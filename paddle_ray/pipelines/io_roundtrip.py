@@ -554,3 +554,108 @@ WHERE o_orderdate >= TIMESTAMP '{ZONEMAP_LO}'
   AND o_orderdate <= TIMESTAMP '{ZONEMAP_HI}'
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def time_travel_read(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse time travel: reads are pinned to a MANIFEST VERSION,
+    never to a directory listing — the mechanism that makes a 100 TB
+    table safely readable while a commit is in flight and lets an audit
+    re-run against last week's snapshot byte-for-byte. Version 1 is the
+    ingested base (o_orderkey % 4 != 0, the ivm_delta_agg scenario);
+    commit 2 applies the delta (insert key % 4 == 0, retract base keys
+    % 9 == 0) by writing NEW data files plus manifest v2 — v1's files
+    are immutable, so AS-OF-v1 reads reproduce the pre-commit table
+    exactly (the pytest locks both immutability and read stability
+    across the commit).
+
+    Output: per-version per-status rollup (version, status, n_orders,
+    revenue_cents), each arm oracled by its derivation over the source
+    table. Data files write/read per-block streaming; the manifest is
+    a #files-sized JSON the driver owns (exactly the checkpoint
+    contract in state/checkpoint.py)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .common import to_cents
+
+    root = tempfile.mkdtemp(prefix="pr_tt_")
+    try:
+        src = sized_read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+
+        def commit(version: int, keep_fn) -> None:
+            """Write the version's rows as new files + a manifest."""
+            vdir = os.path.join(root, f"data_v{version}")
+
+            def filt(batch: pa.Table) -> pa.Table:
+                k = batch["o_orderkey"].to_numpy()
+                return batch.filter(pa.array(keep_fn(k)))
+
+            src.map_batches(filt, batch_format="pyarrow", batch_size=None).write_parquet(vdir)
+            files = sorted(glob.glob(os.path.join(vdir, "*.parquet")))
+            with open(os.path.join(root, f"manifest_v{version}.json"), "w") as f:
+                json.dump({"version": version, "files": files}, f)
+
+        base_m = lambda k: k % 4 != 0  # noqa: E731
+        commit(1, base_m)
+        commit(2, lambda k: (k % 4 == 0) | ((k % 4 != 0) & (k % 9 != 0)))
+
+        def read_version(version: int):
+            with open(os.path.join(root, f"manifest_v{version}.json")) as f:
+                manifest = json.load(f)
+            return rd.read_parquet(manifest["files"])
+
+        def rollup(version: int) -> pd.DataFrame:
+            def partial(batch: pa.Table) -> pa.Table:
+                df = pd.DataFrame(
+                    {
+                        "o_orderstatus": batch["o_orderstatus"].to_pylist(),
+                        "n_orders": 1,
+                        "revenue_cents": to_cents(batch["o_totalprice"].to_numpy()),
+                    }
+                )
+                return pa.Table.from_pandas(
+                    df.groupby("o_orderstatus", as_index=False).sum(), preserve_index=False
+                )
+
+            out = (
+                read_version(version)
+                .map_batches(partial, batch_format="pyarrow", batch_size=None)
+                .groupby("o_orderstatus")
+                .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue_cents", alias_name="revenue_cents"))
+                .to_pandas()
+            )
+            out.insert(0, "version", version)
+            return out
+
+        out = (
+            pd.concat([rollup(1), rollup(2)], ignore_index=True)
+            .sort_values(["version", "o_orderstatus"])
+            .reset_index(drop=True)
+        )
+        return out.astype(
+            {"version": "int64", "o_orderstatus": "str", "n_orders": "int64", "revenue_cents": "int64"}
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TIME_TRAVEL_SQL = """
+SELECT 1 AS version, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders WHERE o_orderkey % 4 != 0
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 2, o_orderstatus, COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+FROM orders WHERE (o_orderkey % 4 = 0) OR (o_orderkey % 4 != 0 AND o_orderkey % 9 != 0)
+GROUP BY o_orderstatus
+ORDER BY version, o_orderstatus
+"""

@@ -216,3 +216,47 @@ def test_zonemap_prune_skips_files_and_answers_identically(ray_session, monkeypa
     n_keep, n_total = plans[0]
     assert n_total > 1, "layout produced a single file — pruning untestable"
     assert n_keep < n_total, f"zone maps pruned nothing ({n_keep}/{n_total})"
+
+
+def test_time_travel_v1_read_stable_across_commit(ray_session, monkeypatch):
+    """AS-OF-v1 must reproduce the pre-commit table byte-for-byte after
+    commit 2 (file immutability + manifest pinning), and the two
+    versions genuinely differ."""
+    import glob
+    import hashlib
+    import os
+
+    from paddle_ray.pipelines import io_roundtrip as io_rt
+
+    state = {}
+    orig = io_rt.tempfile.mkdtemp
+
+    def spy(prefix=""):
+        d = orig(prefix=prefix)
+        if prefix == "pr_tt_":
+            state["root"] = d
+        return d
+
+    # freeze rmtree so we can inspect, then clean up ourselves
+    monkeypatch.setattr(io_rt.tempfile, "mkdtemp", spy)
+    monkeypatch.setattr(io_rt.shutil, "rmtree", lambda *a, **k: None)
+    try:
+        out = io_rt.time_travel_read("/root/testdata/sf0.001")
+        root = state["root"]
+        v1_files = sorted(glob.glob(os.path.join(root, "data_v1", "*.parquet")))
+        assert v1_files
+        digests = {f: hashlib.md5(open(f, "rb").read()).hexdigest() for f in v1_files}
+        # v2 commit wrote its own files; v1's are untouched
+        assert all(os.path.exists(f) for f in v1_files)
+        assert {hashlib.md5(open(f, "rb").read()).hexdigest() for f in v1_files} == set(
+            digests.values()
+        )
+        v1 = out[out.version == 1].set_index("o_orderstatus")
+        v2 = out[out.version == 2].set_index("o_orderstatus")
+        assert not v1["n_orders"].equals(v2["n_orders"])  # the commit changed the table
+        assert (v1["n_orders"] > 0).all() and (v2["n_orders"] > 0).all()
+    finally:
+        import shutil as _sh
+
+        if "root" in state:
+            _sh.rmtree(state["root"], ignore_errors=True)
