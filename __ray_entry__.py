@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": relational_ext.q18_large_orders,
         "lang_quantile_chars": relational_ext.lang_quantile_chars,
         "word_topk": relational_ext.word_topk,
+        "vocab_coverage_curve": relational_ext.vocab_coverage_curve,
         # --- native left-outer / left-anti / distinct-count shapes ---------
         "q13_customer_distribution": relational_more.q13_customer_distribution,
         "q16_supplier_cnt": relational_more.q16_supplier_cnt,
@@ -1159,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": relational_ext.Q18_SQL,
         "lang_quantile_chars": relational_ext.LANG_QUANTILE_SQL,
         "word_topk": relational_ext.WORD_TOPK_SQL,
+        "vocab_coverage_curve": relational_ext.vocab_coverage_sql(),
         "q13_customer_distribution": relational_more.Q13_SQL,
         "q16_supplier_cnt": relational_more.Q16_SQL,
         "q22_sales_opportunity": relational_more.Q22_SQL,

@@ -496,3 +496,95 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token LIMIT {WORD_TOPK}
 """
+
+
+# cutoffs sized INSIDE the synthetic corpus's 31-type vocabulary so the
+# curve genuinely discriminates (production uses 1e4..1e5; a cutoff past
+# the vocab saturates at 1.0 and oracles nothing)
+VOCAB_CUTOFFS = (5, 15, 30)
+
+
+def vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    fraction of corpus TOKEN OCCURRENCES covered by the k most frequent
+    types (ties: count desc, token asc on both sides) — the planning
+    table a tokenizer build reads before choosing its vocab budget
+    (bpe_train picks merges; this says what any top-k vocab buys), and
+    the Zipf-curve summary every corpus card reports.
+
+    Scale: word_topk's exchange (one (token, n) row per distinct token
+    per block -> token-typed groupby); the sorted cumulative walk runs
+    on the type-count table driver-side under a loud residency cap (the
+    type table grows with vocabulary, not corpus size; past the cap the
+    scale path is the token_budget_select histogram threshold). Exact
+    integers + one final round-6 division per row."""
+    from ray.data.aggregate import Sum
+
+    VOCAB_TYPE_CAP = 50_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in pc.utf8_lower(batch["text"]).to_pylist():
+            if s:
+                c.update(_TOKEN_RE.findall(s))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts_ds = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    n_types = counts_ds.count()
+    if n_types > VOCAB_TYPE_CAP:
+        raise RuntimeError(
+            f"vocab_coverage_curve: {n_types} types exceed the driver cap; "
+            "scale path: token_budget_select's count-histogram threshold walk."
+        )
+    counts = counts_ds.to_pandas().sort_values(["n", "token"], ascending=[False, True])
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    rows = []
+    for k in VOCAB_CUTOFFS:
+        covered = int(cum[min(k, n_types) - 1]) if n_types else 0
+        rows.append(
+            {
+                "k": k,
+                "n_types": n_types,
+                "covered_tokens": covered,
+                "total_tokens": total,
+                "coverage": round(covered / total, 6) if total else 0.0,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"k": "int64", "n_types": "int64", "covered_tokens": "int64", "total_tokens": "int64"}
+    )
+
+
+def vocab_coverage_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM counts) AS n_types,
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM ranked WHERE rk <= {k}) AS covered_tokens,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM counts) AS total_tokens,
+       ROUND((SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) FROM ranked WHERE rk <= {k})
+             / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts), 6) AS coverage"""
+        for k in VOCAB_CUTOFFS
+    )
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM counts
+)
+{arms}
+ORDER BY k
+"""

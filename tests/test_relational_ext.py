@@ -76,3 +76,40 @@ def test_curate_corpus_end_to_end(ray_session):
     from paddle_ray.pipelines.curate import MIN_CHARS
 
     assert (out.sum_chars >= out.n_docs * MIN_CHARS).all()
+
+
+def test_vocab_coverage_curve_monotone_and_exact(ray_session):
+    """Engine == single-process Counter reference at every cutoff;
+    coverage is monotone in k and the curve genuinely discriminates
+    (k=100 covers less than k=10000, which covers < 100% unless the
+    vocab fits)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.relational_ext import (
+        VOCAB_CUTOFFS,
+        vocab_coverage_curve,
+    )
+
+    texts = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    tok = re.compile(r"[a-z0-9]+")
+    c = Counter()
+    for t in texts:
+        if t:
+            c.update(tok.findall(t.lower()))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+
+    out = vocab_coverage_curve("/root/testdata/sf0.001").set_index("k")
+    for k in VOCAB_CUTOFFS:
+        covered = sum(n for _, n in ordered[:k])
+        assert out.loc[k, "covered_tokens"] == covered
+        assert out.loc[k, "total_tokens"] == total
+        assert out.loc[k, "n_types"] == len(c)
+    cov = out["coverage"].to_numpy()
+    assert (np.diff(cov) >= 0).all()
+    assert cov[0] < cov[-1]  # the curve carries signal
