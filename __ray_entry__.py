@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": relational_more.orders_rollup,
         "orders_cube": relational_more.orders_cube,
         "skyline_orders": relational_more.skyline_orders,
+        "division_full_coverage": relational_more.division_full_coverage,
         "lang_modal_source": relational_more.lang_modal_source,
         "year_reconcile": relational_more.year_reconcile,
         "orders_running_total": relational_more.orders_running_total,
@@ -1167,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": relational_more.ROLLUP_SQL,
         "orders_cube": relational_more.CUBE_SQL,
         "skyline_orders": relational_more.SKYLINE_SQL,
+        "division_full_coverage": relational_more.DIVISION_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
         "orders_running_total": relational_more.RUNNING_TOTAL_SQL,

@@ -779,3 +779,90 @@ FROM o JOIN p ON o.price_cents = p.price_cents
 WHERE o.date_us = p.gmax AND o.date_us > p.pms
 ORDER BY o.o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# relational division — the universal-quantifier ("for all") join shape
+# --------------------------------------------------------------------------
+
+
+def division_full_coverage(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION (Codd's universal quantifier): customers whose
+    orders span EVERY order priority observed in the table — the
+    "bought ALL products" / "covered ALL compliance classes" query
+    shape, the one classic algebra operator the suite lacked (semi =
+    EXISTS, anti = NOT EXISTS, division = FOR ALL). Implemented the
+    scalable way: per-block DISTINCT (custkey, priority) pre-dedup, a
+    priority-count-per-customer groupby (shuffle moves distinct pairs,
+    never raw orders), and a filter against the global distinct-priority
+    scalar (a one-row broadcast, computed in the same pass's partials).
+
+    Output: the qualifying-customer count, an exact id digest
+    (value-locking the SET without a row-per-customer artifact), and the
+    divisor cardinality. Exact integers end-to-end."""
+    from ray.data.aggregate import Sum
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c": batch["o_custkey"].to_numpy(),
+                "p": batch["o_orderpriority"].to_pylist(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(pairs_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["c", "p"])
+        .aggregate(Sum("c", alias_name="_one"))  # distinct-izes (c, p)
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c": batch["c"].to_numpy(), "n_p": 1})
+        g = df.groupby("c", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        pairs.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c")
+        .aggregate(Sum("n_p", alias_name="n_p"))
+        .to_pandas()
+    )
+    n_priorities = (
+        _read(sf_dir, "orders", columns=["o_orderpriority"])
+        .map_batches(
+            lambda b: pa.table(
+                {"p": pa.array(list(set(b["o_orderpriority"].to_pylist())), pa.string())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("p")
+        .count()
+        .count()
+    )
+    qual = per_cust[per_cust["n_p"] == n_priorities]["c"].to_numpy()
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([len(qual)], dtype="int64"),
+            "cust_digest": pd.Series(
+                [int(((qual * 2654435761) % (1 << 31)).sum())], dtype="int64"
+            ),
+            "n_priorities": pd.Series([int(n_priorities)], dtype="int64"),
+        }
+    )
+
+
+DIVISION_SQL = """
+WITH np AS (SELECT COUNT(DISTINCT o_orderpriority) AS n FROM orders),
+q AS (
+  SELECT o_custkey
+  FROM orders GROUP BY o_custkey
+  HAVING COUNT(DISTINCT o_orderpriority) = (SELECT n FROM np)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COALESCE(SUM((o_custkey * 2654435761) % 2147483648), 0) AS BIGINT) AS cust_digest,
+       (SELECT CAST(n AS BIGINT) FROM np) AS n_priorities
+FROM q
+"""

@@ -352,3 +352,42 @@ def test_skyline_duplicate_points_all_survive(tmp_path):
     out = relational_more.skyline_orders(str(tmp_path))
     # identical maximal points (1,2) both survive; (3) is dominated
     assert out["o_orderkey"].tolist() == [1, 2]
+
+
+def test_division_full_coverage_semantics(ray_session, tmp_path):
+    """FOR-ALL semantics on a planted table: a customer missing ONE
+    priority never qualifies; plus engine == pandas reference on the
+    real corpus and the predicate genuinely discriminates."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.relational_more import division_full_coverage
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(1, 8),
+            "o_custkey": [1, 1, 1, 2, 2, 3, 3],
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("1996-01-01"),
+            # priorities observed: A, B, C. cust 1 covers all three;
+            # cust 2 covers A,B; cust 3 covers A,A (dup must not help)
+            "o_orderpriority": ["A", "B", "C", "A", "B", "A", "A"],
+        }
+    )
+    _write(tmp_path, "orders", df)
+    out = division_full_coverage(str(tmp_path))
+    assert out.loc[0, "n_customers"] == 1
+    assert out.loc[0, "n_priorities"] == 3
+    assert out.loc[0, "cust_digest"] == (1 * 2654435761) % (1 << 31)
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).to_pandas()
+    n_p = t["o_orderpriority"].nunique()
+    per = t.groupby("o_custkey")["o_orderpriority"].nunique()
+    qual = per[per == n_p].index.to_numpy()
+    real = division_full_coverage("/root/testdata/sf0.001")
+    assert real.loc[0, "n_customers"] == len(qual)
+    assert real.loc[0, "cust_digest"] == int(((qual * 2654435761) % (1 << 31)).sum())
+    assert 0 < len(qual) < per.size  # non-vacuous: some qualify, some don't
