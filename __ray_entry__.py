@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational_rest.q21_waiting_suppliers,
         # --- remaining dedup (machinery also exercised by dedup_clusters) --
         "dedup_exact": dedup.dedup_exact,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # golden-VALUES simhash (pigeonhole segments; brute-force pytest)
         "dedup_simhash": _dedup_simhash_golden,
         # (minhash_missed_pairs demoted here — exact-shingle verify
@@ -961,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_doc_keys": joins.DISTINCT_DOC_KEYS_SQL,
         "union_short_long_docs": joins.UNION_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "jaccard_pairs_by_source": dedup.JACCARD_PAIRS_SQL_T.format(threshold=JACCARD_THRESHOLD),
         "shingle_jaccard_pairs": dedup.SHINGLE_JACCARD_SQL_T.format(

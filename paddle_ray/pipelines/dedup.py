@@ -1724,3 +1724,121 @@ WHERE {CONTAIN_TAU_DEN} * i.inter >= {CONTAIN_TAU_NUM} * sa.n
   AND (sa.n < sb.n OR (sa.n = sb.n AND i.id_a < i.id_b))
 ORDER BY id_a, id_b
 """
+
+
+# --------------------------------------------------------------------------
+# exact dedup with canonical-representative election (keep BEST, not first)
+# --------------------------------------------------------------------------
+
+# packed election key: quality-major, id-minor. doc_id must fit 40 bits
+# (locked by an assertion in the partial — fails loudly, never corrupts).
+_KEEP_BEST_ID_BITS = 40
+
+
+def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup electing the BEST representative per duplicate group —
+    dedup_exact keeps the smallest doc_id (a deterministic archive
+    policy); a curation pipeline keeps the highest-QUALITY copy (here:
+    longest text, tie smallest id — the re-crawl of a page usually
+    gains content, and dropping it for an older stub loses data). Same
+    question, production policy.
+
+    Scale contract: the shuffle carries (sha256, packed_key) only —
+    the election is ONE distributed Max over a single packed int64
+    (quality-major, inverted-id-minor: max(packed) == argmax(n_chars,
+    then min doc_id)), the two-level-argmax trick collapsed into a
+    plain mergeable aggregate (no map_groups anywhere); winners rejoin
+    their source attribute by ONE slim native join on doc_id. Output:
+    per-source n_docs / n_kept / exact kept-id digest."""
+    from ray.data.aggregate import Max, Sum
+
+    from .common import sized_read_parquet
+
+    def hash_pack(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        nch = batch["n_chars"].to_numpy()
+        assert (ids < (1 << _KEEP_BEST_ID_BITS)).all(), "doc_id exceeds 40-bit pack"
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        packed = (nch << _KEEP_BEST_ID_BITS) + (((1 << _KEEP_BEST_ID_BITS) - 1) - ids)
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "text", "source"]
+    )
+    winners = (
+        docs.map_batches(hash_pack, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy()
+        ids = ((1 << _KEEP_BEST_ID_BITS) - 1) - (packed & ((1 << _KEEP_BEST_ID_BITS) - 1))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    kept_ids = winners.map_batches(unpack, batch_format="pyarrow", batch_size=None)
+    src_slim = docs.select_columns(["doc_id", "source"])
+    kept = kept_ids.join(src_slim, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "n_kept": 1,
+                "kept_digest": (ids * 2654435761) % (1 << 31),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    kept_agg = (
+        kept.map_batches(kept_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("n_kept", alias_name="n_kept"), Sum("kept_digest", alias_name="kept_digest"))
+        .to_pandas()
+    )
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch["source"].to_pylist(), "n_docs": 1})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    totals = (
+        docs.select_columns(["source"])
+        .map_batches(total_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out = (
+        totals.merge(kept_agg, on="source", how="left")
+        .fillna(0)
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"source": "str", "n_docs": "int64", "n_kept": "int64", "kept_digest": "int64"}
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN (doc_id * 2654435761) % 2147483648 ELSE 0 END) AS BIGINT)
+         AS kept_digest
+FROM ranked GROUP BY source ORDER BY source
+"""

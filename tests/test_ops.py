@@ -2876,3 +2876,60 @@ def test_degree_assortativity_matches_reference(ray_session):
     assert abs(out.loc[0, "assortativity"] - float(r)) < 2e-6
     assert -1.0 <= out.loc[0, "assortativity"] <= 1.0
     assert abs(out.loc[0, "assortativity"]) > 1e-4  # non-degenerate mixing
+
+
+def test_dedup_keep_best_elects_quality_not_order(ray_session, tmp_path):
+    """Planted duplicate group: the LONGEST copy wins regardless of id
+    order (and on an n_chars tie, the smallest id) — the policy
+    difference vs dedup_exact; engine == pandas reference on the real
+    corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.dedup import dedup_keep_best
+
+    planted = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 10, 11],
+            "text": ["dup", "dup", "dup", "tie", "tie"],
+            "lang": "en",
+            "source": ["s", "s", "s", "t", "t"],
+            # id 2 is the LONGEST copy of 'dup' (n_chars is the stored
+            # quality column, independent of the literal text here)
+            "n_chars": [5, 9, 7, 4, 4],
+        }
+    )
+    _pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                    tmp_path / "documents.parquet")
+    out = dedup_keep_best(str(tmp_path)).set_index("source")
+    assert out.loc["s", "n_kept"] == 1
+    assert out.loc["s", "kept_digest"] == (2 * 2654435761) % (1 << 31)  # quality wins
+    assert out.loc["t", "kept_digest"] == (10 * 2654435761) % (1 << 31)  # tie -> min id
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    ).to_pandas()
+    t["rn"] = (
+        t.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("text")
+        .cumcount()
+    )
+    kept = t[t.rn == 0]
+    ref = (
+        t.groupby("source")
+        .size()
+        .rename("n_docs")
+        .to_frame()
+        .join(kept.groupby("source").agg(
+            n_kept=("doc_id", "size"),
+            kept_digest=("doc_id", lambda s: int(((s.to_numpy() * 2654435761) % (1 << 31)).sum())),
+        ))
+        .fillna(0)
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    real = dedup_keep_best("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(real, ref.astype(real.dtypes.to_dict())[real.columns])
