@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantile_chars": relational_ext.lang_quantile_chars,
         "word_topk": relational_ext.word_topk,
         "vocab_coverage_curve": relational_ext.vocab_coverage_curve,
+        "phrase_search": relational_ext.phrase_search,
         # --- native left-outer / left-anti / distinct-count shapes ---------
         "q13_customer_distribution": relational_more.q13_customer_distribution,
         "q16_supplier_cnt": relational_more.q16_supplier_cnt,
@@ -1164,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quantile_chars": relational_ext.LANG_QUANTILE_SQL,
         "word_topk": relational_ext.WORD_TOPK_SQL,
         "vocab_coverage_curve": relational_ext.vocab_coverage_sql(),
+        "phrase_search": relational_ext.PHRASE_SEARCH_SQL,
         "q13_customer_distribution": relational_more.Q13_SQL,
         "q16_supplier_cnt": relational_more.Q16_SQL,
         "q22_sales_opportunity": relational_more.Q22_SQL,

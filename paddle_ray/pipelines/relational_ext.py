@@ -588,3 +588,96 @@ ranked AS (
 {arms}
 ORDER BY k
 """
+
+
+PHRASE_W1, PHRASE_W2 = "hash", "join"
+_PHRASE_POS_BITS = 20  # positions fit 20 bits (docs are ~100 tokens)
+
+
+def phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Positional phrase search: exact-adjacency match of the two-word
+    phrase '{w1} {w2}' via a POSITIONAL postings join — the IR operator
+    inverted_index (doc-level df) cannot answer, because phrases need
+    positions ("hash join" != "join ... hash"). The classic positional-
+    index evaluation: postings(w1) shifted by +1 equi-join
+    postings(w2).
+
+    Scale contract: postings are materialized ONLY for the two query
+    terms (the filter runs inside tokenization — at 100 TB you never
+    build the full positional index to answer one phrase); each posting
+    is ONE packed int64 (doc_id << 20 | position), so the adjacency
+    join is a slim native int-key hash join (shift = +1 on the packed
+    key, valid because a position never crosses the 20-bit boundary —
+    asserted loudly). Output: matched-doc count, total occurrences and
+    an exact matched-doc digest."""
+    from ray.data.aggregate import Sum
+
+    def postings(which: str, shift: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                if not t:
+                    continue
+                toks = _TOKEN_RE.findall(t.lower())
+                assert len(toks) < (1 << _PHRASE_POS_BITS), "position overflows pack"
+                base = d << _PHRASE_POS_BITS
+                keys.extend(base + i + shift for i, w in enumerate(toks) if w == which)
+            return pa.table({"k": pa.array(keys, pa.int64())})
+
+        return fn
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    left = docs.map_batches(postings(PHRASE_W1, 1), batch_format="pyarrow", batch_size=None)
+    right = docs.map_batches(postings(PHRASE_W2, 0), batch_format="pyarrow", batch_size=None)
+    hits = left.join(right, join_type="inner", num_partitions=8, on=("k",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy()
+        doc = k >> _PHRASE_POS_BITS
+        u = np.unique(doc)
+        return pa.table(
+            {
+                "n_occurrences": pa.array([len(k)], pa.int64()),
+                # per-block doc sets may overlap across blocks; ship the
+                # distinct docs per block and re-distinct in the final fold
+                "docs": pa.array([u.tolist()]),
+            }
+        )
+
+    parts = hits.map_batches(fold, batch_format="pyarrow", batch_size=None).to_pandas()
+    if parts.empty:
+        all_docs = np.array([], dtype=np.int64)
+        n_occ = 0
+    else:
+        all_docs = np.unique(np.concatenate([np.array(d, dtype=np.int64) for d in parts["docs"]]))
+        n_occ = int(parts["n_occurrences"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs_matched": pd.Series([len(all_docs)], dtype="int64"),
+            "n_occurrences": pd.Series([n_occ], dtype="int64"),
+            "doc_digest": pd.Series(
+                [int(((all_docs * 13) % (1 << 31)).sum())], dtype="int64"
+            ),
+        }
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM t
+),
+hits AS (
+  SELECT a.doc_id
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok = '{PHRASE_W1}' AND b.tok = '{PHRASE_W2}'
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_matched,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COALESCE((SELECT SUM((d * 13) % 2147483648)
+                      FROM (SELECT DISTINCT doc_id AS d FROM hits)), 0) AS BIGINT)
+         AS doc_digest
+FROM hits
+"""

@@ -113,3 +113,61 @@ def test_vocab_coverage_curve_monotone_and_exact(ray_session):
     cov = out["coverage"].to_numpy()
     assert (np.diff(cov) >= 0).all()
     assert cov[0] < cov[-1]  # the curve carries signal
+
+
+def test_phrase_search_adjacency_semantics(ray_session, tmp_path):
+    """Adjacency is strict and ordered: 'hash join' matches, 'join hash'
+    and 'hash X join' do not; overlapping repeats count per occurrence;
+    engine == regex-free sequential reference on the real corpus."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.relational_ext import (
+        PHRASE_W1,
+        PHRASE_W2,
+        phrase_search,
+    )
+
+    planted = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash join now",            # 1 occurrence
+                "join hash",                # reversed -> 0
+                "hash sort join",           # gap -> 0
+                "hash join hash join",      # 2 occurrences
+            ],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 10,
+        }
+    )
+    _pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                    tmp_path / "documents.parquet")
+    out = phrase_search(str(tmp_path))
+    assert out.loc[0, "n_docs_matched"] == 2
+    assert out.loc[0, "n_occurrences"] == 3
+    assert out.loc[0, "doc_digest"] == ((1 * 13) + (4 * 13)) % (1 << 31) if False else True
+    assert out.loc[0, "doc_digest"] == ((1 * 13) % (1 << 31)) + ((4 * 13) % (1 << 31))
+
+    tok = re.compile(r"[a-z0-9]+")
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n_occ, docs = 0, set()
+    for r in t.itertuples():
+        toks = tok.findall(r.text.lower())
+        c = sum(
+            1 for i in range(len(toks) - 1)
+            if toks[i] == PHRASE_W1 and toks[i + 1] == PHRASE_W2
+        )
+        if c:
+            docs.add(r.doc_id)
+            n_occ += c
+    real = phrase_search("/root/testdata/sf0.001")
+    assert real.loc[0, "n_occurrences"] == n_occ
+    assert real.loc[0, "n_docs_matched"] == len(docs)
+    assert n_occ > 0
