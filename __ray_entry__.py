@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: eps-DP Laplace-released per-lang counts (seeded noise —
         # md5 inverse-CDF draw identical on both sides; #langs-sized)
         "dp_group_counts": scrub.dp_group_counts,
+        "dp_user_histogram": scrub.dp_user_histogram,
         # politeness-constrained crawl timetable (ONE coarse host-hash
         # exchange; exact-int schedule digest locks every slot)
         "crawl_schedule": scrub.crawl_schedule,
@@ -1068,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_customers": scrub.K_ANONYMITY_SQL,
         "gdpr_delete_cascade": scrub.GDPR_CASCADE_SQL,
         "dp_group_counts": scrub.DP_GROUP_COUNTS_SQL,
+        "dp_user_histogram": scrub.DP_USER_HISTOGRAM_SQL,
         "crawl_schedule": scrub.CRAWL_SCHEDULE_SQL,
         "encoding_audit": scrub.ENCODING_AUDIT_SQL,
         "robots_filter": scrub.ROBOTS_FILTER_SQL,

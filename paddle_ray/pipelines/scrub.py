@@ -1150,3 +1150,99 @@ SELECT doc_id,
            FILTER (WHERE f < {FREQ_LINE_MIN})) AS clean_md5
 FROM freq GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# user-level DP histogram — contribution bounding + Laplace release
+# --------------------------------------------------------------------------
+
+DP_USER_CAP = 2  # max events any one user contributes to the release
+
+
+def dp_user_histogram(sf_dir: str, eps: float = DP_EPS, cap: int = DP_USER_CAP) -> pd.DataFrame:
+    """USER-level eps-DP event-type histogram — dp_group_counts releases
+    with row-level sensitivity 1, which protects a ROW; real
+    deployments protect a PERSON, whose many events make row-level
+    noise meaningless. The standard fix (Wilson et al., 2020) is
+    CONTRIBUTION BOUNDING: keep each user's first `cap` events (order =
+    (ts, event_id) — deterministic), so one user changes at most `cap`
+    cells by 1 each, L1 sensitivity = cap, noise ~ Laplace(cap/eps) per
+    cell with the dp_group_counts seeded-draw contract.
+
+    Scale: contribution bounding is the sessionize coarse user-hash
+    partition shape (vectorized per-user rank < cap, no per-user
+    callbacks); the bounded stream folds to #types x #blocks integer
+    partials; the noise pass runs on the #types-sized result."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    N_PARTS = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from .joins import _hash_part  # type: ignore[attr-defined]
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def bound_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        rank = g.groupby("user_id").cumcount()
+        kept = g[rank < cap]
+        out = kept.groupby("event_type", as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    counts = (
+        sized_read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bound_part, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    u = np.array(
+        [
+            int(hashlib.md5(f"dpu:{t}".encode()).hexdigest()[:12], 16) / float(1 << 48) - 0.5
+            for t in counts.event_type
+        ]
+    )
+    noise = -(float(cap) / eps) * np.sign(u) * np.log(1.0 - 2.0 * np.abs(u))
+    counts["n_noisy"] = (counts.n.to_numpy(dtype=np.float64) + noise).round(6)
+    return counts[["event_type", "n_noisy"]].astype({"event_type": "str"})
+
+
+DP_USER_HISTOGRAM_SQL = f"""
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked WHERE rn <= {DP_USER_CAP} GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n,
+         CAST(CONCAT('0x', substr(md5('dpu:' || event_type), 1, 12)) AS BIGINT)
+           / 281474976710656.0 - 0.5 AS uu
+  FROM c
+)
+SELECT event_type,
+       ROUND(n + (-CAST({DP_USER_CAP} AS DOUBLE) / {DP_EPS}) * sign(uu)
+                 * ln(1.0 - 2.0 * abs(uu)), 6) AS n_noisy
+FROM u ORDER BY event_type
+"""

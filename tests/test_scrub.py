@@ -446,3 +446,39 @@ def test_frequent_line_filter_all_copies_removed(ray_session):
     # and some text is itself corpus-frequent OR all texts unique: either
     # way the policy discriminates (not all docs identical outcome)
     assert out["n_kept"].sum() > 0
+
+
+def test_dp_user_histogram_contribution_bounding(ray_session):
+    """The bound genuinely bites (bounded counts < raw counts), noise is
+    live and scales with cap/eps, engine == single-process reference,
+    and eps/cap guards raise."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as _pq
+    import pytest
+
+    from paddle_ray.pipelines.scrub import DP_EPS, DP_USER_CAP, dp_user_histogram
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    t["rn"] = t.groupby("user_id").cumcount()
+    bounded = t[t.rn < DP_USER_CAP].groupby("event_type").size()
+    raw = t.groupby("event_type").size()
+    assert (bounded < raw).all()  # bounding genuinely bites
+
+    out = dp_user_histogram("/root/testdata/sf0.001").set_index("event_type")
+    for et, n in bounded.items():
+        u = int(hashlib.md5(f"dpu:{et}".encode()).hexdigest()[:12], 16) / float(1 << 48) - 0.5
+        noise = -(DP_USER_CAP / DP_EPS) * np.sign(u) * np.log(1.0 - 2.0 * abs(u))
+        assert abs(out.loc[et, "n_noisy"] - round(n + noise, 6)) < 2e-6
+        assert abs(out.loc[et, "n_noisy"] - n) > 1e-6  # noise is live
+
+    with pytest.raises(ValueError):
+        dp_user_histogram("/root/testdata/sf0.001", eps=0)
+    with pytest.raises(ValueError):
+        dp_user_histogram("/root/testdata/sf0.001", cap=0)
