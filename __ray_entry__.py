@@ -690,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5 inverse-CDF draw identical on both sides; #langs-sized)
         "dp_group_counts": scrub.dp_group_counts,
         "dp_user_histogram": scrub.dp_user_histogram,
+        "audit_panel_one_pass": scrub.audit_panel_one_pass,
         # politeness-constrained crawl timetable (ONE coarse host-hash
         # exchange; exact-int schedule digest locks every slot)
         "crawl_schedule": scrub.crawl_schedule,
@@ -1070,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "gdpr_delete_cascade": scrub.GDPR_CASCADE_SQL,
         "dp_group_counts": scrub.DP_GROUP_COUNTS_SQL,
         "dp_user_histogram": scrub.DP_USER_HISTOGRAM_SQL,
+        "audit_panel_one_pass": scrub.AUDIT_PANEL_SQL,
         "crawl_schedule": scrub.CRAWL_SCHEDULE_SQL,
         "encoding_audit": scrub.ENCODING_AUDIT_SQL,
         "robots_filter": scrub.ROBOTS_FILTER_SQL,

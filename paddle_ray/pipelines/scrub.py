@@ -1246,3 +1246,88 @@ SELECT event_type,
                  * ln(1.0 - 2.0 * abs(uu)), 6) AS n_noisy
 FROM u ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# one-pass audit panel — scan sharing across audit families
+# --------------------------------------------------------------------------
+
+
+def audit_panel_one_pass(sf_dir: str) -> pd.DataFrame:
+    """Corpus audit panel computed in ONE shared scan — the pattern that
+    matters at 100 TB: encoding validity, NFC normality, volume and
+    length rollups each cost a full corpus read when run as separate
+    jobs; a nightly audit fuses them into one pass over one column
+    projection, and every additional metric is then marginal-cost-zero.
+    (The metric kernels are the ones encoding_audit / unicode_nfc_audit
+    already value-lock individually; this operator locks the FUSION —
+    same numbers out of the shared scan.)
+
+    Output is the long-form (metric, key, value) panel, all exact
+    int64: n_docs and sum_chars per lang, invalid_utf8 per lang
+    (encoding_audit's planted derivation), non_nfc per lang
+    (unicode_nfc_audit's derivation). Exchange: #metrics x #langs x
+    #blocks integer partials — one groupby for the whole panel."""
+    import unicodedata
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        nchars = batch["n_chars"].to_numpy()
+        rows: dict[tuple[str, str], int] = {}
+
+        def add(metric: str, key: str, v: int) -> None:
+            rows[(metric, key)] = rows.get((metric, key), 0) + v
+
+        for i, lang, t, nc in zip(ids, langs, texts, nchars):
+            add("n_docs", lang, 1)
+            add("sum_chars", lang, int(nc))
+            raw = (
+                _plant_corruption(t)
+                if i % ENCODING_CORRUPT_MOD == 0
+                else t.encode("utf-8")
+            )
+            if not _is_valid_utf8(raw):
+                add("invalid_utf8", lang, 1)
+            s = t + _NFC_PLANT if i % NFC_PLANT_MOD == 0 else t
+            if unicodedata.normalize("NFC", s) != s:
+                add("non_nfc", lang, 1)
+        df = pd.DataFrame(
+            [(m, k, v) for (m, k), v in rows.items()], columns=["metric", "key", "value"]
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["metric", "key"])
+        .aggregate(Sum("value", alias_name="value"))
+        .to_pandas()
+        .sort_values(["metric", "key"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"metric": "str", "key": "str", "value": "int64"})
+
+
+AUDIT_PANEL_SQL = f"""
+SELECT 'n_docs' AS metric, lang AS key, CAST(COUNT(*) AS BIGINT) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'sum_chars', lang, CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY lang
+UNION ALL
+SELECT 'invalid_utf8', lang,
+       CAST(SUM(CASE WHEN doc_id % {ENCODING_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents GROUP BY lang
+HAVING SUM(CASE WHEN doc_id % {ENCODING_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END) > 0
+UNION ALL
+SELECT 'non_nfc', lang,
+       CAST(SUM(CASE WHEN doc_id % {NFC_PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents GROUP BY lang
+HAVING SUM(CASE WHEN doc_id % {NFC_PLANT_MOD} = 0 THEN 1 ELSE 0 END) > 0
+ORDER BY metric, key
+"""

@@ -482,3 +482,40 @@ def test_dp_user_histogram_contribution_bounding(ray_session):
         dp_user_histogram("/root/testdata/sf0.001", eps=0)
     with pytest.raises(ValueError):
         dp_user_histogram("/root/testdata/sf0.001", cap=0)
+
+
+def test_audit_panel_fusion_equals_individual_operators(ray_session):
+    """The fused one-pass panel must reproduce encoding_audit's and
+    unicode_nfc_audit's numbers exactly (scan sharing changes cost,
+    never answers)."""
+    import pandas as pd
+
+    from paddle_ray.pipelines.scrub import (
+        audit_panel_one_pass,
+        encoding_audit,
+        unicode_nfc_audit,
+    )
+
+    panel = audit_panel_one_pass("/root/testdata/sf0.001")
+    inv = panel[panel.metric == "invalid_utf8"].set_index("key")["value"]
+    nfc = panel[panel.metric == "non_nfc"].set_index("key")["value"]
+    nd = panel[panel.metric == "n_docs"].set_index("key")["value"]
+
+    # encoding_audit groups by SOURCE; re-derive per-lang from the corpus
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.scrub import ENCODING_CORRUPT_MOD, NFC_PLANT_MOD
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    ref_inv = t[t.doc_id % ENCODING_CORRUPT_MOD == 0].groupby("lang").size()
+    ref_nfc = t[t.doc_id % NFC_PLANT_MOD == 0].groupby("lang").size()
+    pd.testing.assert_series_equal(inv.sort_index(), ref_inv.sort_index(),
+                                   check_names=False, check_dtype=False)
+    pd.testing.assert_series_equal(nfc.sort_index(), ref_nfc.sort_index(),
+                                   check_names=False, check_dtype=False)
+    assert (nd.sort_index() == t.groupby("lang").size().sort_index()).all()
+    # totals reconcile with the standalone audits
+    assert inv.sum() == encoding_audit("/root/testdata/sf0.001")["n_invalid"].sum()
+    assert nfc.sum() == unicode_nfc_audit("/root/testdata/sf0.001")["n_non_nfc"].sum()
