@@ -2009,3 +2009,65 @@ SELECT channel, COUNT(*) AS n_purchases,
        CAST(SUM(cents) AS BIGINT) AS revenue_cents
 FROM purchases GROUP BY channel ORDER BY channel
 """
+
+
+# --------------------------------------------------------------------------
+# cumulative adoption — first-touch cohort growth curve
+# --------------------------------------------------------------------------
+
+
+def cumulative_adoption(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-adoption curve: distinct users EVER seen, by day — the
+    growth metric behind every product dashboard, and the first-touch
+    complement of retention_cohorts (retention asks who RETURNS; this
+    asks when each user first ARRIVED). A user counts once, on their
+    first-seen day: per-user Min(day) (the argmin fold — per-block
+    (user, min_day) partials, user-sized groupby), then a #days-sized
+    first-seen histogram and a driver cumsum. Exact integers
+    end-to-end; the curve is monotone by construction and ends at the
+    global distinct-user count (both pytest-locked)."""
+    from ray.data.aggregate import Min, Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.cast(batch["ts"], pa.int64()).to_numpy() // DAY_US
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "day": day})
+        g = df.groupby("user_id", as_index=False).min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first_seen = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": batch["day"].to_numpy(), "n_new": 1})
+        g = df.groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    days = (
+        first_seen.map_batches(day_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days["cum_users"] = days["n_new"].cumsum()
+    return days.astype({"day": "int64", "n_new": "int64", "cum_users": "int64"})
+
+
+CUMULATIVE_ADOPTION_SQL = """
+WITH fs AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY user_id
+),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY day)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""

@@ -2933,3 +2933,26 @@ def test_dedup_keep_best_elects_quality_not_order(ray_session, tmp_path):
     )
     real = dedup_keep_best("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(real, ref.astype(real.dtypes.to_dict())[real.columns])
+
+
+def test_cumulative_adoption_first_touch(ray_session):
+    """A user counts once on their FIRST day (never re-counted), the
+    curve is monotone, and it ends at the global distinct-user count;
+    engine == pandas reference."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import cumulative_adoption
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    t["day"] = t["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    fs = t.groupby("user_id")["day"].min()
+    ref = fs.value_counts().sort_index()
+
+    out = cumulative_adoption("/root/testdata/sf0.001")
+    assert out.set_index("day")["n_new"].sort_index().equals(ref.astype("int64"))
+    assert (out["cum_users"].diff().dropna() >= 0).all()
+    assert out["cum_users"].iloc[-1] == t["user_id"].nunique()
+    assert out["n_new"].sum() == t["user_id"].nunique()
