@@ -637,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": analysis.mad_outliers,
         "pivot_source_lang": analysis.pivot_source_lang,
         "poisson_bootstrap_means": analysis.poisson_bootstrap_means,
+        "winsorized_mean": analysis.winsorized_mean,
         # Benford first-digit audit over order totals (9-row partials;
         # exact int counts + round-6 chi-square terms)
         "benford_audit": analysis.benford_audit,
@@ -1049,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": analysis.MAD_OUTLIERS_SQL,
         "pivot_source_lang": analysis.PIVOT_SOURCE_LANG_SQL,
         "poisson_bootstrap_means": analysis.poisson_bootstrap_sql(),
+        "winsorized_mean": analysis.WINSORIZED_MEAN_SQL,
         "benford_audit": analysis.BENFORD_SQL,
         "regression_by_lang": analysis.REGRESSION_SQL,
         "impute_lang_by_source": analysis.IMPUTE_LANG_SQL,

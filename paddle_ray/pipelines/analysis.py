@@ -3210,3 +3210,85 @@ SELECT CAST(b AS BIGINT) AS b,
        ROUND(CAST(SUM(k * n_chars) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) AS mean_chars
 FROM mult GROUP BY b ORDER BY b
 """
+
+
+# --------------------------------------------------------------------------
+# winsorized mean — robust rollup by percentile clipping
+# --------------------------------------------------------------------------
+
+WINSOR_LO_Q = 0.05
+WINSOR_HI_Q = 0.95
+
+
+def winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-lang winsorized mean of doc length: clip every value to the
+    exact [p05, p95] rank bounds, then average — the REPAIR companion
+    of mad_outliers (that flags the tail; this neutralizes it, the
+    robust rollup a corpus card reports when a handful of mega-pages
+    would otherwise own the mean). Bounds use the established
+    quantile_disc rank contract (ceil(q*n), 1-based) on the merged
+    value histogram; the clipped sum is exact int64 (clip then
+    cnt-weighted sum over the histogram — the corpus is never
+    re-scanned), and the one final division is exact-big-int vs the
+    oracle's cast-to-double (~1e-16 under round-6).
+
+    Scale: the mad_outliers single-pass (lang, n_chars, cnt) histogram;
+    everything after is distinct-value-sized driver work."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "v": batch["n_chars"].to_numpy()}
+        )
+        g = df.groupby(["lang", "v"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def rank_value(vals, cnts, rank):
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(cnts[order])
+        return int(vals[order][np.searchsorted(cum, rank)])
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        vals = g["v"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        n = int(cnts.sum())
+        lo = rank_value(vals, cnts, -(-int(WINSOR_LO_Q * 1e6 * n) // 1_000_000))
+        hi = rank_value(vals, cnts, -(-int(WINSOR_HI_Q * 1e6 * n) // 1_000_000))
+        clipped = np.clip(vals, lo, hi)
+        s = int((clipped.astype(object) * cnts.astype(object)).sum())
+        rows.append(
+            {"lang": lang, "n": n, "lo": lo, "hi": hi, "winsorized_mean": round(s / n, 6)}
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values("lang")
+        .reset_index(drop=True)
+        .astype({"lang": "str", "n": "int64", "lo": "int64", "hi": "int64"})
+    )
+
+
+WINSORIZED_MEAN_SQL = f"""
+WITH d AS (SELECT lang, n_chars AS v FROM documents),
+q AS (
+  SELECT lang, quantile_disc(v, {WINSOR_LO_Q}) AS lo, quantile_disc(v, {WINSOR_HI_Q}) AS hi
+  FROM d GROUP BY lang
+)
+SELECT d.lang, COUNT(*) AS n,
+       CAST(ANY_VALUE(q.lo) AS BIGINT) AS lo,
+       CAST(ANY_VALUE(q.hi) AS BIGINT) AS hi,
+       ROUND(CAST(SUM(CASE WHEN d.v < q.lo THEN q.lo
+                           WHEN d.v > q.hi THEN q.hi
+                           ELSE d.v END) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM d JOIN q ON d.lang = q.lang
+GROUP BY d.lang ORDER BY d.lang
+"""

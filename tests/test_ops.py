@@ -2956,3 +2956,33 @@ def test_cumulative_adoption_first_touch(ray_session):
     assert (out["cum_users"].diff().dropna() >= 0).all()
     assert out["cum_users"].iloc[-1] == t["user_id"].nunique()
     assert out["n_new"].sum() == t["user_id"].nunique()
+
+
+def test_winsorized_mean_clip_semantics(ray_session):
+    """Engine == expanded-multiset reference under the ceil(q*n) rank
+    contract; clipping genuinely moves the mean toward the median on at
+    least one lang (tails exist) and never past the raw extremes."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.analysis import WINSOR_HI_Q, WINSOR_LO_Q, winsorized_mean
+
+    t = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    out = winsorized_mean("/root/testdata/sf0.001").set_index("lang")
+    moved = 0
+    for lang, g in t.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        lo = int(v[math.ceil(WINSOR_LO_Q * n) - 1])
+        hi = int(v[math.ceil(WINSOR_HI_Q * n) - 1])
+        wm = float(np.clip(g["n_chars"].to_numpy(), lo, hi).mean())
+        r = out.loc[lang]
+        assert (r["n"], r["lo"], r["hi"]) == (n, lo, hi)
+        assert abs(r["winsorized_mean"] - wm) < 1e-5
+        if abs(wm - g["n_chars"].mean()) > 1e-9:
+            moved += 1
+        assert v[0] <= r["winsorized_mean"] <= v[-1]
+    assert moved > 0  # clipping is not a no-op corpus-wide
