@@ -1956,3 +1956,89 @@ SELECT cid, CAST(rank AS BIGINT) AS rank, token, n FROM (
   FROM cnt
 ) WHERE rank <= {topk} ORDER BY cid, rank
 """
+
+
+# --------------------------------------------------------------------------
+# distributed matrix-free power-iteration step (PCA direction primitive)
+# --------------------------------------------------------------------------
+
+
+def pca_power_step(sf_dir: str) -> pd.DataFrame:
+    """One matrix-free power-iteration step v1 = X^T (X v0), v0 = e_1 —
+    the distributed linear-algebra primitive under every PCA / spectral
+    embedding / whitening stage (Halko et al. 2011): the matrix is
+    never materialized; each block computes its own X^T(Xv) partial and
+    the exchange is d-sized. Runs over the SQ8-QUANTIZED codes
+    (embedding_quantize_error's exact quantization contract) so the
+    matvec is INTEGER end-to-end and the oracle equality is exact —
+    float block-sum ordering never enters (production iterates in
+    float64 and normalizes per round; the dataflow is identical, this
+    pins it value-exactly).
+
+    Two passes: (1) the quantize-error per-dimension (min, max) reduce
+    (O(#blocks) 2x64-float rows, broadcast once); (2) per-block int64
+    matvec partials -> ONE d-sized groupby. Output: (dim 1..64, v1)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .common import sized_read_parquet
+
+    emb = lambda cols: sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        X = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {"mn": pa.array([X.min(axis=0).tolist()]), "mx": pa.array([X.max(axis=0).tolist()])}
+        )
+
+    parts = emb(["embedding"]).map_batches(mm_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    mn = np.vstack(parts.mn.to_numpy()).min(axis=0)
+    mx = np.vstack(parts.mx.to_numpy()).max(axis=0)
+    mm_ref = _ray.put((mn, mx))
+
+    def matvec_partial(batch: pa.Table) -> pa.Table:
+        mn_, mx_ = _ray.get(mm_ref)
+        X = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        scale = mx_ - mn_
+        safe = np.where(scale > 0, scale, 1.0)
+        code = np.floor((X - mn_) / safe * PQ_LEVELS + 0.5)
+        Q = np.where(scale > 0, code, 0.0).astype(np.int64)
+        v1 = Q.T @ Q[:, 0]  # int64 matvec: X^T (X e_1)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, Q.shape[1] + 1), pa.int64()),
+                "v1": pa.array(v1, pa.int64()),
+            }
+        )
+
+    out = (
+        emb(["embedding"])
+        .map_batches(matvec_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("dim")
+        .aggregate(Sum("v1", alias_name="v1"))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    return out.astype({"dim": "int64", "v1": "int64"})
+
+
+PCA_POWER_STEP_SQL = f"""
+WITH d AS (
+  SELECT vec_id, CAST(embedding[dim] AS DOUBLE) AS x, dim
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS gs(dim)
+),
+mm AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+codes AS (
+  SELECT vec_id, d.dim,
+         CAST(CASE WHEN mx > mn
+                   THEN floor((x - mn) / (mx - mn) * {PQ_LEVELS} + 0.5)
+                   ELSE 0.0 END AS BIGINT) AS q
+  FROM d JOIN mm ON d.dim = mm.dim
+),
+c0 AS (SELECT vec_id, q AS q0 FROM codes WHERE dim = 1)
+SELECT codes.dim, CAST(SUM(codes.q * c0.q0) AS BIGINT) AS v1
+FROM codes JOIN c0 ON codes.vec_id = c0.vec_id
+GROUP BY codes.dim ORDER BY codes.dim
+"""

@@ -2986,3 +2986,26 @@ def test_winsorized_mean_clip_semantics(ray_session):
             moved += 1
         assert v[0] <= r["winsorized_mean"] <= v[-1]
     assert moved > 0  # clipping is not a no-op corpus-wide
+
+
+def test_pca_power_step_matches_dense_reference(ray_session):
+    """Engine (block matvec partials) == dense single-process Q^T(Q e1)
+    over the same quantization; the step genuinely concentrates mass
+    (v1 correlates with dim-1 loadings: its own dim is near-extremal)."""
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.similarity import PQ_LEVELS, pca_power_step
+
+    t = _pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    X = np.asarray(t["embedding"].to_list(), dtype=np.float64)
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    scale = np.where(mx - mn > 0, mx - mn, 1.0)
+    Q = np.where(mx - mn > 0, np.floor((X - mn) / scale * PQ_LEVELS + 0.5), 0.0).astype(np.int64)
+    ref = Q.T @ Q[:, 0]
+
+    out = pca_power_step("/root/testdata/sf0.001")
+    assert out["v1"].to_numpy().tolist() == ref.tolist()
+    assert len(out) == X.shape[1]
+    # dim 1's own entry is sum of squares — maximal among dims up to noise
+    assert out.loc[0, "v1"] == int((Q[:, 0] ** 2).sum())
+    assert out.loc[0, "v1"] >= out["v1"].median()
