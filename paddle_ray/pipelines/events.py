@@ -2071,3 +2071,108 @@ SELECT day, n_new,
        CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM d ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# maximum drawdown — running-peak shortfall per user
+# --------------------------------------------------------------------------
+
+
+def max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of each user's running value balance (cumsum of
+    event values in (ts, event_id) order): max over time of
+    running_peak - running_value — the risk/regression metric for any
+    cumulative series (balance, quota, queue depth), and the
+    running-CUMMAX sequential shape the events family lacked
+    (events_running_value is the cumsum; this is the worst shortfall
+    against the historical peak, which no pointwise window rewrite of
+    cumsum alone gives).
+
+    Exact arithmetic: values fold as int cents (to_cents), so peak,
+    trough and drawdown are exact int64. Scale: the sessionize coarse
+    user-hash shape; per partition ONE vectorized pass (cumsum +
+    np.maximum.accumulate segment-reset via the user-start subtraction
+    trick). Output per user: n_events, final_cents, max_drawdown_cents."""
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def dd_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "final_cents": pd.Series([], dtype="int64"),
+                "max_drawdown_cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        from .common import to_cents
+
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g.user_id.to_numpy()
+        cents = to_cents(g.value.to_numpy())
+        n = len(g)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        # segmented cumsum: global cumsum minus the value just before each segment
+        cs = np.cumsum(cents)
+        seg_base = np.repeat(np.concatenate([[0], cs[starts[1:] - 1]]), sizes)
+        run = cs - seg_base
+        # segmented cummax of `run`: subtract +inf-reset trick — offset each
+        # segment so cross-segment carryover can never win, then restore
+        OFF = np.int64(1) << 40
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        peak = np.maximum.accumulate(run + seg_idx * OFF) - seg_idx * OFF
+        dd = peak - run
+        mdd = np.maximum.reduceat(dd, starts)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts].astype("int64"),
+                "n_events": sizes.astype("int64"),
+                "final_cents": run[np.append(starts[1:], n) - 1].astype("int64"),
+                "max_drawdown_cents": mdd.astype("int64"),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dd_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"user_id": "int64", "n_events": "int64", "final_cents": "int64", "max_drawdown_cents": "int64"}
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+         SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER w AS run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+),
+p AS (
+  SELECT user_id, cents, run,
+         MAX(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM r
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS final_cents,
+       CAST(MAX(peak - run) AS BIGINT) AS max_drawdown_cents
+FROM p GROUP BY user_id ORDER BY user_id
+"""

@@ -3009,3 +3009,31 @@ def test_pca_power_step_matches_dense_reference(ray_session):
     # dim 1's own entry is sum of squares — maximal among dims up to noise
     assert out.loc[0, "v1"] == int((Q[:, 0] ** 2).sum())
     assert out.loc[0, "v1"] >= out["v1"].median()
+
+
+def test_max_drawdown_matches_sequential_reference(ray_session):
+    """Engine (segmented vectorized cummax) == per-user sequential
+    reference; drawdown >= 0, == 0 iff the running series never falls
+    below a prior peak; segment offsets never leak across users."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import max_drawdown
+
+    t = _pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    out = max_drawdown("/root/testdata/sf0.001").set_index("user_id")
+    nonzero = 0
+    for uid, g in t.groupby("user_id"):
+        cents = (np.sign(g.value) * np.floor(np.abs(g.value) * 100 + 0.5)).astype(np.int64)
+        run = np.cumsum(cents.to_numpy())
+        peak = np.maximum.accumulate(run)
+        mdd = int((peak - run).max())
+        r = out.loc[uid]
+        assert (r["n_events"], r["final_cents"], r["max_drawdown_cents"]) == (
+            len(g), int(run[-1]), mdd,
+        )
+        if mdd > 0:
+            nonzero += 1
+    assert (out["max_drawdown_cents"] >= 0).all()
+    assert nonzero > 0  # drawdowns genuinely occur
