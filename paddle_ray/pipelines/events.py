@@ -2077,10 +2077,15 @@ FROM d ORDER BY day
 # maximum drawdown — running-peak shortfall per user
 # --------------------------------------------------------------------------
 
+DRAWDOWN_DEBITS = ("click", "error")  # quota-consuming event kinds
+
 
 def max_drawdown(sf_dir: str) -> pd.DataFrame:
-    """Maximum drawdown of each user's running value balance (cumsum of
-    event values in (ts, event_id) order): max over time of
+    """Maximum drawdown of each user's running NET balance — credits
+    (purchase/signup/view values) minus debits (click/error values,
+    the quota-consuming kinds; every value in this corpus is
+    non-negative, so an unsigned cumsum never falls and the statistic
+    would be vacuously zero) in (ts, event_id) order: max over time of
     running_peak - running_value — the risk/regression metric for any
     cumulative series (balance, quota, queue depth), and the
     running-CUMMAX sequential shape the events family lacked
@@ -2117,6 +2122,8 @@ def max_drawdown(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         uid = g.user_id.to_numpy()
         cents = to_cents(g.value.to_numpy())
+        debit = np.isin(g.event_type.to_numpy(), DRAWDOWN_DEBITS)
+        cents = np.where(debit, -cents, cents)
         n = len(g)
         change = np.empty(n, dtype=bool)
         change[0] = True
@@ -2144,7 +2151,7 @@ def max_drawdown(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dd_part, batch_format="pandas")
@@ -2158,11 +2165,17 @@ def max_drawdown(sf_dir: str) -> pd.DataFrame:
 
 
 MAX_DRAWDOWN_SQL = """
-WITH r AS (
+WITH s AS (
   SELECT user_id, ts, event_id,
-         CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
-         SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER w AS run
+         CASE WHEN event_type IN ('click', 'error')
+              THEN -CAST(ROUND(value * 100.0) AS BIGINT)
+              ELSE CAST(ROUND(value * 100.0) AS BIGINT) END AS cents
   FROM events
+),
+r AS (
+  SELECT user_id, ts, event_id, cents,
+         SUM(cents) OVER w AS run
+  FROM s
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
 ),
 p AS (

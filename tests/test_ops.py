@@ -3026,7 +3026,8 @@ def test_max_drawdown_matches_sequential_reference(ray_session):
     nonzero = 0
     for uid, g in t.groupby("user_id"):
         cents = (np.sign(g.value) * np.floor(np.abs(g.value) * 100 + 0.5)).astype(np.int64)
-        run = np.cumsum(cents.to_numpy())
+        cents = np.where(g.event_type.isin(["click", "error"]), -cents, cents)
+        run = np.cumsum(cents)
         peak = np.maximum.accumulate(run)
         mdd = int((peak - run).max())
         r = out.loc[uid]
