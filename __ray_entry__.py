@@ -896,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": events.attribution_last_touch,
         "cumulative_adoption": events.cumulative_adoption,
         "max_drawdown": events.max_drawdown,
+        "interval_blocked_time": events.interval_blocked_time,
         # (exact_ts_quantiles demoted here — histogram-refine machinery
         #  in-window via token_budget_select)
         "exact_ts_quantiles": events.exact_ts_quantiles,
@@ -1127,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": events.ATTRIBUTION_SQL,
         "cumulative_adoption": events.CUMULATIVE_ADOPTION_SQL,
         "max_drawdown": events.MAX_DRAWDOWN_SQL,
+        "interval_blocked_time": events.INTERVAL_BLOCKED_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
         "scd2_intervals": events.SCD2_SQL,

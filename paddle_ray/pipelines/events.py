@@ -2189,3 +2189,113 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(MAX(peak - run) AS BIGINT) AS max_drawdown_cents
 FROM p GROUP BY user_id ORDER BY user_id
 """
+
+
+def interval_blocked_time(sf_dir: str) -> pd.DataFrame:
+    """Exact blocked-time accounting: for each maintenance slot-of-day,
+    the total INTERSECTION DURATION between user activity spans and
+    that slot's windows — interval_overlap_join counts WHICH sessions a
+    slot disturbs; capacity planning also needs HOW LONG (the integral,
+    not the indicator: choosing between two slots that disturb equally
+    many sessions, you take the one stealing fewer user-seconds).
+
+    Identical machinery and partitioning assumptions (grid equi-ize,
+    calendar broadcast via ray.put, max-start counted-once rule so a
+    pair meeting in several shared cells contributes its FULL exact
+    intersection exactly once); the per-pair contribution is
+    max(0, min(e, we) - max(s, ws)) in integer microseconds — the
+    windows are mutually disjoint, so per-slot sums are exact with no
+    inclusion-exclusion. Quadratic explicit-predicate oracle."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    US = 1_000_000
+    day_us = 86_400 * US
+    cell_us = IOJ_CELL_S * US
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tus = df.ts.astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "day": (tus // day_us).astype("int64"),
+                "s": tus,
+                "e": tus,
+            }
+        )
+        g = out.groupby(["user_id", "day"], as_index=False).agg(s=("s", "min"), e=("e", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    spans = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(span_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+        .materialize()
+    )
+    days = np.unique(spans.select_columns(["day"]).to_pandas().day.to_numpy().astype(np.int64))
+    w_day = np.repeat(days, IOJ_SLOTS)
+    w_slot = np.tile(np.arange(IOJ_SLOTS, dtype=np.int64), len(days))
+    ws = w_day * day_us + w_slot * (IOJ_STEP_S * US)
+    we = ws + IOJ_LEN_S * US
+    c0 = ws // cell_us
+    n_c = (we - 1) // cell_us - c0 + 1
+    idx = np.repeat(np.arange(len(ws)), n_c)
+    off = np.arange(n_c.sum()) - np.repeat(np.cumsum(n_c) - n_c, n_c)
+    cells = pd.DataFrame({"cell": c0[idx] + off, "ws": ws[idx], "we": we[idx], "slot": w_slot[idx]})
+    wref = ray.put(cells)
+
+    def probe(batch: pa.Table, ref=wref) -> pa.Table:
+        w = ray.get(ref)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c0_ = s // cell_us
+        n_c_ = (e // cell_us - c0_ + 1).astype(np.int64)
+        idx_ = np.repeat(np.arange(len(s)), n_c_)
+        off_ = np.arange(n_c_.sum()) - np.repeat(np.cumsum(n_c_) - n_c_, n_c_)
+        a = pd.DataFrame({"cell": c0_[idx_] + off_, "s": s[idx_], "e": e[idx_]})
+        m = a.merge(w, on="cell")
+        inter = np.minimum(m.e, m.we) - np.maximum(m.s, m.ws)
+        keep = (
+            (m.s < m.we)
+            & (m.ws <= m.e)
+            & (np.maximum(m.s, m.ws) // cell_us == m.cell)
+        )
+        g = (
+            m[keep]
+            .assign(blocked_us=inter[keep])
+            .groupby("slot", as_index=False)
+            .agg(n_pairs=("slot", "size"), blocked_us=("blocked_us", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        spans.map_batches(probe, batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"), Sum("blocked_us", alias_name="blocked_us"))
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    return out.astype({"slot": "int64", "n_pairs": "int64", "blocked_us": "int64"})
+
+
+INTERVAL_BLOCKED_SQL = f"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // {86_400 * 1_000_000} AS day,
+         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+  FROM events GROUP BY user_id, epoch_us(ts) // {86_400 * 1_000_000}),
+days AS (SELECT DISTINCT day FROM a),
+w AS (
+  SELECT k.range AS slot,
+         d.day * {86_400 * 1_000_000} + k.range * {IOJ_STEP_S * 1_000_000} AS ws,
+         d.day * {86_400 * 1_000_000} + k.range * {IOJ_STEP_S * 1_000_000}
+           + {IOJ_LEN_S * 1_000_000} AS we
+  FROM days d, range({IOJ_SLOTS}) k)
+SELECT CAST(w.slot AS BIGINT) AS slot, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(LEAST(a.e, w.we) - GREATEST(a.s, w.ws)) AS BIGINT) AS blocked_us
+FROM a JOIN w ON a.s < w.we AND w.ws <= a.e
+GROUP BY w.slot ORDER BY slot
+"""

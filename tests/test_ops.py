@@ -3038,3 +3038,41 @@ def test_max_drawdown_matches_sequential_reference(ray_session):
             nonzero += 1
     assert (out["max_drawdown_cents"] >= 0).all()
     assert nonzero > 0  # drawdowns genuinely occur
+
+
+def test_interval_blocked_time_matches_bruteforce(ray_session):
+    """Engine == O(spans x windows) brute force (full exact intersection
+    durations; double-counting a multi-cell pair would inflate), every
+    intersection positive, and blocked <= n_pairs x window length."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import (
+        IOJ_LEN_S,
+        IOJ_SLOTS,
+        IOJ_STEP_S,
+        interval_blocked_time,
+    )
+
+    US = 1_000_000
+    day_us = 86_400 * US
+    t = _pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    t["us"] = t.ts.astype("datetime64[us]").astype("int64")
+    t["day"] = t.us // day_us
+    spans = t.groupby(["user_id", "day"], as_index=False).agg(s=("us", "min"), e=("us", "max"))
+    days = spans.day.unique()
+    ref = {}
+    for d in days:
+        for k in range(IOJ_SLOTS):
+            ws = d * day_us + k * IOJ_STEP_S * US
+            we = ws + IOJ_LEN_S * US
+            m = spans[(spans.s < we) & (ws <= spans.e)]
+            if len(m):
+                inter = (np.minimum(m.e, we) - np.maximum(m.s, ws)).sum()
+                n, b = ref.get(k, (0, 0))
+                ref[k] = (n + len(m), b + int(inter))
+    out = interval_blocked_time("/root/testdata/sf0.001")
+    got = {r.slot: (r.n_pairs, r.blocked_us) for r in out.itertuples()}
+    assert got == ref
+    assert (out.blocked_us > 0).all()
+    assert (out.blocked_us <= out.n_pairs * IOJ_LEN_S * US).all()
