@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQ8 reconstruction error — min/max-partial broadcast shape
         "embedding_quantize_error": similarity.embedding_quantize_error,
         "pca_power_step": similarity.pca_power_step,
+        "retrieval_ndcg": similarity.retrieval_ndcg,
         # partial-top-k machinery runs in bitext_margin_mine in-window
         "knn_bruteforce": lambda sf: similarity.knn_bruteforce(sf, KNN_K, KNN_NQ),
         # RRF fusion of the BM25 + vector lists (demoted from the window
@@ -1014,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": similarity.EMB_CENTROIDS_SQL,
         "embedding_quantize_error": similarity.EMBEDDING_QUANTIZE_SQL,
         "pca_power_step": similarity.PCA_POWER_STEP_SQL,
+        "retrieval_ndcg": similarity.RETRIEVAL_NDCG_SQL,
         "salted_segment_rollup": joins.SALTED_ROLLUP_SQL,
         "bucketed_join": joins.BUCKETED_JOIN_SQL,
         "adaptive_join_rollup": joins.ADAPTIVE_JOIN_SQL,

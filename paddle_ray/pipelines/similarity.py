@@ -2042,3 +2042,153 @@ SELECT codes.dim, CAST(SUM(codes.q * c0.q0) AS BIGINT) AS v1
 FROM codes JOIN c0 ON codes.vec_id = c0.vec_id
 GROUP BY codes.dim ORDER BY codes.dim
 """
+
+
+# --------------------------------------------------------------------------
+# retrieval quality: nDCG@k of cosine retrieval against label relevance
+# --------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+def retrieval_ndcg(sf_dir: str, k: int = NDCG_K, n_queries: int = 5) -> pd.DataFrame:
+    """nDCG@k of brute-force cosine retrieval, relevance = same label as
+    the query — the IR-evaluation member the similarity family lacked
+    (knn_* produce rankings; nothing scored them): the metric an
+    embedding upgrade must move before it ships. DCG = sum rel_i /
+    log2(i+1) over the retrieved ranking, IDCG = the ideal prefix given
+    the corpus's relevant count, both with the IDENTICAL literal log2
+    terms on both sides (libm, fixed rank-order summation — no
+    float-ordering exposure), round-6.
+
+    Scale: ranking reuses knn_bruteforce's machinery (query matrix
+    broadcast once, per-block deterministic top-k partials, driver
+    merge over #queries x k x #blocks rows); label counts are ONE
+    #labels-sized groupby; the <= (k+1) x n_queries result labels
+    attach via a vectorized isin filter scan, never a corpus
+    collect."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .common import sized_read_parquet
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PARTIAL
+        qids, qm = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = qm @ _normalize(m.astype(np.float64)).T
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids)):
+            row = sims[qi]
+            for t in _topk_idx(row, ids, kk):
+                if ids[t] != qids[qi]:
+                    out_q.append(int(qids[qi]))
+                    out_n.append(int(ids[t]))
+                    out_s.append(float(row[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    ranking = _merge_topk(partials, k)
+
+    # label histogram (#labels-sized) + labels for the bounded id set
+    def lab_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"label": batch["label"].to_numpy(), "n": 1})
+        return pa.Table.from_pandas(df.groupby("label", as_index=False).sum(), preserve_index=False)
+
+    lab_hist = (
+        sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+        .map_batches(lab_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("label")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .set_index("label")["n"]
+    )
+    need = np.unique(np.concatenate([ranking.neighbor_id.to_numpy(), q_ids]))
+    need_ref = ray.put(need)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids_ = batch["vec_id"].to_numpy()
+        m = np.isin(ids_, ray.get(need_ref))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_[m], pa.int64()),
+                "label": pa.array(batch["label"].to_numpy()[m], pa.int64()),
+            }
+        )
+
+    labels = (
+        sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+        .map_batches(pick, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+
+    import math
+
+    rows = []
+    for qid in q_ids:
+        ql = int(labels.loc[int(qid)])
+        r = ranking[ranking.query_id == qid].reset_index(drop=True)
+        dcg = 0.0
+        for i, nb in enumerate(r.neighbor_id):
+            if int(labels.loc[int(nb)]) == ql:
+                dcg = dcg + 1.0 / math.log2(i + 2.0)
+        n_rel = int(lab_hist.loc[ql]) - 1
+        idcg = 0.0
+        for i in range(min(k, n_rel)):
+            idcg = idcg + 1.0 / math.log2(i + 2.0)
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_rel_corpus": n_rel,
+                "dcg": round(dcg, 6),
+                "ndcg": round(dcg / idcg, 6) if idcg > 0 else 0.0,
+            }
+        )
+    return pd.DataFrame(rows).astype({"query_id": "int64", "n_rel_corpus": "int64"})
+
+
+RETRIEVAL_NDCG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+sims AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+         list_cosine_similarity(q.qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim_raw
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rk
+  FROM sims
+),
+dcg AS (
+  SELECT query_id, ANY_VALUE(qlabel) AS qlabel,
+         SUM(CASE WHEN nlabel = qlabel THEN 1.0 / log2(rk + 1.0) ELSE 0.0 END) AS dcg
+  FROM ranked WHERE rk <= {NDCG_K} GROUP BY query_id
+),
+rel AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+ideal AS (SELECT r.range + 1 AS i, 1.0 / log2(r.range + 2.0) AS v FROM range({NDCG_K}) r),
+fin AS (
+  SELECT d.query_id, d.dcg, rel.n - 1 AS n_rel,
+         (SELECT SUM(v) FROM ideal WHERE ideal.i <= LEAST({NDCG_K}, rel.n - 1)) AS idcg
+  FROM dcg d JOIN rel ON rel.label = d.qlabel
+)
+SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel_corpus,
+       ROUND(dcg, 6) AS dcg,
+       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg
+FROM fin ORDER BY query_id
+"""

@@ -3076,3 +3076,42 @@ def test_interval_blocked_time_matches_bruteforce(ray_session):
     assert got == ref
     assert (out.blocked_us > 0).all()
     assert (out.blocked_us <= out.n_pairs * IOJ_LEN_S * US).all()
+
+
+def test_retrieval_ndcg_reference_and_bounds(ray_session):
+    """Engine == dense single-process nDCG@10 (cosine, same tie order);
+    0 <= ndcg <= 1; relevance genuinely varies across queries (the
+    metric discriminates)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.similarity import NDCG_K, retrieval_ndcg
+
+    t = _pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    X = np.asarray(t.embedding.to_list(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = t.vec_id.to_numpy()
+    labels = t.set_index("vec_id")["label"]
+    out = retrieval_ndcg("/root/testdata/sf0.001").set_index("query_id")
+    for qid in sorted(ids)[:5]:
+        qi = np.where(ids == qid)[0][0]
+        sims = Xn @ Xn[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:NDCG_K]
+        ql = labels.loc[qid]
+        dcg = sum(
+            1.0 / math.log2(r + 2)
+            for r, i in enumerate(order)
+            if labels.loc[ids[i]] == ql
+        )
+        n_rel = int((labels == ql).sum()) - 1
+        idcg = sum(1.0 / math.log2(r + 2) for r in range(min(NDCG_K, n_rel)))
+        r = out.loc[qid]
+        assert r["n_rel_corpus"] == n_rel
+        assert abs(r["dcg"] - dcg) < 1e-5
+        assert abs(r["ndcg"] - dcg / idcg) < 1e-5
+        assert 0.0 <= r["ndcg"] <= 1.0
+    assert out["ndcg"].nunique() > 1 or (out["ndcg"] < 1.0).any()
