@@ -898,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_adoption": events.cumulative_adoption,
         "max_drawdown": events.max_drawdown,
         "interval_blocked_time": events.interval_blocked_time,
+        "seasonality_profile": events.seasonality_profile,
         # (exact_ts_quantiles demoted here — histogram-refine machinery
         #  in-window via token_budget_select)
         "exact_ts_quantiles": events.exact_ts_quantiles,
@@ -1131,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_adoption": events.CUMULATIVE_ADOPTION_SQL,
         "max_drawdown": events.MAX_DRAWDOWN_SQL,
         "interval_blocked_time": events.INTERVAL_BLOCKED_SQL,
+        "seasonality_profile": events.SEASONALITY_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
         "scd2_intervals": events.SCD2_SQL,

