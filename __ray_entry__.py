@@ -899,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": events.max_drawdown,
         "interval_blocked_time": events.interval_blocked_time,
         "seasonality_profile": events.seasonality_profile,
+        "time_to_convert": events.time_to_convert,
         # (exact_ts_quantiles demoted here — histogram-refine machinery
         #  in-window via token_budget_select)
         "exact_ts_quantiles": events.exact_ts_quantiles,
@@ -1133,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown": events.MAX_DRAWDOWN_SQL,
         "interval_blocked_time": events.INTERVAL_BLOCKED_SQL,
         "seasonality_profile": events.SEASONALITY_SQL,
+        "time_to_convert": events.TIME_TO_CONVERT_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
         "scd2_intervals": events.SCD2_SQL,

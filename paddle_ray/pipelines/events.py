@@ -2368,3 +2368,96 @@ SELECT dow, h3, COUNT(*) AS n_events,
        ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6) AS mean_cents
 FROM c GROUP BY dow, h3 ORDER BY dow, h3
 """
+
+
+# --------------------------------------------------------------------------
+# time-to-convert quantiles
+# --------------------------------------------------------------------------
+
+
+def time_to_convert(sf_dir: str) -> pd.DataFrame:
+    """Signup -> first-purchase latency quantiles: for each user with a
+    signup, the delay to their first purchase AT OR AFTER that signup —
+    funnel_conversion counts who converts; growth teams price HOW LONG
+    conversion takes (the p50/p75 of this delay is the activation SLA).
+    Exact integer seconds (floor of the microsecond delta), quantiles
+    under the established quantile_disc rank contract.
+
+    Scale: the sessionize coarse user-hash shape — per partition ONE
+    vectorized pass computes each user's min signup ts and min
+    qualifying purchase ts (two groupby-min folds over masked columns,
+    no per-user loop); converted users' deltas are #users-bounded, the
+    driver rank-walks them."""
+    import math
+
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def convert_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"delta_s": pd.Series([], dtype="int64")})
+        if g.empty:
+            return empty
+        us = g.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.assign(us=us)
+        s = g[g.event_type == "signup"].groupby("user_id")["us"].min()
+        if s.empty:
+            return empty
+        p = g[g.event_type == "purchase"][["user_id", "us"]].merge(
+            s.rename("ts_s"), left_on="user_id", right_index=True
+        )
+        p = p[p.us >= p.ts_s]
+        if p.empty:
+            return empty
+        first = p.groupby("user_id").agg(ts_p=("us", "min"), ts_s=("ts_s", "first"))
+        return pd.DataFrame({"delta_s": ((first.ts_p - first.ts_s) // 1_000_000).astype("int64")})
+
+    deltas = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(convert_part, batch_format="pandas")
+        .to_pandas()["delta_s"]
+        .to_numpy()
+    )
+    deltas = np.sort(deltas)
+    n = len(deltas)
+
+    def qd(q: float) -> int:
+        return int(deltas[math.ceil(q * n) - 1])
+
+    return pd.DataFrame(
+        {
+            "n_converted": pd.Series([n], dtype="int64"),
+            "p25_s": pd.Series([qd(0.25)], dtype="int64"),
+            "p50_s": pd.Series([qd(0.50)], dtype="int64"),
+            "p75_s": pd.Series([qd(0.75)], dtype="int64"),
+        }
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS ts_s
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_p
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.ts_s
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT (p.ts_p - s.ts_s) // 1000000 AS delta_s
+  FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(delta_s, 0.25) AS BIGINT) AS p25_s,
+       CAST(quantile_disc(delta_s, 0.50) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(delta_s, 0.75) AS BIGINT) AS p75_s
+FROM d
+"""

@@ -3161,3 +3161,51 @@ def test_seasonality_profile_calendar_and_mass(ray_session):
     assert (m.n_events == m.n_events_ref).all() and (m.sum_cents == m.sum_cents_ref).all()
     for r in out.itertuples():
         assert abs(r.mean_cents - r.sum_cents / r.n_events) < 1e-5
+
+
+def test_time_to_convert_sequencing(ray_session, tmp_path):
+    """A purchase BEFORE the signup never counts; a same-instant purchase
+    does (delta 0); engine == sequential reference on the real corpus."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.events import time_to_convert
+
+    planted = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2020-01-02", "2020-01-05",   # u1: purchase before signup -> no convert
+                 "2020-02-01", "2020-02-01",   # u2: same-instant -> delta 0
+                 "2020-03-01"]                  # u3: signup only
+            ),
+            "user_id": [1, 1, 2, 2, 3],
+            "event_type": ["purchase", "signup", "signup", "purchase", "signup"],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    _pq.write_table(pa.Table.from_pandas(planted, preserve_index=False), tmp_path / "events.parquet")
+    out = time_to_convert(str(tmp_path))
+    assert out.loc[0, "n_converted"] == 1 and out.loc[0, "p50_s"] == 0
+
+    t = _pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    us = t.ts.astype("datetime64[us]").astype("int64")
+    t = t.assign(us=us)
+    deltas = []
+    for uid, g in t.groupby("user_id"):
+        sg = g[g.event_type == "signup"]
+        if sg.empty:
+            continue
+        ts_s = sg.us.min()
+        pu = g[(g.event_type == "purchase") & (g.us >= ts_s)]
+        if not pu.empty:
+            deltas.append(int((pu.us.min() - ts_s) // 1_000_000))
+    deltas.sort()
+    real = time_to_convert("/root/testdata/sf0.001")
+    assert real.loc[0, "n_converted"] == len(deltas) > 0
+    for q, col in ((0.25, "p25_s"), (0.50, "p50_s"), (0.75, "p75_s")):
+        assert real.loc[0, col] == deltas[math.ceil(q * len(deltas)) - 1]
