@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_v2": curate.curate_corpus_v2,
         # r4: incremental view maintenance — signed-multiplicity delta agg
         "ivm_delta_agg": joins.ivm_delta_agg,
+        "referential_integrity_audit": joins.referential_integrity_audit,
         "extract_image_stats": _extract_image_stats,
         "extract_block_stats": _extract_block_stats,
         # r03-driver-green synth-grammar digest (bytes locked in-window
@@ -1025,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_image_dedup": multimodal.PHASH_DEDUP_SQL,
         "cdc_merge_snapshot": joins.CDC_MERGE_SQL,
         "ivm_delta_agg": joins.IVM_DELTA_SQL,
+        "referential_integrity_audit": joins.REFERENTIAL_INTEGRITY_SQL,
         "kmeans_step": similarity.KMEANS_STEP_SQL_T.format(k=similarity.KMEANS_K),
         "kmeans_train": similarity.kmeans_train_sql(),
         "semdedup": similarity.SEMDEDUP_SQL_T.format(

@@ -1196,3 +1196,122 @@ WHERE (o_orderkey % 4 = 0) OR (o_orderkey % 4 != 0 AND o_orderkey % 9 != 0)
 GROUP BY o_orderstatus, year
 ORDER BY o_orderstatus, year
 """
+
+
+# --------------------------------------------------------------------------
+# cross-table referential-integrity audit
+# --------------------------------------------------------------------------
+
+FK_CORRUPT_MOD = 13  # every 13th line's FK is mangled to 2k+1 (simulated ingest
+# bug; +1 would be vacuous here — orderkeys are dense, so an off-by-one
+# always resolves. 2k+1 resolves for small keys and orphans for large ones,
+# keeping BOTH behaviors live so the anti join is genuinely exercised)
+
+
+def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table FK integrity audit between lineitem and orders —
+    validate_orders checks INTRA-table constraints; referential
+    integrity is the CROSS-table half every warehouse load verifies
+    before publishing. The derivation-oracle scenario: an ingest bug
+    mangled lines with (l_orderkey*7 + l_linenumber) % 13 == 0 to fk = 2k+1
+    (l_linenumber alone spans only 1..7 here, so a pure line-number mod
+    would never fire), and the audit must
+    find exactly the mangled keys that no longer resolve (a mangled key
+    can still hit a REAL order — the audit is a genuine anti join, not
+    a doc_id lookup; the oracle restates the same shift with NOT
+    EXISTS).
+
+    Both directions in one report: orphan lines (FK resolves to no
+    order) and childless orders (no line references them, under the
+    same corrupted FK map). Scale: keys are pre-deduplicated per block
+    on both sides, each direction is ONE slim native LEFT ANTI hash
+    join (8 B keys — payloads never join), counts + exact key digests
+    fold per block."""
+    from ray.data.aggregate import Sum
+
+    def line_keys(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy().astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        fk = np.where((k * 7 + ln) % FK_CORRUPT_MOD == 0, 2 * k + 1, k)
+        df = pd.DataFrame({"fk": fk}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderkey": batch["o_orderkey"].to_numpy()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    lines = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+        .map_batches(line_keys, batch_format="pyarrow", batch_size=None)
+        .groupby("fk")
+        .count()
+        .select_columns(["fk"])
+        .materialize()
+    )
+    orders = (
+        _read(sf_dir, "orders", columns=["o_orderkey"])
+        .map_batches(order_keys, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    orphan = lines.join(
+        orders.map_batches(
+            lambda b: pa.table({"fk": b["o_orderkey"]}), batch_format="pyarrow"
+        ),
+        join_type="left_anti",
+        num_partitions=8,
+        on=("fk",),
+    )
+    childless = orders.join(
+        lines.map_batches(
+            lambda b: pa.table({"o_orderkey": b["fk"]}), batch_format="pyarrow"
+        ),
+        join_type="left_anti",
+        num_partitions=8,
+        on=("o_orderkey",),
+    )
+
+    def fold(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[col].to_numpy()
+            return pa.table(
+                {
+                    "n": pa.array([len(k)], pa.int64()),
+                    "digest": pa.array([int(((k * 31) % (1 << 31)).sum())], pa.int64()),
+                }
+            )
+
+        return fn
+
+    o = orphan.map_batches(fold("fk"), batch_format="pyarrow", batch_size=None).to_pandas().sum()
+    c = childless.map_batches(fold("o_orderkey"), batch_format="pyarrow", batch_size=None).to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_orphan_keys": pd.Series([int(o.get("n", 0))], dtype="int64"),
+            "orphan_digest": pd.Series([int(o.get("digest", 0))], dtype="int64"),
+            "n_childless_orders": pd.Series([int(c.get("n", 0))], dtype="int64"),
+            "childless_digest": pd.Series([int(c.get("digest", 0))], dtype="int64"),
+        }
+    )
+
+
+REFERENTIAL_INTEGRITY_SQL = f"""
+WITH lk AS (
+  SELECT DISTINCT CASE WHEN (l_orderkey * 7 + l_linenumber) % {FK_CORRUPT_MOD} = 0
+                       THEN 2 * l_orderkey + 1 ELSE l_orderkey END AS fk
+  FROM lineitem
+),
+orphan AS (
+  SELECT fk FROM lk WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = lk.fk)
+),
+childless AS (
+  SELECT o_orderkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lk WHERE lk.fk = o.o_orderkey)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orphan) AS n_orphan_keys,
+       (SELECT CAST(COALESCE(SUM((fk * 31) % 2147483648), 0) AS BIGINT) FROM orphan)
+         AS orphan_digest,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM childless) AS n_childless_orders,
+       (SELECT CAST(COALESCE(SUM((o_orderkey * 31) % 2147483648), 0) AS BIGINT) FROM childless)
+         AS childless_digest
+"""

@@ -175,3 +175,34 @@ def test_ivm_delta_agg_matches_recompute_and_retracts(ray_session, tmp_path):
     )
     # the delta genuinely both inserts and retracts on this corpus
     assert (k % 4 == 0).any() and ((k % 4 != 0) & (k % 9 == 0)).any()
+
+
+def test_referential_integrity_audit_both_arms_live(ray_session):
+    """Engine == pandas set reference; both failure arms are non-empty
+    under the corruption model (the audit carries signal both ways) and
+    a shifted key that still resolves is NOT flagged."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.joins import FK_CORRUPT_MOD, referential_integrity_audit
+
+    li = _pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).to_pandas()
+    od = _pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+    corrupt = (li.l_orderkey * 7 + li.l_linenumber) % FK_CORRUPT_MOD == 0
+    fk = np.where(corrupt, 2 * li.l_orderkey + 1, li.l_orderkey)
+    fks = np.unique(fk)
+    okeys = set(od.o_orderkey)
+    orphans = np.array(sorted(k for k in fks if k not in okeys), dtype=np.int64)
+    childless = np.array(sorted(set(od.o_orderkey) - set(fks)), dtype=np.int64)
+
+    out = referential_integrity_audit(SF)
+    assert out.loc[0, "n_orphan_keys"] == len(orphans)
+    assert out.loc[0, "orphan_digest"] == int(((orphans * 31) % (1 << 31)).sum())
+    assert out.loc[0, "n_childless_orders"] == len(childless)
+    assert out.loc[0, "childless_digest"] == int(((childless * 31) % (1 << 31)).sum())
+    assert len(orphans) > 0 and len(childless) > 0
+    # some shifted keys DO resolve (the audit is a real anti join)
+    shifted = np.unique(2 * li.l_orderkey[corrupt] + 1)
+    assert any(k in okeys for k in shifted)
