@@ -592,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": relational_more.orders_cube,
         "skyline_orders": relational_more.skyline_orders,
         "division_full_coverage": relational_more.division_full_coverage,
+        "rfm_segments": relational_more.rfm_segments,
         "lang_modal_source": relational_more.lang_modal_source,
         "year_reconcile": relational_more.year_reconcile,
         "orders_running_total": relational_more.orders_running_total,
@@ -1195,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": relational_more.CUBE_SQL,
         "skyline_orders": relational_more.SKYLINE_SQL,
         "division_full_coverage": relational_more.DIVISION_SQL,
+        "rfm_segments": relational_more.RFM_SQL,
         "lang_modal_source": relational_more.LANG_MODAL_SQL,
         "year_reconcile": relational_more.YEAR_RECONCILE_SQL,
         "orders_running_total": relational_more.RUNNING_TOTAL_SQL,

@@ -866,3 +866,110 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        (SELECT CAST(n AS BIGINT) FROM np) AS n_priorities
 FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+RFM_TILES = 5
+
+
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer Recency (latest order
+    day), Frequency (order count) and Monetary (exact cents) quintile
+    scores, rolled up per (r, f, m) segment — the classic marketing
+    cube built on the perplexity_buckets NTILE contract (exact NTILE,
+    ties by the score column then custkey, same sizes rule as SQL).
+
+    Scale: per-customer aggregates are per-block partials into a
+    customer-sized groupby; the three NTILE passes run in ONE
+    map_groups worker over slim (custkey, r, f, m) rows (snapshot-
+    sized; at 10^12 scale swap for sketch thresholds — the
+    perplexity_buckets note), and the rollup is <= 125 rows."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .common import to_cents
+
+        day = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        df = pd.DataFrame(
+            {
+                "c": batch["o_custkey"].to_numpy(),
+                "recency_day": day,
+                "n_orders": 1,
+                "cents": to_cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+        g = df.groupby("c", as_index=False).agg(
+            recency_day=("recency_day", "max"), n_orders=("n_orders", "sum"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c")
+        .aggregate(
+            Max("recency_day", alias_name="recency_day"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="cents"),
+        )
+        .map_batches(
+            lambda b: b.append_column("g", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+    )
+
+    def ntile_col(df: pd.DataFrame, col: str) -> np.ndarray:
+        order = df.sort_values([col, "c"], ascending=[False, True], kind="mergesort").index
+        n = len(df)
+        base, rem = divmod(n, RFM_TILES)
+        sizes = [base + 1] * rem + [base] * (RFM_TILES - rem)
+        tiles = np.repeat(np.arange(1, RFM_TILES + 1), sizes)
+        out = np.empty(n, dtype=np.int64)
+        out[df.index.get_indexer(order)] = tiles
+        return out
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["r"] = ntile_col(df, "recency_day")
+        df["f"] = ntile_col(df, "n_orders")
+        df["m"] = ntile_col(df, "cents")
+        g = df.groupby(["r", "f", "m"], as_index=False).agg(
+            n_customers=("c", "size"), sum_cents=("cents", "sum")
+        )
+        return g
+
+    out = (
+        cust.groupby("g")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["r", "f", "m"])
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"r": "int64", "f": "int64", "m": "int64", "n_customers": "int64", "sum_cents": "int64"}
+    )
+
+
+RFM_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey AS c,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c, cents,
+         ntile({RFM_TILES}) OVER (ORDER BY recency_day DESC, c) AS r,
+         ntile({RFM_TILES}) OVER (ORDER BY n_orders DESC, c) AS f,
+         ntile({RFM_TILES}) OVER (ORDER BY cents DESC, c) AS m
+  FROM cust
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""

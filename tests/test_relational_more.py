@@ -391,3 +391,51 @@ def test_division_full_coverage_semantics(ray_session, tmp_path):
     assert real.loc[0, "n_customers"] == len(qual)
     assert real.loc[0, "cust_digest"] == int(((qual * 2654435761) % (1 << 31)).sum())
     assert 0 < len(qual) < per.size  # non-vacuous: some qualify, some don't
+
+
+def test_rfm_segments_ntile_contract(ray_session):
+    """Engine == pandas NTILE replica (sizes rule + desc/custkey ties);
+    the cube partitions all customers exactly; each tile dimension is
+    balanced to the NTILE sizes rule."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from paddle_ray.pipelines.relational_more import RFM_TILES, rfm_segments
+
+    od = _pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    od["day"] = od.o_orderdate.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    od["cents"] = (np.floor(np.abs(od.o_totalprice) * 100 + 0.5) * np.sign(od.o_totalprice)).astype("int64")
+    cust = od.groupby("o_custkey").agg(
+        recency_day=("day", "max"), n_orders=("day", "size"), cents=("cents", "sum")
+    ).reset_index().rename(columns={"o_custkey": "c"})
+
+    def ntile(df, col):
+        order = df.sort_values([col, "c"], ascending=[False, True], kind="mergesort").index
+        n = len(df)
+        base, rem = divmod(n, RFM_TILES)
+        tiles = np.repeat(np.arange(1, RFM_TILES + 1), [base + 1] * rem + [base] * (RFM_TILES - rem))
+        out = np.empty(n, dtype=np.int64)
+        out[df.index.get_indexer(order)] = tiles
+        return out
+
+    cust = cust.reset_index(drop=True)
+    for col, sc in (("recency_day", "r"), ("n_orders", "f"), ("cents", "m")):
+        cust[sc] = ntile(cust, col)
+    ref = cust.groupby(["r", "f", "m"], as_index=False).agg(
+        n_customers=("c", "size"), sum_cents=("cents", "sum")
+    )
+    out = rfm_segments("/root/testdata/sf0.001")
+    m = out.merge(ref, on=["r", "f", "m"], suffixes=("", "_ref"))
+    assert len(m) == len(out) == len(ref)
+    assert (m.n_customers == m.n_customers_ref).all() and (m.sum_cents == m.sum_cents_ref).all()
+    assert out["n_customers"].sum() == len(cust)
+    # per-dimension balance
+    n = len(cust)
+    base, rem = divmod(n, RFM_TILES)
+    expect = sorted([base + 1] * rem + [base] * (RFM_TILES - rem))
+    for dim in ("r", "f", "m"):
+        sizes = sorted(out.groupby(dim)["n_customers"].sum().tolist())
+        assert sizes == expect
