@@ -902,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_blocked_time": events.interval_blocked_time,
         "seasonality_profile": events.seasonality_profile,
         "time_to_convert": events.time_to_convert,
+        "interarrival_stats": events.interarrival_stats,
         # (exact_ts_quantiles demoted here — histogram-refine machinery
         #  in-window via token_budget_select)
         "exact_ts_quantiles": events.exact_ts_quantiles,
@@ -1138,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_blocked_time": events.INTERVAL_BLOCKED_SQL,
         "seasonality_profile": events.SEASONALITY_SQL,
         "time_to_convert": events.TIME_TO_CONVERT_SQL,
+        "interarrival_stats": events.INTERARRIVAL_SQL,
         "events_watermark": events.EVENTS_WATERMARK_SQL,
         "exact_ts_quantiles": events.EXACT_TS_QUANTILES_SQL,
         "scd2_intervals": events.SCD2_SQL,

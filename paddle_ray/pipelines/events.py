@@ -2461,3 +2461,112 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        CAST(quantile_disc(delta_s, 0.75) AS BIGINT) AS p75_s
 FROM d
 """
+
+
+# --------------------------------------------------------------------------
+# inter-arrival statistics — burstiness profile per event type
+# --------------------------------------------------------------------------
+
+
+def interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type inter-arrival statistics over each user's own event
+    stream: mean gap and coefficient of variation (CV = sigma/mean,
+    population) in integer MINUTES — the burstiness fingerprint
+    reliability engineering reads before sizing queues (CV ~ 1 is
+    Poisson; CV >> 1 is bursty and needs headroom; CV << 1 is a
+    scheduled/heartbeat signal). Gaps are user-local and type-local
+    (the gap between MY clicks, not anyone's).
+
+    Scale: coarse user-hash partitions; per partition one vectorized
+    pass (sort by (user, type, ts, event_id), diff, boundary mask —
+    no per-group loop) folding to (type, n, s1, s2) int64 moment rows
+    (minutes keep s2 inside int64 at any realistic block size; the
+    driver closes mean/CV from exact big ints — the regression_by_lang
+    float contract, one libm sqrt)."""
+    import math
+
+    N_PARTS = 64
+
+    def add_part(batch):
+        from .joins import _hash_part
+
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", _hash_part(ids, N_PARTS))
+
+    def gap_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "s1": pd.Series([], dtype="int64"),
+                "s2": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = g.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        uid = g.user_id.to_numpy()
+        et = g.event_type.to_numpy()
+        gap_min = (us[1:] - us[:-1]) // 60_000_000
+        same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        df = pd.DataFrame(
+            {
+                "event_type": et[1:][same],
+                "n": 1,
+                "s1": gap_min[same],
+                "s2": gap_min[same] ** 2,
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum().astype(
+            {"n": "int64", "s1": "int64", "s2": "int64"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    m = (
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gap_part, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for r in m.itertuples():
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+        mean = s1 / n
+        cv = math.sqrt(float(n * s2 - s1 * s1)) / float(s1) if s1 > 0 else 0.0
+        rows.append(
+            {
+                "event_type": r.event_type,
+                "n_gaps": n,
+                "mean_gap_min": round(mean, 6),
+                "cv": round(cv, 6),
+            }
+        )
+    return pd.DataFrame(rows).astype({"event_type": "str", "n_gaps": "int64"})
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY ts, event_id)) // 60000000 AS gap
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(gap) AS HUGEINT) AS s1, CAST(SUM(gap * gap) AS HUGEINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_min,
+       CASE WHEN s1 > 0
+            THEN ROUND(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE), 6)
+            ELSE 0.0 END AS cv
+FROM m ORDER BY event_type
+"""
