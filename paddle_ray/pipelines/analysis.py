@@ -3218,6 +3218,10 @@ FROM mult GROUP BY b ORDER BY b
 
 WINSOR_LO_Q = 0.05
 WINSOR_HI_Q = 0.95
+# the same quantiles as exact integer fractions for the engine's rank rule
+_WINSOR_LO_NUM, _WINSOR_HI_NUM, _WINSOR_DEN = 1, 19, 20
+assert _WINSOR_LO_NUM / _WINSOR_DEN == WINSOR_LO_Q
+assert _WINSOR_HI_NUM / _WINSOR_DEN == WINSOR_HI_Q
 
 
 def winsorized_mean(sf_dir: str) -> pd.DataFrame:
@@ -3261,8 +3265,11 @@ def winsorized_mean(sf_dir: str) -> pd.DataFrame:
         vals = g["v"].to_numpy()
         cnts = g["cnt"].to_numpy()
         n = int(cnts.sum())
-        lo = rank_value(vals, cnts, -(-int(WINSOR_LO_Q * 1e6 * n) // 1_000_000))
-        hi = rank_value(vals, cnts, -(-int(WINSOR_HI_Q * 1e6 * n) // 1_000_000))
+        # exact integer rank rule ceil(q*n) with q as a true fraction
+        # (1/20 and 19/20) — no float detour whose double rounding a
+        # ceil-div would have to absorb (ADVICE r4)
+        lo = rank_value(vals, cnts, -(-(_WINSOR_LO_NUM * n) // _WINSOR_DEN))
+        hi = rank_value(vals, cnts, -(-(_WINSOR_HI_NUM * n) // _WINSOR_DEN))
         clipped = np.clip(vals, lo, hi)
         s = int((clipped.astype(object) * cnts.astype(object)).sum())
         rows.append(

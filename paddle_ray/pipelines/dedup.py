@@ -1758,6 +1758,12 @@ def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy()
         nch = batch["n_chars"].to_numpy()
         assert (ids < (1 << _KEEP_BEST_ID_BITS)).all(), "doc_id exceeds 40-bit pack"
+        # quality must fit the remaining signed-int64 headroom: numpy wraps
+        # silently on overflow, which would corrupt the Max election —
+        # fail as loudly as the doc_id bound does (ADVICE r4)
+        assert (nch < (1 << (63 - _KEEP_BEST_ID_BITS))).all(), (
+            "n_chars exceeds the 23-bit quality headroom of the packed key"
+        )
         hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
         packed = (nch << _KEEP_BEST_ID_BITS) + (((1 << _KEEP_BEST_ID_BITS) - 1) - ids)
         return pa.table(

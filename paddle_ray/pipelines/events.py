@@ -2312,8 +2312,8 @@ def seasonality_profile(sf_dir: str) -> pd.DataFrame:
     a capacity planner and an anomaly detector both condition on
     (events_anomaly_windows asks "is this window unusual?"; this is the
     baseline it should be unusual AGAINST). Epoch day 0 is a Thursday
-    (1970-01-01) — dow = (epoch_day + 4) % 7 gives ISO-like 0=Monday,
-    the same expression on both sides.
+    (1970-01-01) — dow = (epoch_day + 4) % 7 gives the 0=Sunday
+    convention (Thursday maps to 4), the same expression on both sides.
 
     One stateless streaming pass folds to the 7 x 8 = 56-cell integer
     partial table per block; the exchange is 56 x #blocks rows. Means

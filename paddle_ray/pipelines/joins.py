@@ -1063,12 +1063,19 @@ def adaptive_join_rollup(
         def attach(batch: pa.Table) -> pa.Table:
             keys, nats = ray.get(lookup_ref)
             order = np.argsort(keys)
-            idx = np.searchsorted(keys[order], batch["c_custkey"].to_numpy(zero_copy_only=False))
+            probe = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys[order], probe)
+            # inner-join semantics must match the shuffle plan: a probe key
+            # absent from customer would otherwise silently attach the NEXT
+            # customer's nationkey (and a key above max would IndexError) —
+            # clip then drop non-matches instead (ADVICE r4)
+            idx = np.minimum(idx, len(order) - 1)
+            hit = keys[order][idx] == probe
             return pa.table(
                 {
-                    "c_nationkey": pa.array(nats[order][idx], pa.int64()),
-                    "cents": batch["cents"],
-                    "n": batch["n"],
+                    "c_nationkey": pa.array(nats[order][idx][hit], pa.int64()),
+                    "cents": batch["cents"].filter(pa.array(hit)),
+                    "n": batch["n"].filter(pa.array(hit)),
                 }
             )
 

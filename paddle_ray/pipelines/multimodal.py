@@ -114,7 +114,7 @@ def phash_image_dedup(sf_dir: str) -> pd.DataFrame:
     MULTIMODAL member of the near-dup family (minhash/simhash/jaccard
     cover text; embeddings cover vectors; this covers pixels, the
     content-defined dedup a crawl's image store runs before captioning):
-    every third image gains a deterministic 're-encode' twin (25 bytes
+    every ninth image gains a deterministic 're-encode' twin (25 bytes
     perturbed — the low-amplitude noise a JPEG re-save leaves), each
     image dHashes to 64 bits, and pairs within hamming <= 4 are
     reported. Candidate generation is the simhash pigeonhole: 5 bands

@@ -125,6 +125,42 @@ def test_adaptive_join_both_plans_bit_equal(ray_session):
     assert len(default) >= 2 and (default.n_orders > 0).all()
 
 
+def test_adaptive_join_broadcast_drops_orphan_keys(ray_session, tmp_path):
+    """The broadcast plan's searchsorted lookup must keep inner-join
+    semantics when an order references a custkey missing from customer
+    (in-range gap AND above-max): those rows drop, never silently attach
+    a neighbouring customer's nation (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddle_ray.pipelines.joins import adaptive_join_rollup
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    cust = pd.DataFrame({"c_custkey": [1, 3, 5], "c_nationkey": [0, 1, 2]})
+    # custkey 2 = in-range gap; 9 = above max; both must drop on BOTH plans
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [1, 2, 3, 5, 9, 1],
+            "o_totalprice": [10.0, 99.0, 20.0, 30.0, 99.0, 5.0],
+        }
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1, 2], "n_name": ["A", "B", "C"]}
+    )
+    pq.write_table(pa.Table.from_pandas(cust), d / "customer.parquet")
+    pq.write_table(pa.Table.from_pandas(orders), d / "orders.parquet")
+    pq.write_table(pa.Table.from_pandas(nation), d / "nation.parquet")
+
+    bcast = adaptive_join_rollup(str(d), bcast_threshold_bytes=1 << 62)
+    shuffle = adaptive_join_rollup(str(d), bcast_threshold_bytes=0)
+    pd.testing.assert_frame_equal(bcast, shuffle)
+    assert int(bcast.n_orders.sum()) == 4  # the two orphan orders dropped
+    assert int(bcast.revenue_cents.sum()) == 6500
+
+
 def test_ivm_delta_agg_matches_recompute_and_retracts(ray_session, tmp_path):
     """Engine (base-view + signed delta merge) == single-process recompute
     over the final state; a group whose every member is retracted must
