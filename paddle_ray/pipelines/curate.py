@@ -427,9 +427,6 @@ def curate_corpus_v3(sf_dir: str) -> pd.DataFrame:
 V4_EXACT_THRESHOLD = 0.95  # true word-shingle jaccard for the dedup decision
 V4_EST_THRESHOLD = 0.8  # LSH candidate threshold (margin per minhash_missed_pairs)
 V4_N_PARTITIONS = 16
-# verify is pair-member-sized driver work; past this it must move to the
-# distributed sig-join pattern (dedup.py's probe/attach/compare chain)
-V4_VERIFY_PAIR_CAP = 5_000_000
 
 
 def curate_corpus_v4(
@@ -464,10 +461,12 @@ def curate_corpus_v4(
     Scale contract: the gated stream is pinned once (object-store
     materialize; at 100 TB pass spill_dir= to checkpoint this stage to
     parquet and stream it back per consumer instead —
-    same topology); LSH shuffles sketches, never text; the verify is
-    driver-side but PAIR-MEMBER-sized (capped loudly at
-    {V4_VERIFY_PAIR_CAP} pairs with the distributed sig-join named);
-    drop/threshold broadcasts are output-sized; the final write streams
+    same topology); LSH shuffles sketches, never text; the exact verify
+    is the DISTRIBUTED probe/attach/compare join over exact shingle-hash
+    sets (dedup.exact_shingle_verify_pairs — candidates never touch the
+    driver, which sees only verified true-dup edges, the _cluster_edges
+    input contract); drop/threshold broadcasts are output-sized; the
+    final write streams
     through per-partition appender actors overlapped with the keep
     pass; the rollup reads back ONLY (lang, n_tok) columns."""
     import tempfile
@@ -480,7 +479,7 @@ def curate_corpus_v4(
     from ray.data.aggregate import Sum
 
     from ..state import checkpoint as ckpt
-    from .dedup import _cluster_edges, _word_shingles, dedup_minhash_lsh
+    from .dedup import _cluster_edges, dedup_minhash_lsh, exact_shingle_verify_pairs
     from .traindata import RESAMPLE_DEFAULT_W, RESAMPLE_WEIGHTS, _w_threshold_hex
     from .webtext import _words, quality_gate
 
@@ -525,59 +524,39 @@ def curate_corpus_v4(
     else:
         qualified = qualified.materialize()
 
-    cand = dedup_minhash_lsh(
+    cand_ds = dedup_minhash_lsh(
         sf_dir,
         threshold=V4_EST_THRESHOLD,
         docs=qualified.select_columns(["doc_id", "text"]),
+        as_dataset=True,
     )
-    if len(cand) > V4_VERIFY_PAIR_CAP:
-        raise RuntimeError(
-            f"{len(cand)} LSH candidate pairs exceed the driver-verify cap "
-            f"({V4_VERIFY_PAIR_CAP}); move the exact verify to the "
-            "distributed sig-join pattern (dedup.py probe/attach/compare)"
-        )
 
-    # exact verify: fetch ONLY pair-member docs (source + ground-truth
-    # text; extraction is byte-identical so documents.text == extracted)
+    # exact verify — fully distributed (VERDICT r4 #1: the old version
+    # collected candidate pair members to the driver behind a loud 5M
+    # cap). The candidate Dataset chains straight into the exact
+    # shingle-set probe/attach/compare join; the driver sees only the
+    # VERIFIED duplicate edges (true-dup-sized, the _cluster_edges input
+    # contract — same as dedup_clusters, whose pregel path takes over
+    # past DRIVER_EDGE_CAP). Verify reads documents.parquet for
+    # (source, text): extraction is byte-identical per url, so
+    # documents.text == the extracted stream's text.
+    from .common import sized_read_parquet
+
+    verified = exact_shingle_verify_pairs(
+        cand_ds,
+        sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ),
+        threshold=V4_EXACT_THRESHOLD,
+    ).to_pandas()
     drop_ids: frozenset = frozenset()
-    if not cand.empty:
-        member_arr = np.unique(
-            np.concatenate([cand.id_a.to_numpy(np.int64), cand.id_b.to_numpy(np.int64)])
+    if not verified.empty:
+        roots = _cluster_edges(
+            verified[["id_a", "id_b"]].astype("int64").reset_index(drop=True)
         )
-        mem_ref = _ray.put(member_arr)
-
-        def member_rows(batch: pa.Table) -> pa.Table:
-            members = _ray.get(mem_ref)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(np.isin(ids, members)))
-
-        from .common import sized_read_parquet
-
-        mem = (
-            sized_read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
-            )
-            .map_batches(member_rows, batch_format="pyarrow")
-            .to_pandas()
+        drop_ids = frozenset(
+            int(d) for d, r in zip(roots.doc_id, roots.cluster_root) if d != r
         )
-        sets = {int(r.doc_id): _word_shingles(r.text, 5) for r in mem.itertuples()}
-        src = {int(r.doc_id): r.source for r in mem.itertuples()}
-        va, vb = [], []
-        for a, b in zip(cand.id_a, cand.id_b):
-            a, b = int(a), int(b)
-            if src[a] != src[b]:
-                continue
-            sa, sb = sets[a], sets[b]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union > 0 and inter / union >= V4_EXACT_THRESHOLD:
-                va.append(a)
-                vb.append(b)
-        if va:
-            roots = _cluster_edges(pd.DataFrame({"id_a": va, "id_b": vb}))
-            drop_ids = frozenset(
-                int(d) for d, r in zip(roots.doc_id, roots.cluster_root) if d != r
-            )
 
     thresh = {lang: _w_threshold_hex(w) for lang, w in RESAMPLE_WEIGHTS.items()}
     default_th = _w_threshold_hex(RESAMPLE_DEFAULT_W)

@@ -153,9 +153,15 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     k_shingle: int = 5,
     docs: rd.Dataset | None = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Near-duplicate PAIRS via MinHash-LSH. Returns (id_a, id_b, est_jaccard)
     with id_a < id_b, est >= threshold, sorted. Deterministic.
+
+    `as_dataset=True` returns the verified-pairs DATASET instead of
+    collecting to pandas — the handle compositions chain further
+    distributed stages onto (curate_corpus_v4's exact-verify join
+    consumes it without the candidate set ever touching the driver).
 
     `docs` overrides the (doc_id, text) source Dataset so compositions can
     dedup an upstream stage's output (curate_corpus_v4 runs it over the
@@ -327,7 +333,7 @@ def dedup_minhash_lsh(
             }
         )
 
-    pairs = (
+    pairs_ds = (
         cand_ds.map_batches(probe_rows, batch_format="pyarrow")
         .union(
             sigs_ds.select_columns(["doc_id", "sig"]).map_batches(
@@ -338,14 +344,155 @@ def dedup_minhash_lsh(
         .map_groups(attach_sig, batch_format="pandas")
         .groupby("pair_part")
         .map_groups(compare_pair, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return pairs_ds
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:
         return _EMPTY
     return (
         pairs.sort_values(["id_a", "id_b"])
         .astype({"id_a": "int64", "id_b": "int64"})
         .reset_index(drop=True)
+    )
+
+
+def exact_shingle_verify_pairs(
+    cand_ds: rd.Dataset,
+    docs_ds: rd.Dataset,
+    threshold: float,
+    k: int = 5,
+    same_source_only: bool = True,
+) -> rd.Dataset:
+    """Distributed EXACT word-shingle-jaccard verification of a candidate
+    pair Dataset (VERDICT r4 #1 — curate_corpus_v4's verify stage, which
+    previously collected candidate pair members to the driver behind a
+    loud 5M cap). Same two-shuffle probe/attach/compare topology as
+    dedup_minhash_lsh's signature verify, but the attached sketch is the
+    doc's EXACT shingle-hash set (unique sorted uint64s from
+    `shingle_hashes`, packed as one binary cell) plus its `source`:
+
+      1. candidate pairs explode to (doc_id, pair, side) probe rows and
+         cogroup with the shingle table on hash(doc_id);
+      2. sketch-carrying probes cogroup on hash(pair); per pair the true
+         jaccard is one sorted-array intersection (np.intersect1d,
+         assume_unique) — kept iff >= threshold and (optionally) both
+         sides share `source`.
+
+    Exactness caveat: jaccard over 64-bit shingle hashes, not shingle
+    strings — a collision merging two distinct shingles is ~s^2/2^65 per
+    doc, far below any oracle's radar (and the same hashes already drive
+    the production minhash path). The driver never sees candidates; the
+    shuffle carries per-doc sketches (~8 B/word), never pair-multiplied
+    text. docs_ds needs columns (doc_id, source, text)."""
+    from .joins import _hash_part
+
+    P = 64
+    _EMPTY_V = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jac": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([ia, ib])
+        return pa.table(
+            {
+                "part": _hash_part(doc, P),
+                "doc_id": pa.array(doc, pa.int64()),
+                "id_a": pa.array(np.concatenate([ia, ia]), pa.int64()),
+                "id_b": pa.array(np.concatenate([ib, ib]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(len(ia), np.int8), np.ones(len(ib), np.int8)]),
+                    pa.int8(),
+                ),
+                "kind": pa.array(np.zeros(len(doc), np.int8), pa.int8()),
+                "source": pa.array([None] * len(doc), pa.string()),
+                "sh": pa.array([None] * len(doc), pa.binary()),
+            }
+        )
+
+    def shingle_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        sh = [
+            shingle_hashes(t, k=k).tobytes() for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "part": _hash_part(ids, P),
+                "doc_id": batch["doc_id"],
+                "id_a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "id_b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "source": pc.cast(batch["source"], pa.string()),
+                "sh": pa.array(sh, pa.binary()),
+            }
+        )
+
+    def attach_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g.kind == 0].drop_duplicates(["doc_id", "id_a", "id_b", "side"])
+        if probes.empty:
+            return pd.DataFrame(
+                {
+                    "pair_part": pd.Series([], dtype="int32"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "side": pd.Series([], dtype="int8"),
+                    "source": pd.Series([], dtype="object"),
+                    "sh": pd.Series([], dtype="object"),
+                }
+            )
+        sketch_map = g[g.kind == 1][["doc_id", "source", "sh"]]
+        m = probes[["doc_id", "id_a", "id_b", "side"]].merge(sketch_map, on="doc_id")
+        ua = m.id_a.to_numpy().astype(np.uint64)
+        ub = m.id_b.to_numpy().astype(np.uint64)
+        pair_h = splitmix64(ua ^ splitmix64(ub))
+        m["pair_part"] = (pair_h % np.uint64(P)).astype(np.int32)
+        return m[["pair_part", "id_a", "id_b", "side", "source", "sh"]]
+
+    def compare_exact(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g.side == 0][["id_a", "id_b", "source", "sh"]]
+        b = g[g.side == 1][["id_a", "id_b", "source", "sh"]]
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return _EMPTY_V
+        ia, ib, jacs = [], [], []
+        for row in m.itertuples():
+            if same_source_only and row.source_a != row.source_b:
+                continue
+            sa = np.frombuffer(row.sh_a, dtype=np.uint64)
+            sb = np.frombuffer(row.sh_b, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union > 0 and inter / union >= threshold:
+                ia.append(int(row.id_a))
+                ib.append(int(row.id_b))
+                jacs.append(round(inter / union, 6))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ia, dtype="int64"),
+                "id_b": pd.Series(ib, dtype="int64"),
+                "jac": pd.Series(jacs, dtype="float64"),
+            }
+        )
+
+    return (
+        cand_ds.map_batches(probe_rows, batch_format="pyarrow")
+        .union(
+            docs_ds.select_columns(["doc_id", "source", "text"]).map_batches(
+                shingle_tagged, batch_format="pyarrow"
+            )
+        )
+        .groupby("part")
+        .map_groups(attach_sketch, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(compare_exact, batch_format="pandas")
     )
 
 

@@ -55,6 +55,76 @@ def test_minhash_lsh_finds_planted_near_dups(tmp_path):
     assert planted <= found, f"missing {planted - found}"
 
 
+def test_exact_shingle_verify_distributed_matches_bruteforce(tmp_path, ray_session):
+    """The distributed exact-verify join (VERDICT r4 #1: curate_v4's old
+    driver collect behind a 5M pair cap) handles a candidate volume far
+    past anything a test-scale driver cap would allow — a 60-doc
+    near-dup clique yields >1500 LSH candidate pairs — and its verified
+    edge set must equal the brute-force string-shingle reference,
+    including the same-source exclusion and below-threshold rejection."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from paddle_ray.pipelines import dedup
+
+    rng = np.random.default_rng(7)
+    base = [f"w{rng.integers(0, 50)}tok{i}" for i in range(120)]
+    rows = []
+    for i in range(60):
+        words = list(base)
+        # docs 0..49: one-word perturbation (true pairwise jac ~ 0.84)
+        # docs 50..59: 5-word rewrite (true jac ~ 0.6) — LSH at est 0.5
+        # still surfaces them as candidates, verify must reject
+        n_mut = 1 if i < 50 else 5
+        for j in range(n_mut):
+            words[(i * 7 + j * 3) % 120] = f"mut{i}_{j}"
+        # two sources: cross-source near-dups are candidates but must
+        # never verify (same_source_only contract)
+        rows.append(
+            {"doc_id": i, "source": "s0" if i % 4 else "s1", "text": " ".join(words)}
+        )
+    docs = pd.DataFrame(rows)
+
+    docs_ds = rd.from_pandas(docs)
+    cand_pd = dedup.dedup_minhash_lsh(
+        "", threshold=0.5, docs=docs_ds.select_columns(["doc_id", "text"])
+    )
+    assert len(cand_pd) > 1000, f"only {len(cand_pd)} candidates — clique too loose"
+
+    cand_ds = dedup.dedup_minhash_lsh(
+        "", threshold=0.5, docs=docs_ds.select_columns(["doc_id", "text"]),
+        as_dataset=True,
+    )
+    assert isinstance(cand_ds, rd.Dataset)  # candidates never collect
+    verified = dedup.exact_shingle_verify_pairs(
+        cand_ds, docs_ds, threshold=0.8
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(verified.id_a, verified.id_b)}
+
+    # brute-force reference over the SAME candidate set, string shingles
+    sets = {int(r.doc_id): dedup._word_shingles(r.text, 5) for r in docs.itertuples()}
+    src = {int(r.doc_id): r.source for r in docs.itertuples()}
+    want = set()
+    for a, b in zip(cand_pd.id_a, cand_pd.id_b):
+        a, b = int(a), int(b)
+        if src[a] != src[b]:
+            continue
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union > 0 and inter / union >= 0.8:
+            want.add((a, b))
+    assert got == want
+    assert len(want) > 500  # the verified clique itself is non-trivial
+    # and the rejection arms were genuinely live
+    rejected = {(int(a), int(b)) for a, b in zip(cand_pd.id_a, cand_pd.id_b)} - want
+    cross_src = [(a, b) for a, b in rejected if src[a] != src[b]]
+    low_jac = [(a, b) for a, b in rejected if src[a] == src[b]]
+    assert cross_src and low_jac
+
+
 def test_simhash_finds_planted_near_dups(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
