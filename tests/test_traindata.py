@@ -161,6 +161,53 @@ def test_token_budget_select_bruteforce():
             assert used + nxt.n_tok > td.TB_BUDGET
 
 
+def test_token_budget_refinement_single_bucket_pileup(tmp_path, ray_session):
+    """VERDICT r4 #3: the pathological all-docs-one-stop-ratio pileup —
+    the coarse histogram puts EVERY doc in one boundary bucket and stop
+    carries zero ordering information — must resolve through the
+    iterative key refinement (boundary_cap=0 forces it) without the old
+    loud cap firing, and match both the driver-resolve path and the
+    brute-force cumsum exactly (phase B's doc_id tiebreak refinement)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = []
+    # two langs; every doc has stop ratio exactly 0.5 ('the w0i the w1i'
+    # pattern, 4 distinct-ish tokens) => n_tok=4, one tied stop value
+    for i in range(120):
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": "aa" if i % 2 else "bb",
+                "text": f"the w{i}x the w{i}y",
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        d / "documents.parquet",
+    )
+    budget = 50  # 12 docs of 4 tokens fit (48), the 13th would hit 52
+    refined = td.token_budget_select(str(d), budget=budget, boundary_cap=0)
+    direct = td.token_budget_select(str(d), budget=budget)
+    pd.testing.assert_frame_equal(refined, direct)
+    for lang, g in refined.groupby("lang"):
+        assert len(g) == 12 and g.n_tok.sum() == 48
+        # doc_id ascending tiebreak: exactly the 12 smallest ids per lang
+        ids = sorted(i for i in range(120) if ("aa" if i % 2 else "bb") == lang)[:12]
+        assert g.doc_id.tolist() == ids
+
+
+def test_token_budget_refinement_matches_driver_resolve_on_sf(ray_session):
+    """On real sf0.001 data (many langs, distinct stop values) the
+    refinement path must be bit-identical to the driver-resolve path."""
+    sf = "/root/testdata/sf0.001"
+    direct = td.token_budget_select(sf)
+    refined = td.token_budget_select(sf, boundary_cap=0)
+    pd.testing.assert_frame_equal(refined, direct)
+
+
 def test_w_threshold_hex_domain():
     from paddle_ray.pipelines.common import w_threshold_hex
 
