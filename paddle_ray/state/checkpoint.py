@@ -306,28 +306,49 @@ def streaming_write(
     n_writers: int | None = None,
     writer_num_cpus: float = 0.25,
     spill_bytes: int = 128 << 20,
+    appender_cls: type | None = None,
 ):
     """Partition-exchange write (module docstring). Executes the stream
     EAGERLY (routing must drain before finalize) and returns the manifest
     summary Dataset. Writer pool defaults to half the session CPUs at a
     quarter CPU each — enough reservation to spread writers across nodes
-    on a real cluster, small enough not to starve the extract pools."""
+    on a real cluster, small enough not to starve the extract pools.
+
+    Crash consistency: on ANY failure the writer pool is killed only
+    after every in-flight finalize has settled (a healthy writer's
+    finalize must never be force-killed mid-write_partition just because
+    a sibling died — its partitions commit or they don't, atomically),
+    and the first failure is re-raised. Partitions without a committed
+    manifest are recomputed by the next resume; stale spill runs are
+    never globbed (finalize only reads runs it tracked in memory).
+    `appender_cls` is a test seam for fault injection (a subclass of
+    _PartitionAppender)."""
     import ray
     import ray.data as rd
 
     if n_writers is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         n_writers = max(2, cpus // 2)
-    Appender = ray.remote(_PartitionAppender)
+    Appender = ray.remote(appender_cls or _PartitionAppender)
     writers = [
         Appender.options(num_cpus=writer_num_cpus).remote(out_dir, spill_bytes=spill_bytes)
         for _ in range(n_writers)
     ]
-    ds.map_batches(make_router(writers), batch_format="pyarrow").materialize()
-    manifests = ray.get([w.finalize.remote() for w in writers])
-    for w in writers:
-        ray.kill(w)
-    return rd.from_arrow(pa.concat_tables(manifests))
+    try:
+        ds.map_batches(make_router(writers), batch_format="pyarrow").materialize()
+        manifests, errs = [], []
+        for ref in [w.finalize.remote() for w in writers]:
+            try:
+                manifests.append(ray.get(ref))
+            except Exception as e:  # noqa: BLE001 — settle ALL finalizes first
+                errs.append(e)
+        if errs:
+            raise errs[0]
+        return rd.from_arrow(pa.concat_tables(manifests))
+    finally:
+        # also runs on router failure (writer pool used to leak there)
+        for w in writers:
+            ray.kill(w)
 
 
 def checkpointed_write(ds, out_dir: str, resume: bool = True, mode: str = "streaming", **kw):
