@@ -488,6 +488,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_roundtrip": io_roundtrip.partitioned_roundtrip,
         # --- multimodal (decode/resize/frame-sample actor pools; rows-only)
         "media_features": multimodal.media_features,
+        # r5: image-path end-to-end composition (VERDICT r4 #7) — extract
+        # with carried crops -> explode (+re-encode noise / unique tail)
+        # -> decode/resize actor pools -> pHash banded near-dup dedup ->
+        # caption kept representatives only -> per-cat rollup; golden
+        # VALUES oracle, single-process all-pairs reference in pytest
+        "curate_images_v1": multimodal.curate_images_v1,
         # --- events / windows (funnel + cohorts + exact quantiles) --------
         # (events_latest_per_user and events_watermark demoted below the
         #  fold — green at all three sfs via the local gate; the family's
@@ -516,11 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: skew-resistant SALTED hash join (probe salt + S-way dim
         # replication; result exactly equals the plain join)
         "salted_segment_rollup": joins.salted_segment_rollup,
-        # r4: storage-BUCKETED zero-exchange join — both sides written once
-        # hive-partitioned by splitmix64(orderkey)%B, then one task per
-        # co-bucketed pair joins with NO shuffle (the "bucket by key hash
-        # to co-locate" layout; exact-int revenue so equality is bitwise)
-        "bucketed_join": joins.bucketed_join,
+        # (bucketed_join demoted below the fold r5 — r4-driver-green; its
+        #  zero-exchange co-bucketed layout is storage-side machinery the
+        #  window slot now spends on the image-path composition)
         # (adaptive_join_rollup lives below the fold — its broadcast /
         #  native-join / pre-agg machinery all runs in-window via
         #  salted_segment_rollup + the budget/mixture broadcasts; the
@@ -551,6 +555,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same machinery inside the window)
         "curate_corpus": curate.curate_corpus,
         "curate_corpus_v2": curate.curate_corpus_v2,
+        # r4: storage-BUCKETED zero-exchange join — both sides written once
+        # hive-partitioned by splitmix64(orderkey)%B, then one task per
+        # co-bucketed pair joins with NO shuffle (exact-int revenue);
+        # demoted r5 (r4-driver-green) for curate_images_v1
+        "bucketed_join": joins.bucketed_join,
         # r4: incremental view maintenance — signed-multiplicity delta agg
         "ivm_delta_agg": joins.ivm_delta_agg,
         "referential_integrity_audit": joins.referential_integrity_audit,
@@ -959,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_v2": curate.CURATE_V2_SQL,
         "curate_corpus_v3": curate.CURATE_V3_SQL,
         "curate_corpus_v4": curate.CURATE_V4_SQL,
+        "curate_images_v1": multimodal.CURATE_IMAGES_SQL,
         "extract_tiered": curate.EXTRACT_TIERED_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,

@@ -164,7 +164,26 @@ def phash_image_dedup(sf_dir: str) -> pd.DataFrame:
         )
 
     hashes = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    pairs = _phash_pair_ds(hashes).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "hamming"]}
+        )
+    out = (
+        pairs.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
 
+
+def _phash_pair_ds(hashes: rd.Dataset, ham_t: int = PHASH_HAM_T) -> rd.Dataset:
+    """Banded near-dup pair generation over a (pid, h) hash Dataset —
+    the distributed middle of phash_image_dedup, factored out so image
+    compositions (curate_images_v1) reuse the identical pigeonhole:
+    5-band explode -> coarse band-key partitions -> in-bucket exact
+    popcount verify. Returns a Dataset of (id_a, id_b, hamming) with
+    possible duplicates across bands (callers dedup)."""
     # 5-band pigeonhole: band b covers bits [off_b, off_b + len_b)
     lens = [13, 13, 13, 13, 12]
     offs = np.cumsum([0] + lens[:-1])
@@ -198,7 +217,7 @@ def phash_image_dedup(sf_dir: str) -> pd.DataFrame:
             for i in range(len(pids)):
                 for j in range(i + 1, len(pids)):
                     ham = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if ham <= PHASH_HAM_T:
+                    if ham <= ham_t:
                         a, b = sorted((int(pids[i]), int(pids[j])))
                         out_a.append(a)
                         out_b.append(b)
@@ -212,23 +231,12 @@ def phash_image_dedup(sf_dir: str) -> pd.DataFrame:
             "part", pa.array(((k * 5 + b) % 64).astype(np.int32), pa.int32())
         )
 
-    pairs = (
+    return (
         hashes.map_batches(band_rows, batch_format="pyarrow", batch_size=None)
         .map_batches(part_by_bandkey, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pair_up, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="int64") for c in ["id_a", "id_b", "hamming"]}
-        )
-    out = (
-        pairs.drop_duplicates(["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
-    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
 
 
 PHASH_DEDUP_SQL = """
@@ -249,4 +257,257 @@ FROM (VALUES
 (594, 10594, 0)
 ) AS t(id_a, id_b, hamming)
 ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# curate_images_v1 — the image-path end-to-end composition (VERDICT r4 #7)
+# --------------------------------------------------------------------------
+
+CI_N_PAGES = 240
+CI_SEED = 42
+CI_PDF_EVERY = 4
+
+
+def curate_images_v1(sf_dir: str) -> pd.DataFrame:
+    """The multimodal analogue of curate_corpus_v4 — the pipeline a
+    captioning crawl actually runs, chained end to end instead of as
+    parallel operators (VERDICT r4 #7; the reference's real workload is
+    this chain, `layout_captioning.py:224-343`):
+
+        pages -> extraction with carried image crops (DocumentExtractor
+                 actor pool, cfg.carry_images — the markdown.images map)
+              -> explode to one row per image, with deterministic
+                 'crawl re-encode' noise on every third image (the same
+                 low-amplitude perturbation phash_image_dedup plants:
+                 the web serves the same image re-encoded per site)
+              -> media decode + resize actor pools (stages/multimodal
+                 MediaDecoder/ImageResizer — payload-carrying rows in
+                 small batches, codec state loaded once per actor)
+              -> pHash near-dup dedup over the RESIZED payloads
+                 (banded pigeonhole via _phash_pair_ds, exact popcount
+                 verify, connected components, keep min-media_id per
+                 cluster) — dedup runs BEFORE captioning because caption
+                 compute is the expensive stage a dedup pays for
+              -> caption the kept representatives only (CAPTION_MODELS
+                 actor pool, weights loaded once per actor, 512-char
+                 truncation — the production Captioner contract)
+              -> per-cat rollup joined against the slim (media_id, cat)
+                 meta table.
+
+    sf_dir is unused (deterministic synthetic corpus — the
+    media_features golden-constant contract). Value-oracled end to end
+    by CURATE_IMAGES_SQL golden VALUES; the pytest re-derives the whole
+    chain with an INDEPENDENT single-process reference (no Ray, direct
+    function calls) so the golden can't be circular.
+
+    Scale contract: image payloads cross the explode/decode/resize
+    stages as payload-carrying rows in small batches and NEVER enter a
+    shuffle — the pHash exchange carries (pid, hash64) 16 B rows, the
+    caption stage sees only kept (media_id, box_key) rows, and the final
+    join attaches cat via slim 16 B-key rows; the driver holds dup
+    EDGES (true-dup-sized, the _cluster_edges contract) and the
+    #cats-sized rollup."""
+    import ray
+
+    from ..core.config import ExtractConfig
+    from ..sources.media import pack_media, unpack_media
+    from ..sources.pages import synth_pages
+    from ..stages.caption import CAPTION_MODELS
+    from ..stages.multimodal import ImageResizer, MediaDecoder
+    from .dedup import _cluster_edges
+    from .extract import extract_pipeline
+
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    pages, _ = synth_pages(CI_N_PAGES, seed=CI_SEED, pdf_every=CI_PDF_EVERY, outlier_every=0)
+    step = max(1, pages.num_rows // 16)
+    src = rd.from_arrow([pages.slice(i, step) for i in range(0, pages.num_rows, step)])
+    extracted = extract_pipeline(src, cfg=cfg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, cats, keys, payloads = [], [], [], []
+        for url, imgs in zip(batch["url"].to_pylist(), batch["images"].to_pylist()):
+            if not imgs:
+                continue
+            doc_i = int(url.rsplit("/", 1)[1])
+            cat = url.split("/")[3]
+            for j, (k, v) in enumerate(imgs):
+                mid = doc_i * 64 + j
+                body = v
+                kind, header, raw = unpack_media(v)
+                a = np.frombuffer(raw, dtype=np.uint8)
+                if mid % 7 == 3:
+                    # unique-tail arm: a genuinely DISTINCT image (the
+                    # synthetic page grammar renders few bbox variants, so
+                    # without this every image is a copy of one of four);
+                    # a per-mid additive pattern decorrelates every dHash
+                    # block mean — its own cluster, survives dedup
+                    pat = (np.arange(len(a), dtype=np.int64) * (mid * 2 + 1)) % 251
+                    body = pack_media(
+                        kind, header, ((a.astype(np.int64) + pat) % 256).astype(np.uint8).tobytes()
+                    )
+                elif mid % 3 == 1:
+                    # viral-dup arm: deterministic low-amplitude re-encode
+                    # noise (same perturbation phash_image_dedup plants) —
+                    # clusters with its pristine siblings at hamming <= 4
+                    a = a.copy()
+                    L = len(a)
+                    for t in range(25):
+                        p = (t * 97) % L
+                        a[p] = (int(a[p]) + 1) % 256
+                    body = pack_media(kind, header, a.tobytes())
+                ids.append(mid)
+                cats.append(cat)
+                keys.append(k)
+                payloads.append(body)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "cat": pa.array(cats, pa.string()),
+                "box_key": pa.array(keys, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    imgs = extracted.map_batches(explode, batch_format="pyarrow").materialize()
+    meta = imgs.select_columns(["media_id", "cat", "box_key"])
+
+    decoded = (
+        imgs.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=32, concurrency=(1, 4), num_cpus=1)
+        .map_batches(ImageResizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 2), num_cpus=1)
+    )
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, ok, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["decoded_ok"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if not ok:
+                continue
+            _, _, body = unpack_media(payload)
+            ids.append(mid)
+            hs.append(_dhash64(np.frombuffer(body, dtype=np.uint8)))
+        return pa.table(
+            {
+                "pid": pa.array(ids, pa.int64()),
+                "h": pa.array(np.array(hs, dtype=np.uint64).view(np.int64), pa.int64()),
+            }
+        )
+
+    hashes = decoded.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    pairs = _phash_pair_ds(hashes).to_pandas()
+    drops: frozenset = frozenset()
+    if not pairs.empty:
+        roots = _cluster_edges(
+            pairs.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]].reset_index(drop=True)
+        )
+        drops = frozenset(
+            int(d) for d, r in zip(roots.doc_id, roots.cluster_root) if d != r
+        )
+    drops_ref = ray.put(drops)
+
+    class KeptCaptioner:
+        """Caption only the kept cluster representatives: model weights
+        load ONCE per actor (the T2 contract), generation is batched."""
+
+        def __init__(self, drops_ref, model: str = "blip", max_length: int = 512):
+            self.drops = ray.get(drops_ref)
+            self.model = CAPTION_MODELS[model]()
+            self.max_length = max_length
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.bbox import DEFAULT_CAPTION_PROMPT
+
+            mids = batch["media_id"].to_pylist()
+            keep = [m not in self.drops for m in mids]
+            t = batch.filter(pa.array(keep))
+            keys = t["box_key"].to_pylist()
+            caps = self.model.generate(
+                keys, [DEFAULT_CAPTION_PROMPT] * len(keys), self.max_length
+            )
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "cat": t["cat"],
+                    "caption": pa.array(caps, pa.string()),
+                }
+            )
+
+    captioned = meta.map_batches(
+        KeptCaptioner,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+        num_cpus=1,
+        fn_constructor_kwargs={"drops_ref": drops_ref},
+    )
+
+    from ray.data.aggregate import Sum
+
+    def all_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["cat", "media_id"]), "cat").aggregate(
+            [("media_id", "count")]
+        )
+        return pa.table(
+            {"cat": g["cat"], "n_images": pc.cast(g["media_id_count"], pa.int64())}
+        )
+
+    import pyarrow.compute as pc
+
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        caps = batch["caption"]
+        t = pa.table(
+            {
+                "cat": batch["cat"],
+                "n_kept": pa.array(np.ones(len(caps), np.int64)),
+                "caption_chars": pc.cast(pc.utf8_length(caps), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, "cat").aggregate([("n_kept", "sum"), ("caption_chars", "sum")])
+        return g.rename_columns(["cat", "n_kept", "caption_chars"])
+
+    totals = (
+        meta.map_batches(all_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("cat")
+        .aggregate(Sum("n_images", alias_name="n_images"))
+        .to_pandas()
+    )
+    kept = (
+        captioned.map_batches(kept_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("cat")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("caption_chars", alias_name="caption_chars"),
+        )
+        .to_pandas()
+    )
+    out = totals.merge(kept, on="cat", how="left").fillna(
+        {"n_kept": 0, "caption_chars": 0}
+    )
+    out = out.sort_values("cat").reset_index(drop=True)
+    return out.astype(
+        {"cat": "str", "n_images": "int64", "n_kept": "int64", "caption_chars": "int64"}
+    )
+
+
+# Golden-constant oracle (the media_features contract): synth_pages(240,
+# seed=42, pdf_every=4) + deterministic extraction, noise arms, dHash,
+# captioner make the rollup a fixed table independent of sf_dir. The
+# pytest re-derives it with a single-process all-pairs reference (no
+# banding, no Ray), so drift in ANY chain stage fails the driver gate.
+# Regenerate by running curate_images_v1() after an INTENTIONAL change.
+CURATE_IMAGES_SQL = """
+SELECT * FROM (VALUES
+  ('cat0', 11, 0, 0),
+  ('cat1', 8, 0, 0),
+  ('cat2', 13, 4, 145),
+  ('cat3', 15, 8, 261),
+  ('cat4', 7, 0, 0),
+  ('cat5', 12, 1, 29),
+  ('cat6', 11, 2, 77)
+) AS t(cat, n_images, n_kept, caption_chars)
+ORDER BY cat
 """

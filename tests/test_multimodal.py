@@ -164,3 +164,105 @@ def test_phash_image_dedup_recall_and_no_false_pairs(ray_session):
     assert got == ref
     assert set(got) == planted  # 100% recall, zero false pairs
     assert all(h <= mm.PHASH_HAM_T for h in got.values())
+
+
+def test_curate_images_v1_matches_single_process_reference(ray_session):
+    """The image-path end-to-end composition (VERDICT r4 #7) vs a fully
+    single-process reference: same corpus, direct extractor calls, the
+    SAME noise arms, dHash, brute-force ALL-PAIRS hamming (no banding —
+    independent of the pigeonhole), dict union-find, min-id reps, direct
+    captioner calls, pandas rollup. Also asserts the dedup semantics the
+    chain promises: every unique-tail image survives, every non-rep
+    viral/pristine copy is dropped, and banding missed no <=T pair."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from paddle_ray.core.config import ExtractConfig
+    from paddle_ray.functions.bbox import DEFAULT_CAPTION_PROMPT
+    from paddle_ray.pipelines.multimodal import (
+        CI_N_PAGES,
+        CI_PDF_EVERY,
+        CI_SEED,
+        PHASH_HAM_T,
+        _dhash64,
+        curate_images_v1,
+    )
+    from paddle_ray.sources.media import pack_media, unpack_media
+    from paddle_ray.sources.pages import synth_pages
+    from paddle_ray.stages.caption import CAPTION_MODELS
+    from paddle_ray.stages.extract import DocumentExtractor
+    from paddle_ray.stages.sniff import make_sniff_batch
+
+    engine = curate_images_v1("unused")
+
+    # ---- single-process reference ------------------------------------
+    cfg = ExtractConfig(deterministic_sort=False, captioning_enabled=False)
+    pages, _ = synth_pages(CI_N_PAGES, seed=CI_SEED, pdf_every=CI_PDF_EVERY, outlier_every=0)
+    rows = make_sniff_batch(cfg)(pages)
+    rows = DocumentExtractor(cfg)(rows)
+
+    recs = []  # (mid, cat, box_key, arm, hash)
+    for url, imgs in zip(rows["url"].to_pylist(), rows["images"].to_pylist()):
+        if not imgs:
+            continue
+        doc_i = int(url.rsplit("/", 1)[1])
+        cat = url.split("/")[3]
+        for j, (k, v) in enumerate(imgs):
+            mid = doc_i * 64 + j
+            _, _, raw = unpack_media(v)
+            a = np.frombuffer(raw, dtype=np.uint8)
+            if mid % 7 == 3:
+                pat = (np.arange(len(a), dtype=np.int64) * (mid * 2 + 1)) % 251
+                a = ((a.astype(np.int64) + pat) % 256).astype(np.uint8)
+                arm = "unique"
+            elif mid % 3 == 1:
+                a = a.copy()
+                for t in range(25):
+                    p = (t * 97) % len(a)
+                    a[p] = (int(a[p]) + 1) % 256
+                arm = "viral"
+            else:
+                arm = "pristine"
+            recs.append((mid, cat, k, arm, _dhash64(a)))
+    assert len(recs) == int(engine.n_images.sum())
+
+    # brute-force all-pairs clustering at hamming <= T
+    parent = {m: m for m, *_ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if bin(recs[i][4] ^ recs[j][4]).count("1") <= PHASH_HAM_T:
+                a, b = find(recs[i][0]), find(recs[j][0])
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    reps = {m for m, *_ in recs if find(m) == m}
+
+    # chain-semantics assertions (all three arms live)
+    arms = {m: arm for m, _, _, arm, _ in recs}
+    uniq = {m for m, a in arms.items() if a == "unique"}
+    assert uniq and uniq <= reps, "every unique-tail image must survive"
+    assert len(reps) < len(recs), "dedup must actually drop copies"
+    assert any(a == "viral" for a in arms.values())
+
+    model = CAPTION_MODELS["blip"]()
+    ref_rows = []
+    for m, cat, k, _, _ in recs:
+        kept = m in reps
+        cap = model.generate([k], [DEFAULT_CAPTION_PROMPT], 512)[0] if kept else None
+        ref_rows.append((cat, 1, int(kept), len(cap) if kept else 0))
+    ref = (
+        pd.DataFrame(ref_rows, columns=["cat", "n_images", "n_kept", "caption_chars"])
+        .groupby("cat", as_index=False)
+        .sum()
+        .sort_values("cat")
+        .reset_index(drop=True)
+        .astype({"n_images": "int64", "n_kept": "int64", "caption_chars": "int64"})
+    )
+    pd.testing.assert_frame_equal(engine, ref)
