@@ -24,6 +24,13 @@ def init_local_ray(num_cpus: int | None = None, logging_level: str | None = "ERR
                 kw["num_cpus"] = num_cpus
             if logging_level:
                 kw["logging_level"] = logging_level
+            # forced-spill knob for memory-pressure benchmarking: cap the
+            # plasma store (bytes) so the streaming pipeline must spill to
+            # disk instead of riding a 128 GiB store the sandbox never
+            # fills — the behavior a real 100 TB cluster node hits first
+            osm = os.environ.get("RAY_GRAFT_OBJECT_STORE_BYTES")
+            if osm:
+                kw["object_store_memory"] = int(osm)
             ray.init(address="local", **kw)
         else:
             # auto-detect the hosting cluster; new-instance knobs
