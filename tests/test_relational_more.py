@@ -354,6 +354,44 @@ def test_skyline_duplicate_points_all_survive(tmp_path):
     assert out["o_orderkey"].tolist() == [1, 2]
 
 
+def test_skyline_distributed_sweep_with_carry(ray_session, tmp_path):
+    """The range-partitioned sweep-with-carry (the scale path the old
+    loud cap only named) must be bit-identical to the driver merge on
+    the real corpus (merge_cap=0 forces it), and must survive its own
+    worst case: a fully ANTI-CORRELATED corpus (p + d monotone opposed)
+    where every point is on the skyline — exactly the shape that blew
+    the driver-merge cap — plus a carry-kill corpus where whole ranges
+    are dominated by a single high-price-late-date point."""
+    import pandas as pd
+
+    sweep = relational_more.skyline_orders(SF, merge_cap=0)
+    direct = relational_more.skyline_orders(SF)
+    pd.testing.assert_frame_equal(sweep, direct)
+
+    # anti-correlated: skyline == corpus, no point dominates any other
+    n = 3000
+    anti = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_totalprice": [float(i + 1) for i in range(n)],
+            "o_orderdate": pd.to_datetime("1995-01-01")
+            + pd.to_timedelta([n - i for i in range(n)], unit="D"),
+        }
+    )
+    _write(tmp_path, "orders", anti)
+    out = relational_more.skyline_orders(str(tmp_path), merge_cap=0)
+    assert out["o_orderkey"].tolist() == list(range(n))
+
+    # carry-kill: one point with max price AND max date dominates all —
+    # every lower range must be emptied purely by the carried max date
+    kill = anti.copy()
+    kill.loc[n - 1, "o_orderdate"] = pd.to_datetime("1999-12-31")
+    _write(tmp_path, "orders", kill)
+    out2 = relational_more.skyline_orders(str(tmp_path), merge_cap=0)
+    assert out2["o_orderkey"].tolist() == [n - 1]
+    pd.testing.assert_frame_equal(out2, relational_more.skyline_orders(str(tmp_path)))
+
+
 def test_division_full_coverage_semantics(ray_session, tmp_path):
     """FOR-ALL semantics on a planted table: a customer missing ONE
     priority never qualifies; plus engine == pandas reference on the
