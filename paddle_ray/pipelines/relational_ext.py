@@ -513,14 +513,15 @@ def vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
     the Zipf-curve summary every corpus card reports.
 
     Scale: word_topk's exchange (one (token, n) row per distinct token
-    per block -> token-typed groupby); the sorted cumulative walk runs
-    on the type-count table driver-side under a loud residency cap (the
-    type table grows with vocabulary, not corpus size; past the cap the
-    scale path is the token_budget_select histogram threshold). Exact
-    integers + one final round-6 division per row."""
-    from ray.data.aggregate import Sum
-
-    VOCAB_TYPE_CAP = 50_000_000
+    per block -> token-typed groupby). The cumulative walk needs only
+    the max(VOCAB_CUTOFFS) most frequent types, and the global top-K is
+    a subset of the union of per-block top-Ks (blocks hold DISTINCT
+    types post-groupby), so the driver merges #blocks x K candidate
+    rows — never the type table (round 5: this replaces the old 50M-row
+    loud-capped driver collect; the type table now never leaves the
+    cluster at ANY vocabulary size). total/n_types are distributed
+    scalars. Exact integers + one final round-6 division per row."""
+    from ray.data.aggregate import Count, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -539,15 +540,23 @@ def vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # three consumers: stats, top-K candidates
     )
-    n_types = counts_ds.count()
-    if n_types > VOCAB_TYPE_CAP:
-        raise RuntimeError(
-            f"vocab_coverage_curve: {n_types} types exceed the driver cap; "
-            "scale path: token_budget_select's count-histogram threshold walk."
-        )
-    counts = counts_ds.to_pandas().sort_values(["n", "token"], ascending=[False, True])
-    total = int(counts["n"].sum())
+    stats = counts_ds.aggregate(Count(), Sum("n", alias_name="total"))
+    n_types, total = int(stats["count()"]), int(stats["total"] or 0)
+    K = max(VOCAB_CUTOFFS)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["n", "token"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(K), preserve_index=False)
+
+    counts = (
+        counts_ds.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(K)
+        .reset_index(drop=True)
+    )
     cum = counts["n"].cumsum().to_numpy()
     rows = []
     for k in VOCAB_CUTOFFS:

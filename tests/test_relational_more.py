@@ -385,7 +385,7 @@ def test_skyline_distributed_sweep_with_carry(ray_session, tmp_path):
     # carry-kill: one point with max price AND max date dominates all —
     # every lower range must be emptied purely by the carried max date
     kill = anti.copy()
-    kill.loc[n - 1, "o_orderdate"] = pd.to_datetime("1999-12-31")
+    kill.loc[n - 1, "o_orderdate"] = pd.to_datetime("2010-01-01")  # > every anti date (max ~2003)
     _write(tmp_path, "orders", kill)
     out2 = relational_more.skyline_orders(str(tmp_path), merge_cap=0)
     assert out2["o_orderkey"].tolist() == [n - 1]
